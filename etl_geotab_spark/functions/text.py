@@ -1,0 +1,132 @@
+"""Text-analysis expression builders (SURVEY §2 X3 / north-star).
+
+Everything is built-in-function composition (split/regexp/aggregate) —
+JVM-side, codegen-friendly. Python appears nowhere on the per-row path,
+so these scale to a 100 TB documents table as pure map-stage work with
+zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small, deterministic stopword lists per language for the n-gram
+# heuristic language scorer. Public knowledge (most-frequent function
+# words); intentionally tiny so the expression stays cheap.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "del"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"],
+}
+
+_WORD_RE = r"\s+"
+# BPE-ish token regex: runs of word chars, or single non-space symbols —
+# approximates subword pre-tokenization (GPT-2-style split on
+# letter/digit/symbol boundaries).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text → array<string>.
+    Filters the empty-string artifacts `split` leaves at the edges."""
+    arr = F.split(F.lower(F.trim(_c(text))), _WORD_RE)
+    return F.filter(arr, lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokenize(text)).cast("long")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Regex pre-tokenization: letter runs / digit runs / single symbols."""
+    return F.regexp_extract_all(F.lower(_c(text)), F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text)).cast("long")
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Character n-gram array via sequence+transform (no UDF)."""
+    t = F.lower(_c(text))
+    length = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.substring(t, i, n))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles (array of space-joined k-grams) for MinHash."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(-1)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def quality_punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty docs)."""
+    t = _c(text)
+    total = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+    return F.when(total > 0, punct.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are top-frequency function words — a
+    cheap fluency signal for quality filtering."""
+    toks = tokenize(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def language_scores(text: Column | str) -> Column:
+    """Struct of per-language stopword-hit ratios (n-gram heuristic
+    language ID). Argmax of the struct fields = predicted language."""
+    return F.struct(
+        *[quality_stopword_ratio(text, lang).alias(lang) for lang in STOPWORDS]
+    )
+
+
+def predict_language(text: Column | str) -> Column:
+    """Heuristic language ID: language whose stopword list hits most.
+    Deterministic tie-break: first language in STOPWORDS order wins;
+    returns 'und' (undetermined) when no stopword hits at all."""
+    scores = [(lang, quality_stopword_ratio(text, lang)) for lang in STOPWORDS]
+    best_score = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # build right-to-left so earlier languages take precedence on ties
+    for lang, s in reversed(scores):
+        pred = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def doc_fingerprint(text: Column | str, modulus: int = 2**31 - 1) -> Column:
+    """Deterministic rolling-hash document fingerprint (polynomial hash
+    over character codes, Rabin-Karp style), built from aggregate() so
+    it is identical across engines that implement the same arithmetic.
+    Modulus 2^31-1 keeps every intermediate (acc*257+255) well under
+    2^63 — no int64 overflow under Spark's ANSI mode."""
+    t = _c(text)
+    chars = F.split(t, "")
+    base = F.lit(257)
+    mod = F.lit(modulus)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch).cast("long")) % mod,
+    )
+
+
+def sha2_fingerprint(text: Column | str) -> Column:
+    """Cryptographic content fingerprint for exact dedup (hex sha256)."""
+    return F.sha2(_c(text), 256)

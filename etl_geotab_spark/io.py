@@ -1,0 +1,59 @@
+"""Table catalog over the fixture parquet files (SURVEY.md §2 S6).
+
+At 100 TB the same call pattern holds: ``spark.read.parquet`` on a
+partitioned directory gives split-per-128MB parallel scans, predicate
+pushdown, column pruning and (with a partitioned layout) partition
+pruning — all visible in ``.explain('formatted')`` as PushedFilters /
+ReadSchema. Nothing here materializes data on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# keeps region/nation constant; supplier/customer/part grow ~linearly
+# but stay tiny relative to the fact tables).
+BROADCAST_SAFE = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Lazy: no job runs until an action.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as raw long ns (legacy conf)
+    and convert to TimestampType via integer µs division — same
+    truncation DuckDB applies casting ns→µs, so oracles agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan all fixture tables into a name→DataFrame catalog."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,320 @@
+"""Deduplication operators (SURVEY §2 A1, X1).
+
+Reference parity: the reference's only reduce-like structure is
+``Map.set`` keyed by id — "last row per key wins" (task.ts:221-229).
+``dedup_latest`` is that operator done scalably: a single hash
+aggregate with ``max_by`` (map-side partial agg, one shuffle on the
+key, no window sort needed).
+
+The near-dup family (MinHash-LSH, SimHash, n-gram Jaccard) is the
+north-star LLM-pipeline extension. Scale notes per operator below —
+the shared theme: never materialize the O(n²) pair space; always go
+through a band/bucket equi-join so Spark shuffles on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_geotab_spark.functions.text import tokenize, word_shingles
+
+
+def dedup_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep the 'latest' row per key — faithful port of the reference's
+    ``Map.set`` overwrite semantics (task.ts:221-224), made deterministic
+    with explicit tiebreaks (the reference relies on API response order).
+
+    Implementation: ``max_by(struct(all), struct(order, tiebreaks...))``
+    = one hash aggregate. Cheaper at scale than the window-function
+    formulation (no per-partition sort, partial aggregation map-side).
+    """
+    order_struct = F.struct(
+        *[F.col(c) for c in [order_col, *(tiebreak_cols or [])]]
+    )
+    out_cols = [c for c in df.columns]
+    agg = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in out_cols]), order_struct).alias("_row")
+    )
+    return agg.select(*[F.col(f"_row.{c}").alias(c) for c in out_cols])
+
+
+def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct content.
+    Hash aggregate on the content column; at 100 TB pre-hash long text
+    with sha2 to shrink shuffle width (group on digest, not raw text).
+    """
+    digest = F.sha2(F.col(content_col), 256).alias("_digest")
+    return (
+        df.withColumn("_digest", digest)
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_digest")
+        .join(df, on=id_col, how="inner")
+        .select(*df.columns)
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) params for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod p. Seeded LCG so runs are reproducible
+    without Math.random (same trick as Spark MLlib's MinHashLSH, which
+    seeds per-hash params from a fixed seed)."""
+    p = (1 << 31) - 1
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (p - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % p
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """id → array<long> MinHash signature over word-k-shingles.
+
+    All expression-level: shingle → xxhash64 per shingle → per-hash-i
+    min over (a_i*h+b_i) mod p. One narrow map stage, no shuffle, no
+    UDF — at 100 TB this is scan-bound, exactly what you want.
+    """
+    p = (1 << 31) - 1
+    shingles = word_shingles(F.col(text_col), shingle_k)
+    # one stable 31-bit hash per shingle
+    base_hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))
+
+    sig_cols = []
+    for a, b in _minhash_params(num_hashes, seed):
+        sig_cols.append(F.array_min(F.transform(base_hashes, perm(a, b))))
+    return df.select(
+        F.col(id_col),
+        F.array(*sig_cols).alias("signature"),
+    ).where(F.size(shingles) > 0)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, verified with
+    exact shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a<id_b.
+
+    Scale path: signatures are map-only; banding explodes each doc into
+    ``bands`` (band_idx, band_hash) rows; the self-equi-join on the
+    band key is a shuffle on band_hash — candidate pairs only, never
+    O(n²). Verification re-joins the shingle sets for candidates only.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+
+    band_entries = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    candidates = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    shingle_sets = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    a = shingle_sets.alias("a")
+    b = shingle_sets.alias("b")
+    verified = (
+        candidates.join(a, candidates.id_a == F.col(f"a.{id_col}"))
+        .join(b, candidates.id_b == F.col(f"b.{id_col}"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+            / F.size(F.array_union("a.sh", "b.sh")).cast("double"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """id → 64-bit SimHash over whitespace tokens.
+
+    Expression-only: per token xxhash64, then for each bit position sum
+    (+1/-1) and take the sign. The per-bit loop unrolls into 64 columns
+    of aggregate() over the token array — map-only, no shuffle."""
+    toks = F.array_distinct(tokenize(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for i in range(bits):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), vote(i))
+        bit_cols.append(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    fingerprint = bit_cols[0]
+    for c in bit_cols[1:]:
+        fingerprint = fingerprint.bitwiseOR(c)
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def _popcount64(col: Column) -> Column:
+    """Hamming weight of a 64-bit long via bit_count (Spark 3.3+)."""
+    return F.bit_count(col)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs where hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into
+    ``num_blocks`` 16-bit blocks; any pair within hamming d <
+    num_blocks must agree exactly on ≥1 block → equi-join per block,
+    verify hamming on candidates. Shuffles on (block_idx, block_value),
+    never O(n²)."""
+    assert max_hamming < num_blocks, "pigeonhole needs max_hamming < num_blocks"
+    block_bits = 64 // num_blocks
+    sh = simhash(df, text_col, id_col)
+    mask = (1 << block_bits) - 1
+    blocks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask))
+                    for i in range(num_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.block_idx") == F.col("r.block_idx"),
+                F.col("l.block_val") == F.col("r.block_val"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", _popcount64(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs above a threshold.
+
+    Prefix-sharing candidate generation: explode distinct n-grams,
+    equi-join on the n-gram (docs sharing ≥1 n-gram are candidates),
+    count shared grams per pair in the SAME aggregation (no second
+    join for the intersection), then Jaccard = shared/(|a|+|b|-shared).
+    Shuffle keys: n-gram, then (id_a,id_b) — bounded by the true
+    candidate set. For 100 TB add a DF-frequency cut (drop n-grams in
+    > T docs) to cap the hottest keys; kept optional here.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("gram"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    l, r = grams.alias("l"), grams.alias("r")
+    shared = (
+        l.join(r, on=[F.col("l.gram") == F.col("r.gram"), F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("shared")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,205 @@
+"""Vector similarity search over array<float> embeddings (SURVEY §2 X2).
+
+Two tiers:
+
+- ``cosine_topk_bruteforce`` — exact: broadcast the (small) query set,
+  score every corpus row with a JVM-side cosine expression, per-query
+  top-k via window. Cost O(|corpus|·|queries|) map work + one shuffle
+  on query_id; correct at any scale when |queries| is modest.
+- ``lsh_bucketed_ann`` — approximate: random-hyperplane LSH (signed
+  projections → bit signature → bucket). Queries only score corpus
+  rows in the same bucket (multi-probe over bands). Recall tunable by
+  (num_planes, bands); at 100 TB corpus this turns an all-pairs scan
+  into a bucket-partitioned equi-join — the scale path.
+- ``embedding_near_dup_pairs`` — near-duplicate detection as a
+  self-ANN: pairs with cosine >= threshold via bucketed self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from etl_geotab_spark.functions.vector import cosine_similarity, dot_product, l2_norm
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query row.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank). The query side
+    is broadcast — at scale the corpus streams through one map stage
+    and the only shuffle is the per-query top-k (tiny: k rows/query).
+    Deterministic tie-break on neighbor id.
+    """
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    scored = q.crossJoin(c)
+    if not include_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("_qvec", "_cvec").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _random_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (LCG-based, no
+    numpy RNG state dependence — reproducible across runs/versions)."""
+    planes = []
+    state = seed
+    for _ in range(num_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            # map to (-1, 1)
+            v.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(v)
+    return planes
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Bit-signature column: sign of projection onto each hyperplane."""
+    bits = []
+    for plane in planes:
+        plane_arr = F.array(*[F.lit(x) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                       plane_arr,
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = rows sharing ≥1 LSH band bucket
+    with the query, then exact cosine + per-query top-k on candidates.
+
+    Signature = num_planes sign bits; split into ``bands`` sub-
+    signatures; equi-join on (band_idx, band_bits). Shuffle is on the
+    band key — bucket sizes are data-dependent but bounded by recall
+    tuning, never the full corpus.
+    """
+    planes = _random_hyperplanes(dim, num_planes, seed)
+    band_width = num_planes // bands
+
+    def with_bands(df: DataFrame, role: str) -> DataFrame:
+        sig = lsh_signature(vec_col, planes)
+        return (
+            df.select(
+                F.col(id_col).alias(f"{role}_id"),
+                F.col(vec_col).alias(f"_{role}vec"),
+                sig.alias("_sig"),
+            )
+            .select(
+                f"{role}_id",
+                f"_{role}vec",
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.substring(F.col("_sig"), i * band_width + 1, band_width)
+                            for i in range(bands)
+                        ]
+                    )
+                ).alias("band_idx", "band_bits"),
+            )
+        )
+
+    qb = with_bands(queries, "query")
+    cb = with_bands(corpus, "neighbor")
+    candidates = (
+        qb.join(cb, on=["band_idx", "band_bits"], how="inner")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_queryvec", "_neighborvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("_queryvec", "_neighborvec").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold) via banded LSH self-join — the embedding analogue of
+    MinHash text dedup."""
+    planes = _random_hyperplanes(dim, num_planes, seed)
+    band_width = num_planes // bands
+    sig = lsh_signature(vec_col, planes)
+    banded = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_vec"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(sig, i * band_width + 1, band_width)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_bits") == F.col("r.band_bits"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l._vec").alias("_va"),
+            F.col("r._vec").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine_similarity("_va", "_vb").alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    return pairs

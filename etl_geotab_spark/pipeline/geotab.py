@@ -1,0 +1,151 @@
+"""The reference pipeline rebuilt as a composition of engine operators.
+
+Reference: /root/reference/task.ts:124-295 (``control()``). The whole
+TypeScript dataflow — 3 scans → hash joins → project/filter → GeoJSON —
+expressed as ONE declarative DataFrame plan. Catalyst gets to push
+filters into the scans and pick broadcast joins; the reference did both
+by hand (CHANGELOG v2.5/2.6 pushdown, in-memory Maps).
+
+Faithfulness traps handled (SURVEY.md §4):
+1. dup join keys: reference's ``Map.set`` keeps the LAST info row per
+   device (task.ts:221-224) → dedup_latest(max_by) before the join.
+2. JS falsy ``||``: NULL **and** '' both default (task.ts:241-244)
+   → js_coalesce.
+3. ISO-8601 Z parsing (task.ts:265) → session tz UTC.
+4. prefix filter runs on the post-default name (task.ts:288-291 after
+   :244); empty prefix matches all.
+5. union-typed ``driver`` (task.ts:25-31): normalized upstream to a
+   nullable driver_id column; NULL ⇒ no probe (task.ts:248).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from etl_geotab_spark.functions.scalar import (
+    callsign,
+    geojson_point,
+    js_coalesce,
+    kmh_to_ms,
+    surrogate_key,
+)
+from etl_geotab_spark.operators.dedup import dedup_latest
+
+
+def geotab_pipeline(
+    devices: DataFrame,
+    device_status: DataFrame,
+    drivers: DataFrame,
+    prefix: str = "",
+    now: Column | None = None,
+    freshness: str = "1 HOUR",
+) -> DataFrame:
+    """devices ⋈ latest-status ⟕ drivers → TAK feature rows.
+
+    Schemas per FIXTURES.md §B (relational flattening of the wire
+    schemas at task.ts:12-55). ``now`` defaults to current_timestamp();
+    tests pass a literal for determinism.
+
+    Plan shape at scale: status is the big fact (per-ping telemetry);
+    dedup_latest is one hash agg on device_id; devices/drivers are
+    dims → broadcast hash joins; all filters are pushdown-eligible.
+    """
+    now = now if now is not None else F.current_timestamp()
+    horizon = now - F.expr(f"INTERVAL {freshness}")
+
+    # A1 dedup-latest: Map.set overwrite semantics (task.ts:221-224),
+    # deterministic tiebreak on device_id ordering within equal ts.
+    latest_status = dedup_latest(
+        device_status, ["device_id"], "date_time", tiebreak_cols=[]
+    )
+
+    # P11 freshness: strict '>' — reference drops rows where
+    # dateTime <= hourAgo (task.ts:265-267). Applied pre-join: it
+    # prunes the fact side before the shuffle/broadcast.
+    fresh = latest_status.where(F.col("date_time") > horizon)
+
+    # J1 inner equi-join devices ⋈ info (probe miss → dropped,
+    # task.ts:236-237, 286-288). Devices is the dim → broadcast.
+    joined = fresh.join(
+        broadcast(devices), on=fresh.device_id == devices.id, how="inner"
+    )
+
+    # J2 left join to drivers via nullable driver_id (task.ts:248-258);
+    # NULL key yields no match = reference's string-sentinel skip (J3).
+    d = drivers.select(
+        F.col("id").alias("_drv_id"),
+        F.col("name").alias("driver_username"),
+        F.col("first_name").alias("driver_first_name"),
+        F.col("last_name").alias("driver_last_name"),
+        F.col("phone_number").alias("driver_phone"),
+        F.col("designation").alias("driver_designation"),
+        F.col("comment").alias("driver_comment"),
+    )
+    joined = joined.join(
+        broadcast(d), on=joined.driver_id == d._drv_id, how="left"
+    )
+
+    out = joined.select(
+        # P6 surrogate key (task.ts:270)
+        surrogate_key("geotab-", "device_id").alias("id"),
+        # P4 callsign: raw (pre-default) name/state/plate (task.ts:261-263)
+        callsign("name", "license_state", "license_plate").alias("callsign"),
+        F.col("bearing").alias("course"),
+        F.col("date_time").alias("start"),
+        # P5 unit conversion (task.ts:276)
+        kmh_to_ms("speed").alias("speed"),
+        # P7 geometry (task.ts:279-282)
+        geojson_point("longitude", "latitude").alias("geometry"),
+        # P2/P3 metadata projection with JS-falsy defaults (task.ts:239-245)
+        F.col("vehicle_identification_number").alias("vin"),
+        js_coalesce("name", "No Name").alias("name"),
+        js_coalesce("license_state", "US").alias("license_state"),
+        js_coalesce("license_plate", "Unknown").alias("license_plate"),
+        F.col("groups"),
+        F.col("driver_username"),
+        F.col("driver_first_name"),
+        F.col("driver_last_name"),
+        F.col("driver_phone"),
+        F.col("driver_designation"),
+        F.col("driver_comment"),
+    )
+
+    # P10 prefix filter — on the POST-default name (task.ts:288-291);
+    # startswith('') is true, matching JS.
+    return out.where(F.col("name").startswith(F.lit(prefix)))
+
+
+def to_geojson_features(features: DataFrame) -> DataFrame:
+    """S7 sink shape: one JSON string per feature, matching the
+    reference's Feature envelope (task.ts:269-285). Use
+    ``collect_features_json`` for the FeatureCollection document."""
+    props = F.struct(
+        F.col("callsign"),
+        F.col("course"),
+        F.date_format(F.col("start"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("start"),
+        F.col("speed"),
+        F.struct(
+            F.col("vin"),
+            F.col("name"),
+            F.col("license_state").alias("licenseState"),
+            F.col("license_plate").alias("licensePlate"),
+            F.col("groups"),
+            F.col("driver_username").alias("driverUsername"),
+            F.col("driver_first_name").alias("driverFirstName"),
+            F.col("driver_last_name").alias("driverLastName"),
+            F.col("driver_phone").alias("driverPhone"),
+            F.col("driver_designation").alias("driverDesignation"),
+            F.col("driver_comment").alias("driverComment"),
+        ).alias("metadata"),
+    )
+    feature = F.struct(
+        F.col("id"),
+        F.lit("Feature").alias("type"),
+        props.alias("properties"),
+        F.col("geometry"),
+    )
+    return features.select(
+        F.col("id"), F.to_json(feature, {"ignoreNullFields": "false"}).alias("feature_json")
+    )

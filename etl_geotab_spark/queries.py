@@ -1,0 +1,914 @@
+"""Query registry: every SURVEY.md §2 operator gets a named query over
+the fixture tables plus (where SQL-expressible) a DuckDB oracle string.
+
+Cross-engine determinism rules used throughout (SURVEY.md §7 hard
+part 5):
+
+- **Money/metric sums**: ``SUM(CAST(x AS DECIMAL(18,6)))`` then cast
+  the final result to double. Decimal addition is exact and
+  associative, so Spark's partial-agg order vs DuckDB's order cannot
+  change the result. A per-value double→decimal cast is deterministic
+  across engines (a binary double is never exactly on a decimal
+  midpoint, so rounding mode is moot).
+- **Averages**: exact decimal sum, then ONE IEEE double division —
+  never engine-native AVG (each engine's decimal-avg scale differs).
+- **Timestamps**: fixtures store ``events.ts`` as ns; Spark truncates
+  to µs on read, so oracles ``CAST(ts AS TIMESTAMP)`` to match.
+- **Every computed column aliased identically on both sides.**
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from etl_geotab_spark.io import load_table
+from etl_geotab_spark.functions.scalar import (
+    callsign,
+    js_coalesce,
+    surrogate_key,
+)
+from etl_geotab_spark.functions.text import (
+    bpe_ish_token_count,
+    predict_language,
+    quality_punct_ratio,
+    quality_stopword_ratio,
+    tokenize,
+    token_count,
+)
+from etl_geotab_spark.operators.dedup import dedup_exact, dedup_latest
+from etl_geotab_spark.operators.asof import asof_join
+from etl_geotab_spark.operators.similarity import cosine_topk_bruteforce
+from etl_geotab_spark.operators.topk import top_k_global, top_k_per_group
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# registry: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# A decimal-exact sum re-expressed as double (see module docstring).
+def dsum(col, alias):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+# ----------------------------------------------------------------- flagship
+# The Geotab dataflow (scan → dedup-latest → inner ⋈ dim → left ⋈ dim →
+# project/coalesce/filter) re-instantiated on the fixture star schema:
+# orders = telemetry stream, customer = devices, nation = drivers.
+# Exercises: A1, J1(+J4 broadcast), J2, P3/P4/P5/P6/P10/P11/P19.
+# Reference parity: task.ts:124-295.
+
+
+@register(
+    "geotab_flagship",
+    """
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT o.*, row_number() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS _rn FROM orders o
+      ) WHERE _rn = 1
+    ), horizon AS (
+      SELECT max(o_orderdate) - INTERVAL 2 YEAR AS h FROM orders
+    )
+    SELECT
+      'cust-' || CAST(c.c_custkey AS VARCHAR) AS id,
+      CASE WHEN c.c_name IS NULL OR c.c_name = ''
+           THEN COALESCE(c.c_mktsegment, 'US') || '-' ||
+                (CASE WHEN l.o_orderpriority IS NULL OR l.o_orderpriority = ''
+                      THEN 'Unknown' ELSE l.o_orderpriority END)
+           ELSE c.c_name END AS callsign,
+      l.o_orderkey AS order_key,
+      l.o_orderdate AS start_ts,
+      l.o_totalprice * 0.277778 AS speed_ms,
+      CASE WHEN c.c_mktsegment IS NULL OR c.c_mktsegment = ''
+           THEN 'UNKNOWN' ELSE c.c_mktsegment END AS segment,
+      n.n_name AS nation_name
+    FROM latest l
+    JOIN customer c ON l.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE callsign LIKE 'Customer#%' AND l.o_orderdate > (SELECT h FROM horizon)
+    """,
+)
+def q_geotab_flagship(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+
+    latest = dedup_latest(orders, ["o_custkey"], "o_orderdate", ["o_orderkey"])
+    maxd = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    fresh = latest.join(broadcast(maxd), how="cross").where(
+        F.col("o_orderdate") > F.expr("_maxd - INTERVAL 2 YEAR")
+    )
+    j = fresh.join(
+        broadcast(customer), fresh.o_custkey == customer.c_custkey, "inner"
+    ).join(broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+    out = j.select(
+        surrogate_key("cust-", "c_custkey").alias("id"),
+        callsign("c_name", "c_mktsegment", "o_orderpriority").alias("callsign"),
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderdate").alias("start_ts"),
+        (F.col("o_totalprice") * F.lit(0.277778)).alias("speed_ms"),
+        js_coalesce("c_mktsegment", "UNKNOWN").alias("segment"),
+        F.col("n_name").alias("nation_name"),
+    )
+    return out.where(F.col("callsign").startswith("Customer#"))
+
+
+# ---------------------------------------------------------- aggregations
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= (SELECT max(l_shipdate) - INTERVAL 90 DAY FROM lineitem)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate (A2): map-side partial agg + one
+    shuffle on the 2-col group key; decimal sums for oracle exactness."""
+    li = _t(spark, sf, "lineitem")
+    maxd = li.agg(F.max("l_shipdate").alias("_maxd"))
+    filtered = li.join(broadcast(maxd), how="cross").where(
+        F.col("l_shipdate") <= F.expr("_maxd - INTERVAL 90 DAY")
+    )
+    cnt = F.count(F.lit(1))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / cnt.cast("double")).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / cnt.cast("double")).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / cnt.cast("double")).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@register(
+    "dedup_latest_events",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS _rn FROM events
+    ) WHERE _rn = 1
+    """,
+)
+def q_dedup_latest_events(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 — the reference's Map.set 'last per key' (task.ts:221-229) as
+    one max_by hash aggregate (no window sort)."""
+    ev = _t(spark, sf, "events")
+    return dedup_latest(ev, ["user_id"], "ts", ["event_id"]).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+@register(
+    "group_agg_minmax",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_group_agg_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    """A2/A3: hash agg with exact distinct (expand+two-phase in Spark)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        dsum("value", "sum_value"),
+    )
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 grouping sets/rollup — one Expand + hash agg in Spark."""
+    o = _t(spark, sf, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+@register(
+    "collect_array_agg",
+    """
+    SELECT o_orderstatus,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_collect_array_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 collect-to-array (sorted for determinism across engines)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ----------------------------------------------------------------- joins
+
+
+@register(
+    "join_large_fact",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_large_fact(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 large-large equi-join: Spark picks SMJ/shuffled-hash via AQE;
+    at 100 TB this is THE shuffle to co-locate via bucketing."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(revenue, "revenue"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    """
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS order_count,
+           COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 left outer join preserving unmatched customers (cf. optional
+    driver fields, task.ts:248-258)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"),
+                F.lit(0.0),
+            ).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 left-semi: customers with ≥1 big order — no row multiplication."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 left-anti: the 'devices with no status row' set the reference
+    silently drops (task.ts:236-237)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_broadcast_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """J1+J4: snowflake dims broadcast — zero shuffle until the agg."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_balance"),
+        )
+    )
+
+
+@register(
+    "asof_join_events_orders",
+    """
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           b.o_orderkey AS last_order_key, b.o_orderdate AS last_order_date
+    FROM events e
+    LEFT JOIN (
+      SELECT * FROM (
+        SELECT e2.event_id AS eid, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (
+                 PARTITION BY e2.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS _rn
+        FROM events e2 JOIN orders o
+          ON e2.user_id = o.o_custkey AND o.o_orderdate <= CAST(e2.ts AS TIMESTAMP)
+      ) WHERE _rn = 1
+    ) b ON e.event_id = b.eid
+    WHERE e.user_id < 50
+    """,
+)
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J7 as-of join: per event, the most recent order of that customer.
+    Hash-join + max_by — no nested loop (see operators/asof.py)."""
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 50)
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    out = asof_join(
+        ev,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        direction="backward",
+        tiebreak_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_o_orderkey").alias("last_order_key"),
+        F.col("r_o_orderdate").alias("last_order_date"),
+    )
+
+
+# ------------------------------------------------- projections / scalars
+
+
+@register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'N' AND l_quantity > 40
+    """,
+)
+def q_scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """P1/S6: narrow projection + selective filter — both must reach the
+    parquet scan (PushedFilters + 4-column ReadSchema in explain)."""
+    li = _t(spark, sf, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_returnflag") == "N")
+        & (F.col("l_quantity") > 40)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substring(p_type, 1, 4) AS type_prefix,
+           length(p_name) AS name_len,
+           trim(p_name) AS name_trim,
+           string_split(p_name, ' ')[1] AS first_word,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           replace(p_type, 'ECONOMY', 'ECO') AS type_replaced,
+           starts_with(p_type, 'STA') AS is_standard
+    FROM part
+    """,
+)
+def q_string_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """P13 string function battery."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.trim("p_name").alias("name_trim"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_replaced"),
+        F.col("p_type").startswith("STA").alias("is_standard"),
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INT) AS days_to_2002
+    FROM orders
+    """,
+)
+def q_date_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """P14 date/time battery. DOW conventions differ: Spark dayofweek is
+    1=Sunday, DuckDB dayofweek is 0=Sunday → oracle adds 1."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_2002"),
+    )
+
+
+@register(
+    "math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * l_discount AS disc_amount,
+           abs(l_quantity - 25.0) AS qty_dev,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kbucket,
+           sqrt(l_quantity) AS qty_sqrt,
+           round(ln(l_extendedprice + 1.0), 6) AS log_price,
+           CAST(l_quantity AS BIGINT) % 5 AS qty_mod
+    FROM lineitem
+    """,
+)
+def q_math_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """P15 math battery. sqrt is IEEE-exact cross-engine; ln rounded to
+    6 dp (libm vs java.lang.Math can differ in the last ulp)."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("disc_amount"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_bucket"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_kbucket"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("log_price"),
+        (F.col("l_quantity").cast("long") % 5).alias("qty_mod"),
+    )
+
+
+@register(
+    "conditional_functions",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_class,
+           CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 'UNKNOWN'
+                ELSE c_mktsegment END AS segment,
+           nullif(c_mktsegment, 'BUILDING') AS seg_nullable,
+           least(c_acctbal, 5000.0) AS bal_capped,
+           greatest(c_acctbal, 0.0) AS bal_floor,
+           (c_nationkey IS NULL) AS nation_missing
+    FROM customer
+    """,
+)
+def q_conditional_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """P19 conditional/null battery incl. the JS-falsy coalesce (P3)."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_class"),
+        js_coalesce("c_mktsegment", "UNKNOWN").alias("segment"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullable"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_capped"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.isnull("c_nationkey").alias("nation_missing"),
+    )
+
+
+@register(
+    "json_functions",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS k_high
+    FROM events
+    """,
+)
+def q_json_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """P18 JSON extraction from a string column (events.props)."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k > 50).alias("k_high"),
+    )
+
+
+# ------------------------------------------------------------- windows
+
+
+@register(
+    "window_rank",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           row_number() OVER w AS rn,
+           rank() OVER w2 AS rnk,
+           dense_rank() OVER w2 AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),
+           w2 AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 ranking battery (deterministic orderings incl. tiebreaks)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta,
+           first_value(event_type) OVER w AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """W2 analytic battery: per-user event deltas (the 'speed delta
+    between pings' pattern from SURVEY §2.5)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+@register(
+    "window_running_agg",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) /
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS moving_avg
+    FROM events
+    """,
+)
+def q_window_running_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """W3 frame aggregates: running sum + 4-row moving average (decimal
+    frames so the oracle matches bit-exactly)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-3, Window.currentRow)
+    vdec = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(vdec).over(run).cast("double").alias("running_sum"),
+        (
+            F.sum(vdec).over(mov).cast("double")
+            / F.count(F.lit(1)).over(mov).cast("double")
+        ).alias("moving_avg"),
+    )
+
+
+# ------------------------------------------------- sorts / limits / set ops
+
+
+@register(
+    "topk_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk_global(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 top-k: plans TakeOrderedAndProject (per-partition heap, no
+    full sort) — verify via explain."""
+    o = _t(spark, sf, "orders")
+    return top_k_global(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+      ) AS _rn FROM orders
+    ) WHERE _rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 top-k per group via ranking window."""
+    o = _t(spark, sf, "orders")
+    out = top_k_per_group(
+        o, ["o_orderpriority"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "set_ops",
+    """
+    SELECT 'both' AS tag, n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only' AS tag, n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    """,
+)
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 set operations: intersect + except, tagged and unioned."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "n_nationkey")
+    conly = c.exceptAll(s).select(F.lit("customer_only").alias("tag"), "n_nationkey")
+    return both.unionByName(conly)
+
+
+@register(
+    "distinct_values",
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def q_distinct_values(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ------------------------------------------------------- text analysis
+
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           CAST(len(list_filter(string_split(lower(trim(text)), ' '), t -> t != '')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(list_filter(string_split(lower(trim(text)), ' '), t -> t != ''))) AS BIGINT) AS n_unique_tokens,
+           round(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                 t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS DOUBLE)
+             / CAST(len(list_filter(string_split(lower(trim(text)), ' '), t -> t != '')) AS DOUBLE), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 text analysis: token counts + stopword ratio, all JVM-side."""
+    d = _t(spark, sf, "documents")
+    toks = tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_computed"),
+        token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.round(quality_stopword_ratio("text", "en"), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "token_frequencies",
+    """
+    SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest(list_filter(string_split(lower(trim(text)), ' '), t -> t != '')) AS token
+      FROM documents
+    ) GROUP BY token
+    """,
+)
+def q_token_frequencies(spark: SparkSession, sf: str) -> DataFrame:
+    """X3: corpus term+document frequencies (explode → two-level agg)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """X1 exact dedup: one representative doc per distinct text."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return dedup_exact(d, "text", "doc_id")
+
+
+# ------------------------------------------------------- vector search
+
+
+@register(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        list_sum(list_transform(list_zip(q.qe, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        AS cosine_sim
+      FROM q, embeddings c WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 exact ANN baseline: brute-force cosine top-5 for 8 query
+    vectors (broadcast queries, corpus streams — see similarity.py)."""
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    out = cosine_topk_bruteforce(emb, queries_df, "embedding", "vec_id", k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        "rank",
+    )
+
+
+# ------------------------------------------------------- time windows
+
+
+@register(
+    "tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """T4 tumbling window as batch groupBy(window(...)) — the identical
+    expression works under readStream+watermark (see streaming/)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

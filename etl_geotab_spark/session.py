@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+The reference runs one Node process with the whole fleet in RAM
+(task.ts:124-295); our engine is lazy/distributed, so session defaults
+matter. Choices here are the 100 TB-scale defaults scaled down to
+local[32]:
+
+- ``spark.sql.session.timeZone=UTC``: the reference parses ISO-8601
+  ``Z`` strings (task.ts:265); UTC session tz makes ``to_timestamp``
+  byte-faithful (SURVEY.md §4 trap 3).
+- AQE on (runtime re-plan, skew-join splitting, auto-broadcast).
+- Arrow on (pandas UDF / toPandas fast path).
+- ``spark.sql.shuffle.partitions=32``: matches local core count; on a
+  real cluster this is overridden (AQE coalesces anyway).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl-geotab-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession with scale-aware defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = str(shuffle_partitions or cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # parquet scans: vectorized reader + pushdown are on by default;
+        # keep file-split size at default 128MB (right for 100 TB too).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_for_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-created
+    session (the driver harness passes us its own SparkSession)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # static conf on some builds; AQE default-on in Spark 4
+    return spark

@@ -1,0 +1,118 @@
+"""Unit tests for expression builders."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_geotab_spark.functions.scalar import haversine_km, js_coalesce, callsign
+from etl_geotab_spark.functions.text import (
+    bpe_ish_tokens,
+    char_ngrams,
+    doc_fingerprint,
+    predict_language,
+    quality_punct_ratio,
+    token_count,
+    word_shingles,
+)
+from etl_geotab_spark.functions.vector import cosine_similarity, dot_product, l2_norm
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_js_coalesce(spark):
+    df = spark.createDataFrame([("x",), ("",), (None,)], "s string")
+    out = [r.v for r in df.select(js_coalesce("s", "D").alias("v")).collect()]
+    assert out == ["x", "D", "D"]
+
+
+def test_callsign_matrix(spark):
+    df = spark.createDataFrame(
+        [("N", "CO", "P1"), (None, None, None), ("", "WY", ""), (None, "CA", "ZZ")],
+        "n string, st string, pl string",
+    )
+    out = [r.v for r in df.select(callsign("n", "st", "pl").alias("v")).collect()]
+    assert out == ["N", "US-Unknown", "WY-Unknown", "CA-ZZ"]
+
+
+def test_haversine(spark):
+    # Denver → Boulder ≈ 38.7 km
+    v = one(
+        spark,
+        haversine_km(F.lit(39.7392), F.lit(-104.9903), F.lit(40.0150), F.lit(-105.2705)),
+    )
+    assert abs(v - 38.7) < 1.0
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [2.0, 4.0, 4.0])], "a array<float>, b array<float>")
+    r = df.select(
+        dot_product("a", "b").alias("dp"),
+        l2_norm("a").alias("na"),
+        cosine_similarity("a", "b").alias("cs"),
+    ).collect()[0]
+    assert abs(r.dp - 18.0) < 1e-12
+    assert abs(r.na - 3.0) < 1e-12
+    assert abs(r.cs - 1.0) < 1e-12
+
+
+def test_cosine_zero_vector_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], "a array<float>, b array<float>")
+    assert df.select(cosine_similarity("a", "b").alias("v")).collect()[0].v is None
+
+
+def test_token_count_and_shingles(spark):
+    df = spark.createDataFrame([("The quick  brown fox",)], "t string")
+    r = df.select(
+        token_count("t").alias("n"),
+        word_shingles("t", 2).alias("sh"),
+        char_ngrams("t", 3).alias("ng"),
+    ).collect()[0]
+    assert r.n == 4
+    assert r.sh == ["the quick", "quick brown", "brown fox"]
+    assert r.ng[:3] == ["the", "he ", "e q"]
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",), ("",)], "t string")
+    out = [r.v for r in df.select(word_shingles("t", 3).alias("v")).collect()]
+    assert out[0] == ["one two"]
+    assert out[1] == []
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([("Hello, world42!",)], "t string")
+    r = df.select(bpe_ish_tokens("t").alias("v")).collect()[0].v
+    assert r == ["hello", ",", "world", "42", "!"]
+
+
+def test_punct_ratio(spark):
+    df = spark.createDataFrame([("ab.,",), ("",)], "t string")
+    out = [r.v for r in df.select(quality_punct_ratio("t").alias("v")).collect()]
+    assert abs(out[0] - 0.5) < 1e-12
+    assert out[1] == 0.0
+
+
+def test_predict_language(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog went to the park for a walk",),
+            ("el perro y la casa de los amigos en un lugar",),
+            ("xyzzy qwerty plugh",),
+        ],
+        "t string",
+    )
+    out = [r.v for r in df.select(predict_language("t").alias("v")).collect()]
+    assert out == ["en", "es", "und"]
+
+
+def test_doc_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], "t string")
+    out = [r.v for r in df.select(doc_fingerprint("t").alias("v")).collect()]
+    assert out[0] == out[1] != out[2]
+    # polynomial hash of 'abc' base 257 mod 2^31-1: a=97,b=98,c=99
+    expect = ((97 * 257 + 98) * 257 + 99) % (2**31 - 1)
+    assert out[0] == expect

@@ -1,0 +1,181 @@
+"""Unit tests for engine operators on tiny literal DataFrames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_geotab_spark.operators.dedup import (
+    dedup_exact,
+    dedup_latest,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from etl_geotab_spark.operators.asof import asof_join, range_join
+from etl_geotab_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+    lsh_bucketed_ann,
+)
+from etl_geotab_spark.operators.topk import top_k_global, top_k_per_group
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_dedup_latest_keeps_max_order_col(spark):
+    df = spark.createDataFrame(
+        [("a", ts("2024-01-01T00:00:00"), 1), ("a", ts("2024-01-02T00:00:00"), 2), ("b", ts("2024-01-01T00:00:00"), 3)],
+        "k string, t timestamp, v int",
+    )
+    out = {r.k: r.v for r in dedup_latest(df, ["k"], "t").collect()}
+    assert out == {"a": 2, "b": 3}
+
+
+def test_dedup_latest_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20)], "k string, t int, v int"
+    )
+    out = dedup_latest(df, ["k"], "t", tiebreak_cols=["v"]).collect()
+    assert out[0].v == 20
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "id long, text string"
+    )
+    out = sorted(r.id for r in dedup_exact(df, "text", "id").collect())
+    assert out == [1, 3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")
+    far = "completely different words describing unrelated matters entirely elsewhere"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
+    )
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, "text", "doc_id", jaccard_threshold=0.5).collect()}
+    assert (1, 4) in pairs  # exact dup
+    assert (1, 2) in pairs or (2, 4) in pairs  # near dup
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_near_dup(spark):
+    # A 1-token edit on an n-token doc flips ≈ 32·sqrt(2/(πn)) bits, so
+    # use a 24-token doc and a hamming budget that separates near (≈5)
+    # from unrelated (≈32).
+    base = " ".join(f"tok{i}" for i in range(24))
+    near = base + " extra"
+    far = " ".join(f"other{i}" for i in range(24))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=12, num_blocks=16).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark):
+    a = "w1 w2 w3 w4 w5 w6"
+    b = "w1 w2 w3 w4 w5 zz"
+    c = "q1 q2 q3 q4 q5 q6"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.3).collect()}
+    assert (1, 2) in out
+    assert 0.5 < out[(1, 2)] < 0.7  # 4 shared of 6 union ≈ 0.667... exact: grams a={w1w2..w5w6}5, b 5, shared 4, union 6 → 0.667
+    assert (1, 3) not in out
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, "k", ts("2024-01-05T00:00:00")), (2, "k", ts("2024-01-01T00:00:00"))],
+        "lid long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", ts("2024-01-02T00:00:00"), "early"), ("k", ts("2024-01-04T00:00:00"), "late")],
+        "k string, rt timestamp, tag string",
+    )
+    out = {r.lid: r.r_tag for r in asof_join(left, right, "k", "k", "t", "rt").collect()}
+    assert out == {1: "late", 2: None}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, "k", ts("2024-01-05T00:00:00"))], "lid long, k string, t timestamp")
+    right = spark.createDataFrame([("k", ts("2024-01-01T00:00:00"), "old")], "k string, rt timestamp, tag string")
+    out = asof_join(left, right, "k", "k", "t", "rt", tolerance="1 DAY").collect()
+    assert out[0].r_tag is None
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame(
+        [(1, ts("2024-01-01T05:30:00")), (2, ts("2024-01-01T09:00:00"))], "pid long, t timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [("w1", ts("2024-01-01T05:00:00"), ts("2024-01-01T06:00:00"))],
+        "wid string, t_start timestamp, t_end timestamp",
+    )
+    out = range_join(points, intervals, "t", "t_start", "t_end").collect()
+    assert [r.pid for r in out] == [1]
+
+
+def test_topk(spark):
+    df = spark.createDataFrame([(i, i % 2, float(i)) for i in range(10)], "id long, g int, v double")
+    top = top_k_global(df, [F.desc("v")], 3).collect()
+    assert [r.id for r in top] == [9, 8, 7]
+    per = top_k_per_group(df, ["g"], [F.desc("v")], 2)
+    got = {(r.g, r.id) for r in per.collect()}
+    assert got == {(0, 8), (0, 6), (1, 9), (1, 7)}
+
+
+def test_cosine_topk_bruteforce(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_bruteforce(df, df.where(F.col("vec_id") == 1), k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    """Self-consistency: LSH top-k must overlap well with exact top-k."""
+    from etl_geotab_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = lsh_bucketed_ann(emb, queries, k=5, num_planes=16, bands=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # banded LSH, generous margin
+
+
+def test_embedding_near_dup_self_consistency(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, threshold=0.99, num_planes=8, bands=8, dim=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)

@@ -1,0 +1,118 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB at the given scale factor, then compares row count, schema
+(column names), and order-insensitive values (exact for
+strings/ints/timestamps; exact for doubles too — our queries are
+engineered to be bit-deterministic cross-engine, so any float diff is
+a real bug, not noise).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from etl_geotab_spark.io import TABLES  # noqa: E402
+from etl_geotab_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def normalize(rows, columns):
+    """Canonical order-insensitive representation of a result set."""
+    out = []
+    for row in rows:
+        vals = []
+        for c in columns:
+            v = row[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(repr(v))
+            elif isinstance(v, (list, tuple)):
+                vals.append(repr([str(x) for x in v]))
+            else:
+                vals.append(repr(str(v)) if v is not None else "NULL")
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [r.asDict() for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, "
+                  f"{time.time()-t0:.1f}s) — no oracle")
+            continue
+
+        try:
+            rel = con.sql(oracles[name])
+            duck_cols = rel.columns
+            duck_rows = [dict(zip(duck_cols, r)) for r in rel.fetchall()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+
+        problems = []
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"schema spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        else:
+            cols = sorted(spark_cols)
+            ns, nd = normalize(spark_rows, cols), normalize(duck_rows, cols)
+            if ns != nd:
+                diffs = [
+                    (a, b) for a, b in zip(ns, nd) if a != b
+                ][:3]
+                problems.append(f"values differ; first diffs: {diffs}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"PASS {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILED: {failures}")
+        return 1
+    print("all green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
