@@ -25,21 +25,31 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from etl_geotab_spark.io import load_table
+from etl_geotab_spark.io import load_table, register_views
 from etl_geotab_spark.functions.scalar import (
     callsign,
     js_coalesce,
     surrogate_key,
 )
+from etl_geotab_spark.functions.scalar import geojson_point, haversine_km
 from etl_geotab_spark.functions.text import (
+    STOPWORDS,
     bpe_ish_token_count,
+    doc_fingerprint,
     predict_language,
     quality_punct_ratio,
     quality_stopword_ratio,
     tokenize,
     token_count,
 )
-from etl_geotab_spark.operators.dedup import dedup_exact, dedup_latest
+from etl_geotab_spark.functions.vector import cosine_similarity, l2_norm
+from etl_geotab_spark.operators.dedup import (
+    dedup_exact,
+    dedup_latest,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
 from etl_geotab_spark.operators.asof import asof_join
 from etl_geotab_spark.operators.similarity import cosine_topk_bruteforce
 from etl_geotab_spark.operators.topk import top_k_global, top_k_per_group
@@ -911,4 +921,418 @@ def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
             "n",
             "total_value",
         )
+    )
+
+
+# ============================================================ batch 2
+
+
+@register(
+    "percentiles",
+    """
+    SELECT l_returnflag,
+           round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 6) AS qty_p25,
+           round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS qty_median,
+           round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 6) AS qty_p75,
+           round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 6) AS price_p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 exact percentiles (linear interpolation — matches DuckDB
+    quantile_cont). At 100 TB swap to percentile_approx (t-digest
+    sketch, mergeable map-side) — the approx twin is q_approx_distinct's
+    rows-only pattern."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("qty_p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_median"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("qty_p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("price_p95"),
+    )
+
+
+@register("approx_distinct", None)  # sketch values are engine-specific → rows-only
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 approximate count-distinct (HyperLogLog++): the 100 TB path
+    for distincts — mergeable, map-side, no expand. Values are
+    engine-specific so no SQL oracle; pytest asserts ±5% of exact."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
+        F.approx_count_distinct("o_orderkey").alias("approx_orderkeys"),
+    )
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, order_year)
+    """,
+)
+def q_cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 cube: all 4 grouping-set combinations in one Expand+agg."""
+    o = _t(spark, sf, "orders").withColumn("order_year", F.year("o_orderdate"))
+    return o.cube("o_orderstatus", "order_year").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
+    )
+
+
+@register(
+    "union_all_tagged",
+    """
+    SELECT 'customer' AS kind, c_name AS name, c_acctbal AS acctbal FROM customer
+    UNION ALL
+    SELECT 'supplier' AS kind, s_name AS name, s_acctbal AS acctbal FROM supplier
+    """,
+)
+def q_union_all_tagged(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 UNION ALL via unionByName."""
+    c = _t(spark, sf, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "correlated_subquery",
+    """
+    SELECT o.o_orderkey, o.o_totalprice,
+           o.o_totalprice / (
+             SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+           ) AS price_ratio
+    FROM orders o
+    """,
+)
+def q_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join — the rewrite the reference would hand-code)."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice,
+               o.o_totalprice / (
+                 SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+               ) AS price_ratio
+        FROM orders o
+        """
+    )
+
+
+@register(
+    "sliding_window",
+    """
+    SELECT ws AS window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT unnest([
+               time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+               time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE
+             ]) AS ws,
+             value
+      FROM events
+    ) GROUP BY ws
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """T4 sliding window (10 min length, 5 min slide): each event lands
+    in exactly 2 windows. Same expression streams with a watermark."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@register(
+    "session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, session_id
+    """,
+)
+def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """T4 session window (30 min gap). Spark's session_window ends at
+    last_event + gap; the oracle reproduces that with gaps-and-islands."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "map_functions",
+    """
+    SELECT n_nationkey,
+           n_name AS name_from_map,
+           CAST(n_regionkey AS VARCHAR) AS region_from_map,
+           2 AS n_keys
+    FROM nation
+    """,
+)
+def q_map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """P17 map functions: build a map column, read it back via
+    element_at / map_keys (the oracle computes the same scalar results
+    directly — map internals aren't portable across engines)."""
+    n = _t(spark, sf, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("name_from_map"),
+        F.element_at(m, "region").alias("region_from_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "struct_geojson",
+    """
+    SELECT 'cust-' || CAST(c_custkey AS VARCHAR) AS id,
+           to_json(struct_pack(
+             type := 'Point',
+             coordinates := [CAST(c_custkey % 360 AS DOUBLE) - 179.5,
+                             CAST(c_custkey % 180 AS DOUBLE) - 89.5]
+           )) AS geometry_json
+    FROM customer
+    """,
+)
+def q_struct_geojson(spark: SparkSession, sf: str) -> DataFrame:
+    """P7/P18: geometry struct constructor + to_json — the feature
+    envelope of the reference sink (task.ts:279-282), oracle-checked
+    through its JSON serialization."""
+    c = _t(spark, sf, "customer")
+    lon = (F.col("c_custkey") % 360).cast("double") - 179.5
+    lat = (F.col("c_custkey") % 180).cast("double") - 89.5
+    return c.select(
+        surrogate_key("cust-", "c_custkey").alias("id"),
+        F.to_json(geojson_point(lon, lat)).alias("geometry_json"),
+    )
+
+
+@register(
+    "array_norms",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 / CAST(len(embedding) AS DOUBLE), 6) AS mean_val
+    FROM embeddings
+    """,
+)
+def q_array_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """P16/X2: array math via higher-order functions (zip_with/
+    aggregate) — stays in codegen, no UDF."""
+    emb = _t(spark, sf, "embeddings")
+    sum_val = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda a, v: a + v.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 6).alias("l2"),
+        F.round(sum_val / F.size("embedding").cast("double"), 6).alias("mean_val"),
+    )
+
+
+@register(
+    "haversine_distance",
+    """
+    SELECT c_custkey,
+           round(2 * 6371.0088 * asin(sqrt(
+             pow(sin(radians((CAST(c_custkey % 180 AS DOUBLE) - 89.5) - 39.7392) / 2), 2)
+             + cos(radians(39.7392)) * cos(radians(CAST(c_custkey % 180 AS DOUBLE) - 89.5))
+             * pow(sin(radians((CAST(c_custkey % 360 AS DOUBLE) - 179.5) - (-104.9903)) / 2), 2)
+           )), 4) AS dist_km
+    FROM customer
+    """,
+)
+def q_haversine_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """P15 composition: haversine distance (synthetic coords from keys)
+    to a fixed point — all built-in trig, codegen-resident."""
+    c = _t(spark, sf, "customer")
+    lat = (F.col("c_custkey") % 180).cast("double") - 89.5
+    lon = (F.col("c_custkey") % 360).cast("double") - 179.5
+    return c.select(
+        "c_custkey",
+        F.round(haversine_km(lat, lon, F.lit(39.7392), F.lit(-104.9903)), 4).alias(
+            "dist_km"
+        ),
+    )
+
+
+# ---------------------------------------------- text quality / fingerprints
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS tk
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text, tk,
+        CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sc_en,
+        CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','los','se','del'], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sc_es,
+        CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains(['le','la','de','et','les','des','en','un','du','une'], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sc_fr,
+        CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains(['der','die','und','das','von','zu','den','mit','ist','im'], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sc_de
+      FROM t
+    )
+    SELECT doc_id,
+      CASE WHEN length(text) > 0
+           THEN CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+           ELSE 0.0 END AS punct_ratio,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+      list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+                  (acc, ch) -> (acc * 257 + ch) % 2147483647) AS fingerprint,
+      CASE WHEN sc_en >= sc_es AND sc_en >= sc_fr AND sc_en >= sc_de AND sc_en > 0 THEN 'en'
+           WHEN sc_es >= sc_fr AND sc_es >= sc_de AND sc_es > 0 THEN 'es'
+           WHEN sc_fr >= sc_de AND sc_fr > 0 THEN 'fr'
+           WHEN sc_de > 0 THEN 'de'
+           ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 quality battery: punctuation ratio, BPE-ish token count,
+    rolling-hash fingerprint, heuristic language ID."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        quality_punct_ratio("text").alias("punct_ratio"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+        doc_fingerprint("text").alias("fingerprint"),
+        predict_language("text").alias("pred_lang"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+                                   for i in generate_series(1, len(tk) - 2)])) AS gram
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), shared AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS shared
+      FROM grams l JOIN grams r ON l.gram = r.gram AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(shared AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(shared AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE) >= 0.5
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """X1 exact n-gram Jaccard near-dup pairs (shared-gram equi-join;
+    intersection counted in the SAME aggregation — no pair blowup)."""
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+@register("minhash_near_dup", None)  # LSH recall is probabilistic → rows-only
+def q_minhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """X1 MinHash-LSH near-dup pairs, Jaccard-verified. Deterministic
+    (seeded hash family) but candidate recall < 1 by design, so no
+    exhaustive SQL oracle; pytest cross-checks against exact Jaccard."""
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.5
+    )
+
+
+@register("simhash_near_dup", None)  # blocking recall bounded by pigeonhole → rows-only
+def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """X1 SimHash near-dup pairs (hamming ≤ 8 over 64-bit fingerprints,
+    16-block pigeonhole blocking)."""
+    d = _t(spark, sf, "documents")
+    return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=8, num_blocks=16)
+
+
+@register(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """X1/X2 exact embedding-cosine near-dup pairs. The exact variant is
+    the oracle-checkable baseline; the LSH-bucketed scale path is
+    operators.similarity.embedding_near_dup_pairs (pytest-verified)."""
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine_similarity("_ea", "_eb")
+    return (
+        pairs.where(sim >= 0.4)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
     )
