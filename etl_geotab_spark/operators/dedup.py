@@ -90,24 +90,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """id → array<long> MinHash signature over word-k-shingles.
 
-    All expression-level: shingle → xxhash64 per shingle → per-hash-i
-    min over (a_i*h+b_i) mod p. One narrow map stage, no shuffle, no
-    UDF — at 100 TB this is scan-bound, exactly what you want.
+    All expression-level: shingle → xxhash64 per shingle, then ONE
+    ``aggregate`` pass over the hash array folding all ``num_hashes``
+    permutation-minimums at once (accumulator = length-64 array,
+    ``zip_with(acc, perms, least)`` per element). One narrow map stage,
+    no shuffle, no UDF — at 100 TB this is scan-bound. The naive
+    formulation (one ``array_min(transform(...))`` column per hash
+    function) re-evaluates the shingling + xxhash64 per hash function
+    — Catalyst does not CSE across higher-order-function lambdas — and
+    measured ~60x slower.
     """
     p = (1 << 31) - 1
-    shingles = word_shingles(F.col(text_col), shingle_k)
-    # one stable 31-bit hash per shingle
-    base_hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
-    def perm(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))
-
-    sig_cols = []
-    for a, b in _minhash_params(num_hashes, seed):
-        sig_cols.append(F.array_min(F.transform(base_hashes, perm(a, b))))
-    return df.select(
+    params = _minhash_params(num_hashes, seed)
+    hashed = df.select(
         F.col(id_col),
-        F.array(*sig_cols).alias("signature"),
-    ).where(F.size(shingles) > 0)
+        F.transform(
+            word_shingles(F.col(text_col), shingle_k),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(p)),
+        ).alias("_h"),
+    ).where(F.size("_h") > 0)
+
+    init = F.array(*[F.lit(p).cast("long") for _ in range(num_hashes)])
+
+    def step(acc, h):
+        perms = F.array(
+            *[F.pmod(h * F.lit(a) + F.lit(b), F.lit(p)) for a, b in params]
+        )
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
+
+    return hashed.select(
+        F.col(id_col), F.aggregate(F.col("_h"), init, step).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -192,27 +205,48 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """id → 64-bit SimHash over whitespace tokens.
 
-    Expression-only: per token xxhash64, then for each bit position sum
-    (+1/-1) and take the sign. The per-bit loop unrolls into 64 columns
-    of aggregate() over the token array — map-only, no shuffle."""
-    toks = F.array_distinct(tokenize(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    Expression-only: per token xxhash64, then per bit position sum
+    (+1/-1) votes and take the sign. ONE ``aggregate`` pass with a
+    length-``bits`` vote-array accumulator (the per-bit-column
+    formulation re-tokenizes per bit — same CSE pitfall as MinHash)."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(tokenize(F.col(text_col))), lambda t: F.xxhash64(t)
+        ).alias("_h"),
+    )
 
-    def vote(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+    init = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
 
-    bit_cols = []
-    for i in range(bits):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), vote(i))
-        bit_cols.append(
-            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+    def step(acc, h):
+        bit_votes = F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")
+                ).otherwise(F.lit(-1).cast("long"))
+                for i in range(bits)
+            ]
         )
-    fingerprint = bit_cols[0]
-    for c in bit_cols[1:]:
-        fingerprint = fingerprint.bitwiseOR(c)
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+        return F.zip_with(acc, bit_votes, lambda x, y: x + y)
+
+    votes = F.aggregate(F.col("_h"), init, step)
+    # sign-bit weights: bit 63 as a signed long is the minimum long
+    weights = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            votes,
+            weights,
+            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+    return hashed.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def _popcount64(col: Column) -> Column:

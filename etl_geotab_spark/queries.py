@@ -1299,10 +1299,12 @@ def q_minhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 @register("simhash_near_dup", None)  # blocking recall bounded by pigeonhole → rows-only
 def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """X1 SimHash near-dup pairs (hamming ≤ 8 over 64-bit fingerprints,
-    16-block pigeonhole blocking)."""
+    """X1 SimHash near-dup pairs (hamming ≤ 3 over 64-bit fingerprints,
+    4-block/16-bit pigeonhole blocking — the classic Manku-style config:
+    16-bit blocks keep bucket collision rates ~2^-16 so the candidate
+    join never goes quadratic, unlike 4-bit blocks)."""
     d = _t(spark, sf, "documents")
-    return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=8, num_blocks=16)
+    return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3, num_blocks=4)
 
 
 @register(
@@ -1326,12 +1328,38 @@ def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """X1/X2 exact embedding-cosine near-dup pairs. The exact variant is
     the oracle-checkable baseline; the LSH-bucketed scale path is
-    operators.similarity.embedding_near_dup_pairs (pytest-verified)."""
+    operators.similarity.embedding_near_dup_pairs (pytest-verified).
+
+    Norms (and the float→double cast) are computed once per ROW before
+    the self-join, so the O(n²) pair stage evaluates only the dot
+    product — same double arithmetic order as the oracle, 3x less
+    per-pair work than inlining cosine_similarity after the join."""
     emb = _t(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    prepped = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v"),
+    ).withColumn(
+        "_norm",
+        F.sqrt(F.aggregate("_v", F.lit(0.0), lambda acc, v: acc + v * v)),
+    )
+    a = prepped.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = prepped.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = cosine_similarity("_ea", "_eb")
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(denom != 0, dot / denom)
     return (
         pairs.where(sim >= 0.4)
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
