@@ -1364,3 +1364,50 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         pairs.where(sim >= 0.4)
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
     )
+
+
+# ==================================================== batch 3: streaming
+
+
+@register(
+    "streaming_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_streaming_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """T3/T4 — a REAL Structured Streaming run: file-source readStream →
+    watermark → tumbling-window agg → Trigger.AvailableNow drain into a
+    memory sink. Complete-mode replay over the full fixture equals the
+    batch answer, which is what makes a streaming query oracle-checkable
+    (streaming/jobs.py; reference semantics: task.ts:107 scheduled
+    re-pull + task.ts:231 freshness horizon)."""
+    from etl_geotab_spark.streaming import (
+        run_to_memory_table,
+        stream_events,
+        windowed_counts,
+    )
+
+    return run_to_memory_table(windowed_counts(stream_events(spark, sf), "5 minutes"))
+
+
+@register("stateful_user_stats", None)  # custom keyed state → not SQL-expressible
+def q_stateful_user_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """T2 — applyInPandasWithState keyed running aggregates drained with
+    foreachBatch; the last update per user is the final state. Rows-only
+    check (the op is defined by cross-batch state, not a SQL equivalent);
+    pytest asserts cross-batch accumulation (tests/test_streaming.py)."""
+    from etl_geotab_spark.streaming import run_collect_batches, stream_events
+    from etl_geotab_spark.streaming.state import OUTPUT_SCHEMA, user_running_stats
+
+    batches = run_collect_batches(
+        user_running_stats(stream_events(spark, sf)), output_mode="update"
+    )
+    final = {}
+    for _bid, rows in batches:
+        for r in rows:
+            final[r.user_id] = r
+    return spark.createDataFrame(list(final.values()), OUTPUT_SCHEMA)

@@ -1,0 +1,189 @@
+"""Streaming jobs: sources, windowed aggregations, sinks (T1, T3, T4).
+
+Design notes for 100 TB / real-cluster operation:
+
+- The file source here stands in for Kafka/Kinesis; the transformation
+  code is source-agnostic (works on any streaming DataFrame with an
+  event-time column).
+- Every aggregation takes a watermark: without one, state grows
+  unboundedly. The watermark delay IS the reference's "data currency"
+  horizon (task.ts:231) — events older than the horizon are dropped.
+- ``Trigger.AvailableNow`` (T3) is the idiomatic upgrade of the
+  reference's scheduled re-pull: drain everything available, checkpoint,
+  stop — exactly-once bookkeeping instead of Lambda cron.
+- ``foreachBatch`` is the general sink adapter (REST/JDBC/multi-sink),
+  the streaming analogue of the reference's ``submit()`` (task.ts:294).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming scan of the ``events`` fixture (file source).
+
+    Schema comes from a batch peek (file sources need an explicit
+    schema — streaming can't infer). The TIMESTAMP(NANOS) column is
+    read as raw long ns and converted to µs TimestampType, same as the
+    batch path in ``io.load_table`` so batch/stream results agree.
+    """
+    from etl_geotab_spark.io import load_table
+
+    batch = load_table(spark, sf_dir, "events")  # sets nanosAsLong conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file source watches a DIRECTORY of arriving files (the real
+    # deployment shape: a landing zone fed by upstream writers). The
+    # fixture is a single file, so expose it through a per-sf link dir.
+    link_dir = os.path.join(
+        tempfile.gettempdir(), "etl_geotab_stream", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(link_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # keep column order/typing identical to the batch path
+    return df.select([F.col(c) for c in batch.columns])
+
+
+def freshness_filter(
+    df: DataFrame, ts_col: str = "ts", horizon: str = "1 hour"
+) -> DataFrame:
+    """T1 — the reference's data-currency horizon (task.ts:231,
+    265-267: drop rows with ``dateTime <= now - 1h``).
+
+    On a stream this is ``withWatermark``: state for events older than
+    the horizon is dropped and late data beyond it is discarded — the
+    exact semantic the reference implements by comparing to
+    ``new Date(Date.now() - 3600000)``.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, horizon)
+    return df.where(
+        F.col(ts_col) > F.current_timestamp() - F.expr(f"INTERVAL {horizon}")
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_length: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """T4 tumbling (slide=None) or sliding window count/sum.
+
+    Works identically on batch and streaming inputs — the declarative
+    plan is the same; only state management differs. Partial aggregates
+    are map-side; the shuffle key is the window struct (+ slide copies),
+    which distributes uniformly over time-ordered data.
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    win = (
+        F.window(ts_col, window_length, slide)
+        if slide
+        else F.window(ts_col, window_length)
+    )
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """T4 session windows (dynamic gap-merged intervals) per key."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(key_col, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_table(
+    result: DataFrame,
+    output_mode: str = "complete",
+    query_name: str | None = None,
+) -> DataFrame:
+    """T3 — drain the stream with ``Trigger.AvailableNow`` into an
+    in-memory table and return it as a DataFrame.
+
+    ``complete`` output mode re-emits the full aggregate state at each
+    trigger, so after the drain the table equals the batch answer on
+    the same data — which is what makes streaming queries
+    oracle-checkable. (The memory sink is a test/dev sink; production
+    uses foreachBatch/kafka/parquet sinks.)
+    """
+    name = query_name or f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def run_collect_batches(
+    result: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None] | None = None,
+    output_mode: str = "update",
+) -> list[tuple[int, list]]:
+    """foreachBatch sink adapter (S7's streaming analogue): invokes
+    ``batch_fn(batch_df, batch_id)`` per micro-batch — the hook where a
+    REST POST (task.ts:294), JDBC upsert, or multi-sink fan-out goes.
+    Returns ``[(batch_id, rows), ...]`` for inspection/testing.
+    """
+    captured: list[tuple[int, list]] = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        captured.append((batch_id, batch_df.collect()))
+        if batch_fn is not None:
+            batch_fn(batch_df, batch_id)
+
+    q = (
+        result.writeStream.foreachBatch(_sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return captured

@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator (T2) via ``applyInPandasWithState``.
+
+The reference keeps cross-invocation state in an ephemeral KV store
+(cached Geotab credentials, task.ts:127-143). The general form of
+"remember something per key across micro-batches" is Spark's keyed
+state store; this module implements the canonical example — per-key
+running aggregates that survive across batches — with Arrow-batched
+pandas (no row-at-a-time Python).
+
+At scale: state lives in the executor state store (RocksDB-backed on a
+real cluster), partitioned by the grouping key; each micro-batch
+shuffles only that batch's rows. The watermark bounds state size via
+timeouts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _update_user_stats(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's rows for one user into running state, emit the
+    updated totals. Pure pandas per Arrow batch — vectorized."""
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_last = pdf["ts"].max()
+        batch_us = int(batch_last.value // 1000)  # ns → µs
+        last_us = max(last_us, batch_us)
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 6)],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, last-seen) maintained in keyed
+    state across micro-batches; emits the updated row per key per
+    batch. The streaming generalization of A1/A2 with memory of prior
+    batches — the reference's ephemeral-store pattern done at scale.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

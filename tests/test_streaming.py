@@ -1,0 +1,157 @@
+"""Structured Streaming semantics (SURVEY.md §2.7 T1-T4).
+
+Strategy: file-source streams drained with Trigger.AvailableNow.
+Complete-mode window aggregates must equal the batch answer on the
+same data (determinism ⇒ oracle-checkable); the watermark test feeds
+two files in order (maxFilesPerTrigger=1) and asserts the too-late
+event is dropped; the stateful test checks keyed state accumulates
+across micro-batches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_geotab_spark.io import load_table
+from etl_geotab_spark.streaming import (
+    freshness_filter,
+    run_collect_batches,
+    run_to_memory_table,
+    sessionized_counts,
+    stream_events,
+    user_running_stats,
+    windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ts(h: int, m: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m, 0)
+
+
+def _write_events(spark, path: str, rows: list[tuple], mtime: float) -> None:
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    stream = stream_events(spark, SF_DIR)
+    assert stream.isStreaming
+    got = run_to_memory_table(windowed_counts(stream, "5 minutes")).collect()
+    want = windowed_counts(load_table(spark, SF_DIR, "events"), "5 minutes").collect()
+    assert sorted((r.window_start, r.n, r.total_value) for r in got) == sorted(
+        (r.window_start, r.n, r.total_value) for r in want
+    )
+
+
+def test_streaming_session_equals_batch(spark):
+    stream = stream_events(spark, SF_DIR)
+    got = run_to_memory_table(sessionized_counts(stream)).collect()
+    want = sessionized_counts(load_table(spark, SF_DIR, "events")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Feed two files in order: file2 contains an event older than the
+    watermark established by file1 — it must not appear in any update."""
+    src = str(tmp_path / "events_src")
+    now = time.time()
+    # three files ordered by mtime; maxFilesPerTrigger=1 → one micro-batch
+    # each. Spark advances the watermark with a one-batch lag (batch N
+    # uses event-time stats from batches < N), so the late row arrives
+    # two batches after the event that establishes the 10:50 watermark.
+    _write_events(
+        spark,
+        src,
+        [
+            (0, _ts(10, 0), 1, 1.0),
+            (1, _ts(10, 5), 1, 1.0),
+            (2, _ts(11, 0), 1, 1.0),  # ⇒ watermark 10:50 after this batch
+        ],
+        now - 100,
+    )
+    _write_events(spark, os.path.join(src, "b2"), [(4, _ts(11, 5), 1, 1.0)], now - 70)
+    _write_events(
+        spark,
+        os.path.join(src, "b3"),
+        [
+            (3, _ts(10, 2), 1, 100.0),  # LATE: window end 10:10 < watermark
+            (5, _ts(11, 6), 1, 1.0),
+        ],
+        now - 40,
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = windowed_counts(stream, "10 minutes", watermark="10 minutes")
+    batches = run_collect_batches(agg, output_mode="update")
+    assert len(batches) >= 3
+    # across ALL updates, the 10:00 window must never count the late event
+    for _bid, rows in batches:
+        for r in rows:
+            if r.window_start == _ts(10, 0):
+                assert r.n == 2, f"late event leaked into 10:00 window: {r}"
+                assert r.total_value == 2.0
+    # ...but the on-time row in the same late file IS counted
+    final_11 = [
+        r for _bid, rows in batches for r in rows if r.window_start == _ts(11, 0)
+    ]
+    assert final_11 and final_11[-1].n == 3
+
+
+def test_freshness_filter_batch_and_stream(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    # batch: everything in the 2024 fixture is older than now-1h → empty
+    assert freshness_filter(ev).count() == 0
+    # stream: becomes a watermark node
+    s = freshness_filter(stream_events(spark, SF_DIR))
+    assert s.isStreaming
+    assert "EventTimeWatermark" in s._jdf.queryExecution().analyzed().toString()
+
+
+def test_stateful_user_stats_accumulates_across_batches(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    now = time.time()
+    _write_events(
+        spark, src, [(0, _ts(10, 0), 7, 1.5), (1, _ts(10, 1), 7, 2.5)], now - 100
+    )
+    _write_events(
+        spark,
+        os.path.join(src, "b2"),
+        [(2, _ts(10, 2), 7, 4.0), (3, _ts(10, 3), 8, 10.0)],
+        now - 50,
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    batches = run_collect_batches(user_running_stats(stream), output_mode="update")
+    assert len(batches) == 2
+    final = {r.user_id: r for _bid, rows in batches for r in rows}
+    # user 7 accumulated across both micro-batches
+    assert final[7].n_events == 3
+    assert final[7].total_value == pytest.approx(8.0)
+    assert final[7].last_ts == _ts(10, 2)
+    assert final[8].n_events == 1
