@@ -1411,3 +1411,56 @@ def q_stateful_user_stats(spark: SparkSession, sf: str) -> DataFrame:
         for r in rows:
             final[r.user_id] = r
     return spark.createDataFrame(list(final.values()), OUTPUT_SCHEMA)
+
+
+# ==================================================== batch 4: connector
+
+
+@register("geotab_connector_pipeline", None)  # external source → rows-only
+def q_geotab_connector_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """S1-S5 + S7 — the reference's full dataflow through the Python
+    DataSource connector (sources/geotab.py): three JSON-RPC entity
+    scans (partition-per-group, filter pushdown into the RPC search
+    payload, deterministic fake transport) → wire→relational adapters →
+    geotab_pipeline → feature rows. Not sf-dependent (the source is the
+    connector, not parquet) → rows-only; tests/test_sources.py covers
+    pushdown, partitioning, union normalization, sink acks."""
+    from etl_geotab_spark.pipeline.geotab import geotab_pipeline
+    from etl_geotab_spark.sources.geotab import (
+        device_status_relational,
+        devices_relational,
+        drivers_relational,
+        register_geotab_source,
+    )
+
+    register_geotab_source(spark)
+    try:  # the reader implements pushFilters → the gate conf must be on
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+
+    def read(entity: str, **opts):
+        r = (
+            spark.read.format("geotab")
+            .option("typename", entity)
+            .option("transport", "fake")
+            .option("sessionid", "session-bench")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    status = device_status_relational(
+        read("DeviceStatusInfo", groups="g1,g2,g3,g4")
+    )
+    devices = devices_relational(
+        read("Device", groups="g1,g2,g3,g4", excludeuntrackedassets="true")
+    )
+    drivers = drivers_relational(read("User", groups="g1,g2,g3,g4"))
+    return geotab_pipeline(
+        devices,
+        status,
+        drivers,
+        now=F.lit("2024-01-01T22:00:00Z").cast("timestamp"),
+        freshness="24 HOURS",
+    )

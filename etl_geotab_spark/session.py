@@ -45,6 +45,8 @@ def get_spark(
         # parquet scans: vectorized reader + pushdown are on by default;
         # keep file-split size at default 128MB (right for 100 TB too).
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource pushdown (the Geotab connector, sources/)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -58,8 +60,12 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created
     session (the driver harness passes us its own SparkSession)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    except Exception:
-        pass  # static conf on some builds; AQE default-on in Spark 4
+    for conf, val in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.python.filterPushdown.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(conf, val)
+        except Exception:
+            pass  # static conf on some builds; AQE default-on in Spark 4
     return spark

@@ -1,0 +1,140 @@
+"""Connector layer tests (SURVEY.md §2.1 S1-S5, S7) — no network: the
+``fake`` transport is a deterministic in-process Geotab simulator that
+honors the same server-side search semantics the reference relies on.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan
+
+from etl_geotab_spark.pipeline.geotab import geotab_pipeline, to_geojson_features
+from etl_geotab_spark.sources.geotab import (
+    DEVICE_STATUS_INFO_SCHEMA,
+    GeotabCredentialCache,
+    GeotabReader,
+    device_status_relational,
+    devices_relational,
+    drivers_relational,
+    register_geotab_source,
+)
+
+
+@pytest.fixture()
+def geotab(spark):
+    register_geotab_source(spark)
+    return spark
+
+
+def _read(spark, type_name, **opts):
+    r = (
+        spark.read.format("geotab")
+        .option("typename", type_name)
+        .option("transport", "fake")
+        .option("sessionid", "session-test")
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_scan_all_entities(geotab):
+    for entity in ("DeviceStatusInfo", "User", "Device"):
+        df = _read(geotab, entity)
+        assert df.count() > 0
+
+
+def test_partition_per_group(geotab):
+    df = _read(geotab, "Device", groups="g1,g2,g3")
+    assert df.rdd.getNumPartitions() == 3
+    # group-membership pruning: only requested groups are fetched
+    ids = {r.id.rsplit("-", 2)[1] for r in df.collect()}
+    assert ids == {"g1", "g2", "g3"}
+
+
+def test_filter_pushdown_translates_to_search(geotab):
+    """pushFilters → RPC search payload (task.ts:176 isDriver), and the
+    unsupported remainder is returned for Spark to re-apply."""
+    reader = GeotabReader(
+        DEVICE_STATUS_INFO_SCHEMA, {"typename": "User", "transport": "fake"}
+    )
+    unsupported = list(
+        reader.pushFilters(
+            [EqualTo(("isDriver",), True), GreaterThan(("name",), "m")]
+        )
+    )
+    assert reader._search == {"isDriver": True}
+    assert unsupported == [GreaterThan(("name",), "m")]
+
+
+def test_filter_pushdown_end_to_end(geotab):
+    # independent reads: Spark reuses the reader instance within one
+    # DataFrame lineage, so pushed filters belong to that scan only
+    total = _read(geotab, "User", groups="g1,g2,g3").count()
+    rows = (
+        _read(geotab, "User", groups="g1,g2,g3").where(F.col("isDriver")).collect()
+    )
+    assert rows and all(r.isDriver for r in rows)
+    assert len(rows) < total  # g1-g3 contain 4 non-drivers
+
+
+def test_union_driver_normalized_to_nullable_struct(geotab):
+    """§4 trap 5: the wire 'driver' is string-sentinel | struct; the
+    connector maps the sentinel to NULL (task.ts:248 semantics)."""
+    df = _read(geotab, "DeviceStatusInfo")
+    rows = df.select("driver").collect()
+    assert any(r.driver is None for r in rows)
+    assert any(r.driver is not None and r.driver.id for r in rows)
+
+
+def test_credential_cache_avoids_relogin():
+    cache = GeotabCredentialCache("fake", "https://example.test/")
+    c1 = cache.credentials("user", "pw", "db")
+    c2 = cache.credentials("user", "pw", "db")
+    assert c1 == c2 and cache.login_count == 1
+    cache.invalidate()
+    cache.credentials("user", "pw", "db")
+    assert cache.login_count == 2
+
+
+def test_rest_sink_posts_all_features(geotab, tmp_path):
+    ack = str(tmp_path / "ack.json")
+    df = _read(geotab, "Device", groups="g1,g2")
+    n = df.count()
+    (
+        df.write.format("geotab")
+        .option("transport", "fake")
+        .option("ackpath", ack)
+        .mode("append")
+        .save()
+    )
+    with open(ack) as f:
+        assert json.load(f)["features_posted"] == n
+
+
+def test_connector_to_pipeline_end_to_end(geotab):
+    """Full reference dataflow through the connector: 3 scans →
+    adapters → geotab_pipeline → GeoJSON features (task.ts:124-295)."""
+    status = device_status_relational(
+        _read(geotab, "DeviceStatusInfo", groups="g1,g2")
+    )
+    devices = devices_relational(_read(geotab, "Device", groups="g1,g2"))
+    drivers = drivers_relational(_read(geotab, "User"))
+    features = geotab_pipeline(
+        devices,
+        status,
+        drivers,
+        now=F.lit("2024-01-01T22:00:00Z").cast("timestamp"),
+        freshness="24 HOURS",
+    )
+    rows = features.collect()
+    assert rows
+    assert all(r.id.startswith("geotab-dev-") for r in rows)
+    # geometry is a GeoJSON Point struct
+    assert all(r.geometry.type == "Point" for r in rows)
+    # serializable to the sink envelope
+    js = to_geojson_features(features).collect()
+    assert all('"type":"Feature"' in r.feature_json for r in js)
