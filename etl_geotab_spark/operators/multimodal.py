@@ -1,0 +1,209 @@
+"""Multimodal columns (SURVEY.md §2.9 X4): media as opaque binary +
+typed metadata, processed with Arrow-batched ``mapInPandas``.
+
+Pattern at 100 TB: media bytes live in a ``binary`` column (or a path
+column resolved lazily); metadata (codec, dims, duration) is a typed
+struct so Catalyst can prune/filter WITHOUT touching the bytes.
+Decode/resize/feature-extract run as ``mapInPandas`` stages — Arrow
+moves each partition batch to Python once, the per-item work is
+vectorized, and the output schema is declared so downstream stays
+relational.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
+the decode kernel is a clearly-marked deterministic fake: media is
+synthesized in a tiny self-describing format (``FAKE`` header + dims +
+payload derived from a seed) and "decoding" parses that header. The
+Spark-side plumbing — schema, batching, partitioning, UDF signatures —
+is real and is what these operators test. Swap ``_decode_fake`` for a
+PIL/ffmpeg call to productionize; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAGIC = b"FAKE"  # synthetic media container: FAKE | kind | w | h | payload
+
+
+# ----------------------------------------------------------- synthesis
+
+
+def synthesize_media(
+    df: DataFrame, id_col: str, seed_col: str, kind: str = "image"
+) -> DataFrame:
+    """Attach a deterministic synthetic media column (binary) + typed
+    metadata struct. Stands in for ``spark.read.format('binaryFile')``
+    — downstream operators only see (bytes, metadata), so swapping in
+    real files is transparent."""
+    kind_code = {"image": 1, "audio": 2, "video": 3}[kind]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                seed = hashlib.sha256(str(row[seed_col]).encode()).digest()
+                w = 16 + seed[0] % 48
+                h = 16 + seed[1] % 48
+                payload = (seed * ((w * h) // len(seed) + 1))[: w * h]
+                blob = _MAGIC + struct.pack("<BHH", kind_code, w, h) + payload
+                out_rows.append(
+                    {
+                        id_col: row[id_col],
+                        "media": blob,
+                        "media_kind": kind,
+                        "media_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    schema = StructType(
+        [
+            df.select(id_col).schema.fields[0],
+            StructField("media", BinaryType()),
+            StructField("media_kind", StringType()),
+            StructField("media_bytes", LongType()),
+        ]
+    )
+    return df.select(id_col, seed_col).mapInPandas(gen, schema)
+
+
+# -------------------------------------------------------------- decode
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("histogram", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _decode_fake(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """STUB CODEC — parses the synthetic container. Replace with
+    ``PIL.Image.open(io.BytesIO(blob))`` in production; the operator
+    contract (bytes in → (w, h, pixel array) out) is identical."""
+    if blob[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg (not in this container); "
+            "only the FAKE synthetic container is decodable here"
+        )
+    _kind, w, h = struct.unpack("<BHH", blob[4:9])
+    pixels = np.frombuffer(blob[9 : 9 + w * h], dtype=np.uint8)
+    return w, h, pixels
+
+
+def decode_media(df: DataFrame, id_col: str, media_col: str = "media") -> DataFrame:
+    """Decode each blob to (dims, mean intensity, 16-bin byte
+    histogram). One Arrow round-trip per partition batch; the numpy
+    work is vectorized per item. Histogram is density-normalized so
+    results are resolution-independent."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                w, h, px = _decode_fake(row[media_col])
+                hist = np.histogram(px, bins=16, range=(0, 256))[0]
+                rows.append(
+                    {
+                        "id": str(row[id_col]),
+                        "width": w,
+                        "height": h,
+                        "mean_intensity": round(float(px.mean()), 6),
+                        "histogram": (hist / max(len(px), 1)).round(6).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame, id_col: str, width: int, height: int, media_col: str = "media"
+) -> DataFrame:
+    """Resize plumbing: decode → (stub) nearest-neighbor downsample →
+    re-encode into the same container. Output schema mirrors the input
+    so resize stages compose."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                w, h, px = _decode_fake(row[media_col])
+                grid = px[: w * h].reshape(h, w) if len(px) >= w * h else None
+                if grid is None:
+                    continue
+                ys = np.linspace(0, h - 1, height).astype(int)
+                xs = np.linspace(0, w - 1, width).astype(int)
+                small = grid[np.ix_(ys, xs)]
+                blob = (
+                    _MAGIC
+                    + struct.pack("<BHH", 1, width, height)
+                    + small.tobytes()
+                )
+                rows.append(
+                    {
+                        "id": str(row[id_col]),
+                        "media": blob,
+                        "media_kind": "image",
+                        "media_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("media", BinaryType()),
+            StructField("media_kind", StringType()),
+            StructField("media_bytes", LongType()),
+        ]
+    )
+    return df.mapInPandas(kernel, schema)
+
+
+# -------------------------------------------------------- frame sampling
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    duration_ms_col: str,
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame index.
+    Pure Spark (sequence + explode — no Python), because the frame
+    *schedule* is metadata math; only the frame *decode* (downstream,
+    decode_media) needs the media bytes. At 100 TB this matters: the
+    explode multiplies rows BEFORE the expensive decode, so Spark can
+    repartition the frame workload evenly."""
+    n_frames = (F.col(duration_ms_col) / every_ms).cast("int")
+    return (
+        df.where(F.col(duration_ms_col) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n_frames)).alias("frame_idx"),
+        )
+        .withColumn("frame_ms", F.col("frame_idx") * every_ms)
+        .where(F.col("frame_ms") <= F.col(duration_ms_col))
+    )

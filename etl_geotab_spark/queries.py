@@ -1464,3 +1464,67 @@ def q_geotab_connector_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         now=F.lit("2024-01-01T22:00:00Z").cast("timestamp"),
         freshness="24 HOURS",
     )
+
+
+# ==================================================== batch 5: multimodal
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents
+    """,
+)
+def q_multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 metadata tier: byte length + content digest over a binary
+    payload column WITHOUT decoding it — the cheap pruning layer every
+    multimodal pipeline filters on before touching media bytes."""
+    d = _t(spark, sf, "documents")
+    blob = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("digest"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT event_id,
+           CAST(unnest(generate_series(0, CAST(floor(value / 50) AS BIGINT))) AS INT) AS frame_idx
+    FROM events WHERE value > 0
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 frame-sampling schedule (operators/multimodal.sample_frames):
+    metadata math only — sequence+explode multiplies rows BEFORE any
+    decode so the frame workload can repartition evenly."""
+    ev = _t(spark, sf, "events")
+    n_frames = F.floor(F.col("value") / 50).cast("int")
+    return (
+        ev.where(F.col("value") > 0)
+        .select(
+            "event_id",
+            F.explode(F.sequence(F.lit(0), n_frames)).alias("frame_idx"),
+        )
+    )
+
+
+@register("multimodal_decode_stats", None)  # stub codec → rows-only
+def q_multimodal_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """X4 decode tier: synthesize deterministic media blobs, decode via
+    the Arrow-batched mapInPandas kernel (stub codec — see
+    operators/multimodal.py), emit dims + intensity stats. Rows-only:
+    the codec is engine-specific by design; pytest pins determinism."""
+    from etl_geotab_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    d = _t(spark, sf, "documents")
+    media = synthesize_media(d, "doc_id", "text")
+    return decode_media(media, "doc_id").drop("histogram")

@@ -1,0 +1,67 @@
+"""Multimodal column operators (SURVEY.md §2.9 X4): binary media +
+typed metadata, mapInPandas decode/resize/frame-sample plumbing with
+the deterministic stub codec."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_geotab_spark.io import load_table
+from etl_geotab_spark.operators.multimodal import (
+    _decode_fake,
+    decode_media,
+    resize_media,
+    sample_frames,
+    synthesize_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    return synthesize_media(docs, "doc_id", "text").cache()
+
+
+def test_synthesize_deterministic_binary(media):
+    rows = media.collect()
+    assert rows and all(r.media[:4] == b"FAKE" for r in rows)
+    assert all(r.media_bytes == len(r.media) for r in rows)
+    again = {r.doc_id: bytes(r.media) for r in media.collect()}
+    assert all(bytes(r.media) == again[r.doc_id] for r in rows)
+
+
+def test_decode_media_dims_and_histogram(media):
+    out = decode_media(media, "doc_id").collect()
+    assert out
+    for r in out:
+        assert 16 <= r.width <= 64 and 16 <= r.height <= 64
+        assert 0.0 <= r.mean_intensity <= 255.0
+        assert len(r.histogram) == 16
+        assert abs(sum(r.histogram) - 1.0) < 1e-4  # density-normalized
+
+
+def test_decode_rejects_real_media():
+    with pytest.raises(NotImplementedError):
+        _decode_fake(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_resize_roundtrip(media):
+    small = resize_media(media, "doc_id", 8, 8)
+    decoded = decode_media(small, "id").collect()
+    assert decoded and all(r.width == 8 and r.height == 8 for r in decoded)
+
+
+def test_sample_frames_schedule(spark):
+    vids = spark.createDataFrame(
+        [("v1", 3500), ("v2", 999), ("v3", 0)], "vid string, duration_ms int"
+    )
+    out = sample_frames(vids, "vid", "duration_ms", every_ms=1000).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.vid, []).append(r.frame_ms)
+    assert sorted(by_vid["v1"]) == [0, 1000, 2000, 3000]
+    assert sorted(by_vid["v2"]) == [0]
+    assert "v3" not in by_vid  # zero-length media yields no frames
