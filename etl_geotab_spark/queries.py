@@ -352,14 +352,17 @@ def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
     "join_anti",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
 )
 def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
     """J6 left-anti: the 'devices with no status row' set the reference
-    silently drops (task.ts:236-237)."""
+    silently drops (task.ts:236-237). The price predicate keeps the
+    result non-trivial (every customer has SOME order in the fixture)."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").where(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -1528,3 +1531,98 @@ def q_multimodal_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     media = synthesize_media(d, "doc_id", "text")
     return decode_media(media, "doc_id").drop("histogram")
+
+
+# ============================================ batch 6: range/skew/UDTF
+
+
+@register(
+    "range_join_events",
+    """
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS diff_us
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id AND a.event_id < b.event_id
+    WHERE abs(epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))) <= 120000000
+    """,
+)
+def q_range_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """J7 range join: same-user event pairs within ±2 minutes, via the
+    bucketed-binning equi-join (operators/rangejoin.py) — the oracle is
+    the naive theta join; the Spark plan is a shuffle equi-join on
+    (user, time-bucket), never O(n²)."""
+    from etl_geotab_spark.operators.rangejoin import range_self_join_pairs
+
+    ev = _t(spark, sf, "events")
+    return range_self_join_pairs(
+        ev, "user_id", "ts", "event_id", tolerance_us=120_000_000
+    )
+
+
+@register(
+    "salted_skew_join",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salted fact⋈dim join (operators/skew.py): result is
+    IDENTICAL to the plain join — the oracle proves it — while the
+    shuffle spreads each order key over 16 sub-keys (the 100 TB
+    mitigation for pathological key skew; AQE skew-split is the
+    runtime complement)."""
+    from etl_geotab_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(
+        li,
+        o,
+        "l_orderkey",
+        "o_orderkey",
+        salt_cols=["l_linenumber", "l_partkey"],
+        num_salts=16,
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "total_qty"),
+    )
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS tk
+      FROM documents
+    )
+    SELECT doc_id, ch.idx AS chunk_idx, ch.chunk AS chunk_text, ch.n AS n_tokens
+    FROM (
+      SELECT doc_id,
+             unnest([{'idx': CAST((i - 1) // 64 AS INT),
+                      'chunk': array_to_string(tk[i:i+127], ' '),
+                      'n': CAST(least(i + 127, len(tk)) - i + 1 AS INT)}
+                     for i in generate_series(1, len(tk), 64)]) AS ch
+      FROM t
+    )
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 UDTF — LLM context-window chunking: 128-token sliding
+    windows with stride 64 (50% overlap) via a lateral-joined Python
+    UDTF (functions/chunking.py)."""
+    from etl_geotab_spark.functions.chunking import register_chunk_udtf
+
+    register_chunk_udtf(spark)
+    _t(spark, sf, "documents").createOrReplaceTempView("_docs_for_chunking")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM _docs_for_chunking d,
+             LATERAL chunk_document(d.text, 128, 64) c
+        """
+    )

@@ -179,3 +179,68 @@ def test_embedding_near_dup_self_consistency(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got
     assert all(3 not in p for p in got)
+
+
+# ---------------------------------------------- range join / skew / UDTF
+
+
+def test_range_self_join_matches_naive(spark):
+    from etl_geotab_spark.operators.rangejoin import range_self_join_pairs
+    import datetime as dt
+
+    rows = [
+        (1, 10, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, 11, dt.datetime(2024, 1, 1, 10, 1, 30)),
+        (1, 12, dt.datetime(2024, 1, 1, 10, 30, 0)),
+        (2, 20, dt.datetime(2024, 1, 1, 10, 0, 30)),
+        (2, 21, dt.datetime(2024, 1, 1, 10, 2, 29)),
+        (2, 22, dt.datetime(2024, 1, 1, 10, 2, 31)),
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, ts timestamp")
+    got = {
+        (r.k, r.id_a, r.id_b)
+        for r in range_self_join_pairs(df, "k", "ts", "id", 120_000_000).collect()
+    }
+    # naive O(n^2) truth
+    want = {
+        (a[0], a[1], b[1])
+        for a in rows
+        for b in rows
+        if a[0] == b[0]
+        and a[1] < b[1]
+        and abs((b[2] - a[2]).total_seconds()) <= 120
+    }
+    assert got == want
+    assert (2, 20, 22) not in got  # 151s apart > 2min
+
+
+def test_salted_join_equals_plain_join(spark):
+    from etl_geotab_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for k in ("hot", "cold") for i in range(50 if k == "hot" else 2)],
+        "k string, row_id int",
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, v int")
+    got = salted_join(
+        fact, dim, fact.k, dim.k, salt_cols=["row_id"], num_salts=4
+    ).select("row_id", "v")
+    want = fact.join(dim, on="k").select("row_id", "v")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_chunk_udtf_windows(spark):
+    from etl_geotab_spark.functions.chunking import register_chunk_udtf
+
+    register_chunk_udtf(spark)
+    spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "id long, text string"
+    ).createOrReplaceTempView("_chunk_test")
+    rows = spark.sql(
+        "SELECT c.* FROM _chunk_test, LATERAL chunk_document(text, 4, 2) c"
+    ).collect()
+    chunks = {r.chunk_idx: (r.chunk_text, r.n_tokens) for r in rows}
+    assert chunks[0] == ("t0 t1 t2 t3", 4)
+    assert chunks[1] == ("t2 t3 t4 t5", 4)  # 50% overlap
+    assert chunks[4] == ("t8 t9", 2)  # tail chunk is short
+    assert len(chunks) == 5
