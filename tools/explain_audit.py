@@ -1,0 +1,108 @@
+"""Physical-plan audit: assert the plans we WANT, not just plans that
+pass. Run after adding/changing operators:
+
+    python tools/explain_audit.py [sf_dir]
+
+Checks, per query:
+- no accidental CartesianProduct / BroadcastNestedLoopJoin (allowed
+  only where declared intentional — the exact all-pairs baselines);
+- parquet scans carry PushedFilters when the query filters a scan
+  column, and ReadSchema is pruned (no SELECT * scans);
+- expected join strategies (broadcast for dim joins, SMJ/SHJ for
+  fact-fact);
+- TakeOrderedAndProject for global top-k;
+- partial aggregation (map-side combine) before the shuffle in hash
+  aggregates.
+
+Exit code 1 on any violation; prints the offending plan span.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from etl_geotab_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+# queries that legitimately contain an all-pairs theta join
+ALLOW_NESTED_LOOP = {
+    "embedding_near_dup",  # deliberate exact baseline (LSH twin exists)
+    "embedding_topk",      # broadcast query side × corpus is the design
+    "geotab_flagship",     # scalar max-date cross (1-row broadcast)
+    "pricing_summary",     # scalar max-date cross (1-row broadcast)
+    "correlated_subquery", # decorrelated scalar agg joins back
+}
+
+# each entry: list of alternatives-groups; every group must match via
+# at least one of its alternatives
+EXPECT_CONTAINS = {
+    "join_broadcast_dims": [("BroadcastHashJoin",)],
+    # small SF: AQE rightly broadcasts the dim side; at scale this
+    # becomes SMJ/SHJ — accept any shuffle-or-broadcast HASH strategy
+    "join_large_fact": [("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")],
+    "topk_global": [("TakeOrderedAndProject",)],
+    # predicate must reach the parquet scan, not just sit in a Filter
+    "scan_filter_project": [("GreaterThan", "LessThan", "EqualTo")],
+    "pricing_summary": [("partial_",)],  # map-side partial agg
+    "group_agg_minmax": [("partial_",)],
+    "salted_skew_join": [("partial_",)],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("etl-geotab-spark-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        if name in ("streaming_tumbling_window", "stateful_user_stats"):
+            continue  # streaming plans audited via their own tests
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+
+        if name not in ALLOW_NESTED_LOOP:
+            for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+                if bad in plan:
+                    failures.append((name, f"unexpected {bad}"))
+
+        for group in EXPECT_CONTAINS.get(name, []):
+            if name == "scan_filter_project":
+                # the alternatives must appear inside PushedFilters
+                pushed = "".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+                if not any(w in pushed for w in group):
+                    failures.append((name, f"predicate not pushed: {group}"))
+            elif not any(w in plan for w in group):
+                failures.append((name, f"missing any of {group}"))
+
+        # SELECT * smell: parquet scans should prune columns unless the
+        # query genuinely projects everything
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            ncols = len([c for c in m.group(1).split(",") if c])
+            if ncols >= 16:
+                failures.append((name, f"unpruned scan ({ncols} cols)"))
+
+        print(f"audited {name}")
+
+    if failures:
+        print("\nPLAN VIOLATIONS:")
+        for name, why in failures:
+            print(f"  {name}: {why}")
+        return 1
+    print("\nall plans clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
