@@ -1599,3 +1599,37 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
              LATERAL chunk_document(d.text, 128, 64) c
         """
     )
+
+
+# =============================================== batch 7: dedup clusters
+
+
+@register("dedup_clusters", None)  # iterative fixed-point → rows-only
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """X1 end-to-end dedup: MinHash-LSH pairs → connected components
+    (large-star min-label propagation, operators/clusters.py) → one
+    canonical doc per cluster. The full shape of a production corpus
+    dedup: pairs alone don't dedup, clusters do. Iterative fixed-point
+    is not SQL-expressible → rows-only; pytest pins chain/island
+    topology."""
+    from etl_geotab_spark.operators.clusters import dedup_clusters
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
+    out = dedup_clusters(d.select("doc_id", "lang", "source"), pairs, "doc_id")
+    return out.select("doc_id", "component", "is_canonical")
+
+
+@register("lsh_ann_topk", None)  # approximate (recall<1 by design) → rows-only
+def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 approximate nearest neighbors: random-hyperplane LSH bucket
+    join (operators/similarity.lsh_bucketed_ann) — the 100 TB scale
+    path whose exact twin is embedding_topk (oracle-checked). pytest
+    checks recall against the exact result."""
+    from etl_geotab_spark.operators.similarity import lsh_bucketed_ann
+
+    emb = _t(spark, sf, "embeddings")
+    queries_side = emb.where(F.col("vec_id") % 500 == 0)
+    return lsh_bucketed_ann(
+        emb, queries_side, k=10, num_planes=16, bands=4, dim=64
+    ).select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")

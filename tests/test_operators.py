@@ -244,3 +244,32 @@ def test_chunk_udtf_windows(spark):
     assert chunks[1] == ("t2 t3 t4 t5", 4)  # 50% overlap
     assert chunks[4] == ("t8 t9", 2)  # tail chunk is short
     assert len(chunks) == 5
+
+
+def test_connected_components_chain_and_islands(spark):
+    from etl_geotab_spark.operators.clusters import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    comps = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    out = dedup_clusters(docs, pairs, "doc_id").collect()
+    canon = sorted(r.doc_id for r in out if r.is_canonical)
+    assert canon == [1, 10, 20, 99]  # 99 = untouched singleton
+    assert all(
+        r.component == (1 if r.doc_id <= 4 else r.doc_id if r.doc_id == 99
+                        else 10 if r.doc_id in (10, 11) else 20)
+        for r in out
+    )
