@@ -57,3 +57,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout. At 100 TB this is the
+    difference between scanning everything and partition pruning:
+    a filter on a partition column becomes a directory skip
+    (`PartitionFilters` in the scan node), no file even opened."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table. Two tables bucketed on their
+    join key with the same bucket count join WITHOUT a shuffle — the
+    Exchange disappears from the plan. This is the storage-layout
+    answer to the biggest recurring fact⋈fact cost at scale: pay the
+    shuffle once at write time, amortize it over every downstream join."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)

@@ -1633,3 +1633,128 @@ def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_bucketed_ann(
         emb, queries_side, k=10, num_planes=16, bands=4, dim=64
     ).select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
+# ========================================== batch 8: SQL-surface breadth
+
+
+@register(
+    "pivot_returnflag",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
+    """A-family pivot: one Expand-free hash agg when pivot values are
+    enumerated (always enumerate at scale — inference scans twice)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_A"),
+            F.col("N").alias("qty_N"),
+            F.col("R").alias("qty_R"),
+        )
+    )
+
+
+@register(
+    "grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 explicit GROUPING SETS (rollup/cube are sugar over this):
+    one Expand + single shuffle for all three groupings."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "exists_subquery",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS → Catalyst rewrites to left-semi (the hand-written J6)."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+        """
+    )
+
+
+@register(
+    "in_subquery",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.09)
+    """,
+)
+def q_in_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """IN (subquery) → left-semi after dedup of the subquery side."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount >= 0.09)
+        """
+    )
+
+
+@register(
+    "string_agg_sorted",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_string_agg_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 ordered string aggregation — sort INSIDE the aggregated array
+    (deterministic) rather than relying on input order (never
+    deterministic on a distributed shuffle)."""
+    n = _t(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "hash_sample",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~12.5% sample by content hash — the reproducible
+    alternative to TABLESAMPLE (engine RNG is never cross-engine
+    deterministic; md5-prefix sampling is, and it is stable under
+    repartitioning, which matters for pipeline debugging at scale)."""
+    o = _t(spark, sf, "orders")
+    return o.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    ).select("o_orderkey", "o_totalprice")

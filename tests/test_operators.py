@@ -273,3 +273,59 @@ def test_connected_components_chain_and_islands(spark):
                         else 10 if r.doc_id in (10, 11) else 20)
         for r in out
     )
+
+
+# ------------------------------------------------------ storage layout
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    import contextlib
+    import io as _io
+
+    from etl_geotab_spark.io import load_table, write_partitioned
+
+    path = str(tmp_path / "orders_part")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    write_partitioned(orders, path, ["o_orderstatus"])
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert back.count() == orders.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    import contextlib
+    import io as _io
+
+    from etl_geotab_spark.io import load_table, write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    write_bucketed(
+        load_table(spark, sf, "orders"), "b_orders", "o_orderkey", 8
+    )
+    write_bucketed(
+        load_table(spark, sf, "lineitem"), "b_lineitem", "l_orderkey", 8
+    )
+    j = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    # disable broadcast so the bucketed layout is what saves the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
