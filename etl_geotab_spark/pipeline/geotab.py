@@ -149,3 +149,63 @@ def to_geojson_features(features: DataFrame) -> DataFrame:
     return features.select(
         F.col("id"), F.to_json(feature, {"ignoreNullFields": "false"}).alias("feature_json")
     )
+
+
+# ------------------------------------------------- schema introspection
+# Entry 3 of the reference (task.ts:109-122): the hosting platform asks
+# the task for its Input (config UI) and Output (metadata contract)
+# JSON Schema. Engine equivalent: declare both as JSON-Schema dicts so
+# an orchestrator can render config and validate downstream contracts.
+
+INPUT_SCHEMA = {
+    # mirrors SchemaInput (task.ts:64-77)
+    "type": "object",
+    "properties": {
+        "GEOTAB_USERNAME": {"type": "string"},
+        "GEOTAB_PASSWORD": {"type": "string"},
+        "GEOTAB_DATABASE": {"type": "string", "default": ""},
+        "GEOTAB_API": {
+            "type": "string",
+            "default": "https://gov.geotabgov.us/",
+        },
+        "GEOTAB_GROUPS": {
+            "type": "array",
+            "items": {"type": "string"},
+            "description": "server-side group pushdown filter",
+        },
+        "GEOTAB_PREFIX": {"type": "string", "default": ""},
+        "DEBUG": {"type": "boolean", "default": False},
+    },
+    "required": ["GEOTAB_USERNAME", "GEOTAB_PASSWORD"],
+}
+
+
+def output_schema(features: DataFrame) -> dict:
+    """Output contract (SchemaOutput, task.ts:79-91) derived from the
+    ACTUAL feature DataFrame schema — unlike the reference, the
+    declared contract cannot drift from what the pipeline emits."""
+
+    def field(t) -> dict:
+        from pyspark.sql import types as T
+
+        if isinstance(t, T.StructType):
+            return {
+                "type": "object",
+                "properties": {f.name: field(f.dataType) for f in t.fields},
+            }
+        if isinstance(t, T.ArrayType):
+            return {"type": "array", "items": field(t.elementType)}
+        if isinstance(t, (T.DoubleType, T.FloatType, T.DecimalType)):
+            return {"type": "number"}
+        if isinstance(t, (T.LongType, T.IntegerType)):
+            return {"type": "integer"}
+        if isinstance(t, T.BooleanType):
+            return {"type": "boolean"}
+        return {"type": "string"}
+
+    return {
+        "type": "object",
+        "properties": {
+            f.name: field(f.dataType) for f in features.schema.fields
+        },
+    }

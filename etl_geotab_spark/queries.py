@@ -1758,3 +1758,84 @@ def q_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     return o.where(
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
     ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "quality_filter_pipeline",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS tk
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, len(tk) AS n_tok,
+        CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sc_en,
+        CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','los','se','del'], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sc_es,
+        CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains(['le','la','de','et','les','des','en','un','du','une'], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sc_fr,
+        CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains(['der','die','und','das','von','zu','den','mit','ist','im'], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sc_de
+      FROM t
+    ), scored AS (
+      SELECT doc_id, source, n_tok,
+        CASE WHEN sc_en >= sc_es AND sc_en >= sc_fr AND sc_en >= sc_de AND sc_en > 0 THEN 'en'
+             WHEN sc_es >= sc_fr AND sc_es >= sc_de AND sc_es > 0 THEN 'es'
+             WHEN sc_fr >= sc_de AND sc_fr > 0 THEN 'fr'
+             WHEN sc_de > 0 THEN 'de'
+             ELSE 'und' END AS pred_lang
+      FROM s
+    )
+    SELECT source, pred_lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM scored
+    WHERE n_tok >= 40 AND pred_lang <> 'und'
+    GROUP BY source, pred_lang
+    """,
+)
+def q_quality_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 end-to-end training-data quality gate: score → filter → facet
+    stats, the canonical pre-training corpus reduction. All expression-
+    level (one scan, one shuffle on the facet key); at 100 TB the
+    filter prunes BEFORE the shuffle — the aggregate sees only
+    survivors."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "source",
+        token_count("text").alias("n_tok"),
+        predict_language("text").alias("pred_lang"),
+    )
+    return (
+        scored.where((F.col("n_tok") >= 40) & (F.col("pred_lang") != "und"))
+        .groupBy("source", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "streaming_stream_join",
+    """
+    SELECT s.user_id, s.event_id AS signup_event, p.event_id AS purchase_event,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(s.ts AS TIMESTAMP)) AS gap_us
+    FROM events s
+    JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts > s.ts
+     AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream inner join (watermarked both sides, two-ended
+    event-time bound so join state expires) run as a REAL streaming
+    job and drained with AvailableNow; full replay equals the batch
+    self-join → oracle-checked (streaming/jobs.stream_stream_join)."""
+    from etl_geotab_spark.streaming.jobs import (
+        run_to_memory_table,
+        stream_events,
+        stream_stream_join,
+    )
+
+    return run_to_memory_table(
+        stream_stream_join(stream_events(spark, sf)), output_mode="append"
+    )

@@ -187,3 +187,48 @@ def run_collect_batches(
     )
     q.awaitTermination()
     return captured
+
+
+def stream_stream_join(
+    events: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T-family stream-stream inner join: purchases matched to the
+    signups they follow (same user, within ``within``).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends — that is what lets Spark expire join state (an
+    unbounded stream-stream join would buffer forever). On a batch
+    DataFrame the same code degrades to a plain self-join, so the
+    oracle gate can check the streaming path against SQL.
+    """
+    signups = events.where(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("event_id").alias("signup_event"),
+        F.col("ts").alias("signup_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_event"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        signups = signups.withWatermark("signup_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return signups.join(
+        purchases,
+        on=[
+            signups.user_id == purchases.p_user_id,
+            purchases.purchase_ts > signups.signup_ts,
+            purchases.purchase_ts
+            <= signups.signup_ts + F.expr(f"INTERVAL {within}"),
+        ],
+    ).select(
+        "user_id",
+        "signup_event",
+        "purchase_event",
+        (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")).alias(
+            "gap_us"
+        ),
+    )

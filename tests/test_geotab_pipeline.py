@@ -214,3 +214,53 @@ def test_geojson_feature_shape(spark):
     assert f["properties"]["callsign"] == "Truck 1"
     assert f["properties"]["metadata"]["vin"] == "VIN1"
     assert f["properties"]["metadata"]["driverUsername"] == "jdoe"
+
+
+def test_schema_introspection(spark):
+    """Entry 3 parity (task.ts:109-122): input config schema is static,
+    output contract derives from the real feature DataFrame."""
+    from etl_geotab_spark.pipeline.geotab import (
+        INPUT_SCHEMA,
+        geotab_pipeline,
+        output_schema,
+    )
+    from etl_geotab_spark.sources.geotab import (
+        device_status_relational,
+        devices_relational,
+        drivers_relational,
+        register_geotab_source,
+    )
+    from pyspark.sql import functions as F
+
+    assert "GEOTAB_USERNAME" in INPUT_SCHEMA["required"]
+    register_geotab_source(spark)
+
+    def read(entity):
+        return (
+            spark.read.format("geotab")
+            .option("typename", entity)
+            .option("transport", "fake")
+            .option("sessionid", "s")
+            .load()
+        )
+
+    features = geotab_pipeline(
+        devices_relational(read("Device")),
+        device_status_relational(read("DeviceStatusInfo")),
+        drivers_relational(read("User")),
+        now=F.lit("2024-01-01T22:00:00Z").cast("timestamp"),
+        freshness="24 HOURS",
+    )
+    out = output_schema(features)
+    # the six driver* fields of SchemaOutput (task.ts:85-90)
+    for f in (
+        "driver_username",
+        "driver_first_name",
+        "driver_last_name",
+        "driver_phone",
+        "driver_designation",
+        "driver_comment",
+    ):
+        assert f in out["properties"]
+    assert out["properties"]["geometry"]["type"] == "object"
+    assert out["properties"]["speed"]["type"] == "number"

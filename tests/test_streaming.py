@@ -155,3 +155,14 @@ def test_stateful_user_stats_accumulates_across_batches(spark, tmp_path):
     assert final[7].total_value == pytest.approx(8.0)
     assert final[7].last_ts == _ts(10, 2)
     assert final[8].n_events == 1
+
+
+def test_stream_stream_join_equals_batch(spark):
+    from etl_geotab_spark.streaming.jobs import stream_stream_join
+
+    got = run_to_memory_table(
+        stream_stream_join(stream_events(spark, SF_DIR)), output_mode="append"
+    ).collect()
+    want = stream_stream_join(load_table(spark, SF_DIR, "events")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert got  # non-trivial: fixture has signup→purchase sequences
