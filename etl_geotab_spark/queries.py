@@ -1839,3 +1839,25 @@ def q_streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory_table(
         stream_stream_join(stream_events(spark, sf)), output_mode="append"
     )
+
+
+@register("ivf_ann_topk", None)  # approximate (probe-bounded recall) → rows-only
+def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 IVF approximate nearest neighbors: hash-sampled centroids →
+    inverted file (corpus partitioned by nearest centroid) → queries
+    probe n_probe lists. The partition-pruning ANN strategy: at 100 TB
+    the inverted file is stored partitioned by centroid_id and a query
+    touches n_probe/num_centroids of the corpus. pytest checks recall
+    vs the exact top-k (operators/similarity.ivf_topk)."""
+    from etl_geotab_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries_side = emb.where(F.col("vec_id") % 500 == 0)
+    return ivf_topk(
+        emb, queries_side, k=10, num_centroids=16, n_probe=4
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        "rank",
+    )

@@ -329,3 +329,26 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_topk_recall(spark):
+    from etl_geotab_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    from etl_geotab_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, num_centroids=8, n_probe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # sims are true cosines: every reported pair must match exact's value
+    exact_sims = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert abs(r.cosine_sim - exact_sims[(r.query_id, r.neighbor_id)]) < 1e-9
