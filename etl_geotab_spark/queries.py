@@ -1861,3 +1861,88 @@ def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.round("cosine_sim", 6).alias("cosine_sim"),
         "rank",
     )
+
+
+# ================================== batch 10: window extras, TF-IDF
+
+
+@register(
+    "window_distribution",
+    """
+    SELECT o_orderkey, o_custkey,
+           ntile(4) OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 distribution functions (ntile/percent_rank/cume_dist) — the
+    order-by includes the key so ranks are total-order deterministic."""
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, rk
+    FROM (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 TF-IDF: the classic distributed text pipeline — explode →
+    two hash aggs (term frequency per doc, doc frequency per term) →
+    broadcast the (small) df table back → per-doc top-k window. At
+    100 TB the df table is the only global state and it is tiny
+    (vocabulary-sized); everything else is partition-local."""
+    d = _t(spark, sf, "documents")
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(broadcast(dfreq), on="term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rk")
+    )

@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -455,6 +456,9 @@ class GeotabDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> GeotabRestWriter:
         return GeotabRestWriter(self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "GeotabStreamReader":
+        return GeotabStreamReader(schema, self.options)
+
 
 def register_geotab_source(spark) -> None:
     spark.dataSource.register(GeotabDataSource)
@@ -509,3 +513,42 @@ def drivers_relational(df):
         "designation",
         "comment",
     )
+
+
+# ------------------------------------------------------ streaming source
+
+
+class GeotabStreamReader(SimpleDataSourceStreamReader):
+    """T3 as a SOURCE: the reference's scheduled full re-pull
+    (InvocationType.Schedule, task.ts:107) becomes a streaming source
+    that emits one fleet snapshot per micro-batch poll. Offsets are
+    poll counters, so exactly-once bookkeeping (restart → re-read the
+    same poll via readBetweenOffsets) replaces Lambda's fire-and-forget
+    cron. Downstream, dedup_latest collapses snapshots — the same
+    operator the batch pipeline uses."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._options = options
+        self._reader = GeotabReader(schema, options)
+
+    def initialOffset(self) -> dict:
+        return {"poll": 0}
+
+    def _snapshot(self) -> list[tuple]:
+        rows: list[tuple] = []
+        for part in self._reader.partitions():
+            rows.extend(self._reader.read(part))
+        return rows
+
+    def read(self, start: dict):
+        return iter(self._snapshot()), {"poll": start["poll"] + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay of a committed-but-lost batch: re-poll.
+        # (The fake transport is deterministic; a real fleet API is not,
+        # which mirrors the reference's at-least-once reality.)
+        return iter(self._snapshot())
+
+    def commit(self, end: dict) -> None:
+        pass  # no server-side cursor to advance

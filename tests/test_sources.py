@@ -138,3 +138,32 @@ def test_connector_to_pipeline_end_to_end(geotab):
     # serializable to the sink envelope
     js = to_geojson_features(features).collect()
     assert all('"type":"Feature"' in r.feature_json for r in js)
+
+
+def test_streaming_source_emits_snapshot(geotab, tmp_path):
+    """The scheduled-re-pull semantics as a streaming source: one poll
+    per micro-batch, snapshot identical to the batch scan."""
+    batch_count = _read(geotab, "Device", groups="g1,g2").count()
+    stream = (
+        geotab.readStream.format("geotab")
+        .option("typename", "Device")
+        .option("transport", "fake")
+        .option("sessionid", "session-test")
+        .option("groups", "g1,g2")
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("geotab_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = geotab.table("geotab_stream_test")
+    assert got.count() == batch_count
+    assert {r.id for r in got.collect()} == {
+        r.id for r in _read(geotab, "Device", groups="g1,g2").collect()
+    }
