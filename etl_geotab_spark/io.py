@@ -86,3 +86,23 @@ def write_bucketed(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(table)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """CSV scan with an EXPLICIT schema — never inferSchema at scale
+    (inference is a full extra pass over 100 TB)."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines scan with an explicit schema (same rationale)."""
+    return spark.read.schema(schema).json(path)
+
+
+def debug_sink(df: DataFrame, n: int = 20, truncate: bool = True) -> DataFrame:
+    """S8 — the reference's DEBUG flag ("Print GeoJSON Features in
+    logs", task.ts:76): log a bounded sample + schema, return the input
+    unchanged so it drops into any pipeline."""
+    df.printSchema()
+    df.show(n, truncate=truncate)
+    return df

@@ -1946,3 +1946,44 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rk")
     )
+
+
+@register("approx_percentiles", None)  # t-digest sketch values → rows-only
+def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 sketch twin of the exact `percentiles` query: percentile_approx
+    is mergeable map-side (each partition builds a digest, merge is
+    associative) — the 100 TB path where exact percentiles would
+    shuffle every value. pytest-style bound: the exact query is the
+    reference; accuracy controlled by the 10000 parameter."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias(
+            "qty_quartiles"
+        ),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_p95"),
+    )
+
+
+@register("hll_sketch_rollup", None)  # sketch bytes are engine-specific → rows-only
+def q_hll_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 at 100 TB: build per-group HyperLogLog SKETCHES (not counts),
+    then union-merge the sketches for the grand total — the two-level
+    pattern that lets distinct-count rollups reuse partial work
+    (hll_sketch_agg / hll_union_agg, Spark 3.5+). An exact
+    countDistinct rollup would re-shuffle raw keys per grouping level;
+    sketches merge in O(sketch size)."""
+    o = _t(spark, sf, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sketch")
+    )
+    per_group_est = per_group.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sketch").alias("approx_custkeys"),
+    )
+    total = per_group.agg(
+        F.hll_union_agg("sketch").alias("merged")
+    ).select(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.hll_sketch_estimate("merged").alias("approx_custkeys"),
+    )
+    return per_group_est.unionByName(total)

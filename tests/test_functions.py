@@ -116,3 +116,30 @@ def test_doc_fingerprint_deterministic(spark):
     # polynomial hash of 'abc' base 257 mod 2^31-1: a=97,b=98,c=99
     expect = ((97 * 257 + 98) * 257 + 99) % (2**31 - 1)
     assert out[0] == expect
+
+
+def test_hll_rollup_and_approx_percentiles_accuracy(spark):
+    """Sketch queries have no SQL oracle; pin accuracy vs exact here."""
+    import etl_geotab_spark.queries as q
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    hll = {
+        r.o_orderpriority: r.approx_custkeys
+        for r in q.q_hll_sketch_rollup(spark, sf).collect()
+    }
+    o = q._t(spark, sf, "orders")
+    exact_total = o.select(F.countDistinct("o_custkey")).first()[0]
+    assert abs(hll["ALL"] - exact_total) / exact_total < 0.05
+
+    approx = {
+        r.l_returnflag: r.qty_quartiles
+        for r in q.q_approx_percentiles(spark, sf).collect()
+    }
+    exact = {
+        r.l_returnflag: [r.qty_p25, r.qty_median, r.qty_p75]
+        for r in q.q_percentiles(spark, sf).collect()
+    }
+    for flag, quartiles in approx.items():
+        for got, want in zip(quartiles, exact[flag]):
+            assert abs(got - want) <= max(1.0, 0.05 * want)

@@ -352,3 +352,18 @@ def test_ivf_topk_recall(spark):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_sims:
             assert abs(r.cosine_sim - exact_sims[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    from etl_geotab_spark.io import load_table, read_csv, read_json
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    csv_path, json_path = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    nation.write.option("header", "true").csv(csv_path)
+    nation.write.json(json_path)
+    schema = "n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string"
+    back_csv = read_csv(spark, csv_path, schema)
+    back_json = read_json(spark, json_path, schema)
+    want = sorted(map(tuple, nation.collect()))
+    assert sorted(map(tuple, back_csv.select(*nation.columns).collect())) == want
+    assert sorted(map(tuple, back_json.select(*nation.columns).collect())) == want
