@@ -130,3 +130,119 @@ def doc_fingerprint(text: Column | str, modulus: int = 2**31 - 1) -> Column:
 def sha2_fingerprint(text: Column | str) -> Column:
     """Cryptographic content fingerprint for exact dedup (hex sha256)."""
     return F.sha2(_c(text), 256)
+
+
+def winnow_fingerprints(
+    text: Column | str,
+    k: int = 5,
+    window: int = 4,
+    modulus: int = 2**31 - 1,
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-gram with a polynomial rolling hash, then
+    keep the minimum hash of each sliding window of `window` consecutive
+    k-gram hashes. Guarantees: any shared substring of length
+    >= k + window - 1 between two documents yields at least one shared
+    fingerprint — the local-guarantee property plain 0 mod p sampling
+    lacks.
+
+    Built entirely from JVM-side array expressions (split/transform/
+    aggregate/slice/array_min) — no Python UDF. NOTE: as a single
+    Column expression the `hashes` subtree would be re-evaluated inside
+    every sliding-window lambda iteration (O(n²·k) per doc — Spark's
+    higher-order functions don't CSE across lambda invocations). Use
+    ``with_winnow_fingerprints`` on a DataFrame instead: it stages
+    chars/hashes as real columns so each is computed ONCE per row and
+    the whole thing is linear in document length. This Column form is
+    kept for short strings / tests.
+    """
+    t = _c(text)
+    chars = F.split(t, "")
+    return _winnow_from(chars, F.split(t, ""), k, window, modulus)
+
+
+def _gram_hashes(chars: Column, k: int, modulus: int) -> Column:
+    """Array of polynomial hashes of every k-gram of `chars`."""
+    base = F.lit(257)
+    mod = F.lit(modulus)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(chars) - k + 1),
+        lambda i: F.aggregate(
+            F.slice(chars, i, k),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * base + F.ascii(ch).cast("long")) % mod,
+        ),
+    )
+
+
+def _winnow_from(
+    chars: Column, hashes_chars: Column, k: int, window: int, modulus: int
+) -> Column:
+    hashes = _gram_hashes(hashes_chars, k, modulus)
+    n_h = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), n_h - window + 1),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    short = F.array_sort(F.array_distinct(hashes))  # doc shorter than window
+    return F.when(
+        F.size(chars) < F.lit(k), F.array().cast("array<long>")
+    ).otherwise(
+        F.when(n_h < F.lit(window), short).otherwise(
+            F.array_sort(F.array_distinct(mins))
+        )
+    )
+
+
+def with_winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    out_col: str = "fp",
+    k: int = 5,
+    window: int = 4,
+    modulus: int = 2**31 - 1,
+):
+    """DataFrame-level winnowing (see winnow_fingerprints): stages the
+    char array and the k-gram hash array as intermediate columns so
+    each is evaluated once per row — linear cost. CollapseProject will
+    not inline them back (each is non-cheap and referenced more than
+    once), so the plan keeps the staged evaluation."""
+    base = F.lit(257)
+    mod = F.lit(modulus)
+    chars = F.col("__chars")
+    hashes = F.col("__hashes")
+    n_h = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), n_h - window + 1),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    short = F.array_sort(F.array_distinct(hashes))
+    fp = F.when(
+        F.size(chars) < F.lit(k), F.array().cast("array<long>")
+    ).otherwise(
+        F.when(n_h < F.lit(window), short).otherwise(
+            F.array_sort(F.array_distinct(mins))
+        )
+    )
+    return (
+        df.withColumn("__chars", F.split(F.col(text_col), ""))
+        .withColumn(
+            "__hashes",
+            F.transform(
+                # empty when the doc is shorter than k (sequence(1, n<=0)
+                # would DESCEND and feed slice a 0 start)
+                F.when(
+                    F.size(chars) >= k,
+                    F.sequence(F.lit(1), F.size(chars) - k + 1),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.aggregate(
+                    F.slice(chars, i, k),
+                    F.lit(0).cast("long"),
+                    lambda acc, ch: (acc * base + F.ascii(ch).cast("long"))
+                    % mod,
+                ),
+            ),
+        )
+        .withColumn(out_col, fp)
+        .drop("__chars", "__hashes")
+    )

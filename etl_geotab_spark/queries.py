@@ -41,6 +41,7 @@ from etl_geotab_spark.functions.text import (
     quality_stopword_ratio,
     tokenize,
     token_count,
+    with_winnow_fingerprints,
 )
 from etl_geotab_spark.functions.vector import cosine_similarity, l2_norm
 from etl_geotab_spark.operators.dedup import (
@@ -1403,6 +1404,7 @@ def q_geotab_connector_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     pushdown, partitioning, union normalization, sink acks."""
     from etl_geotab_spark.pipeline.geotab import geotab_pipeline
     from etl_geotab_spark.sources.geotab import (
+        _SCHEMAS,
         device_status_relational,
         devices_relational,
         drivers_relational,
@@ -1416,8 +1418,12 @@ def q_geotab_connector_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         pass
 
     def read(entity: str, **opts):
+        # Wire schemas are fixed constants (task.ts:12-55) — passing them
+        # explicitly skips a Python-planner round-trip per load (the
+        # DataSource.schema() call spawns a worker; ~0.6 s each locally).
         r = (
             spark.read.format("geotab")
+            .schema(_SCHEMAS[entity])
             .option("typename", entity)
             .option("transport", "fake")
             .option("sessionid", "session-bench")
@@ -1987,3 +1993,635 @@ def q_hll_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.hll_sketch_estimate("merged").alias("approx_custkeys"),
     )
     return per_group_est.unionByName(total)
+
+
+# ============================== batch 8: sessionization, lateral, spatial,
+# timeseries gap-fill, conditional aggs, exact mode/median, k-means, winnowing
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, CAST(sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS BIGINT) AS session_seq FROM flagged
+    )
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization (gap-based): a new session starts when the
+    user's inter-event gap exceeds 30 minutes — the batch twin of the
+    streaming session_window (T4). Classic lag + running-sum-of-flags
+    pattern (W2+W3); the reference's 1 h freshness horizon
+    (task.ts:265-267) is the one-session degenerate case.
+
+    Scale: one shuffle on user_id shared by BOTH window functions and
+    the final groupBy (same key ⇒ Catalyst reuses the Exchange); state
+    per user is O(1)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_seq", F.sum("is_new").over(run).cast("long")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value", "value_sum"),
+    )
+
+
+@register(
+    "conditional_agg",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS n_discounted,
+           CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)
+             AS n_bulk,
+           CAST(sum(CAST(CASE WHEN l_linestatus = 'F'
+                              THEN l_extendedprice ELSE 0 END
+                         AS DECIMAL(18,6))) AS DOUBLE) AS f_revenue,
+           max(CASE WHEN l_tax > 0.04 THEN l_extendedprice END)
+             AS max_taxed_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional aggregation (count_if / filtered agg / sum-case) —
+    the agg-side twin of P19. One pass, one shuffle; every branch is a
+    partial-aggregating expression (no per-branch scans, unlike a
+    UNION-of-filters formulation)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        dsum(
+            F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))
+            .otherwise(F.lit(0.0)),
+            "f_revenue",
+        ),
+        F.max(
+            F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))
+        ).alias("max_taxed_price"),
+    )
+
+
+@register(
+    "mode_median",
+    """
+    WITH counts AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), mode AS (
+      SELECT l_returnflag, l_linestatus AS mode_status FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY l_returnflag ORDER BY cnt DESC, l_linestatus
+        ) AS rn FROM counts
+      ) WHERE rn = 1
+    ), med AS (
+      SELECT l_returnflag,
+             median(l_quantity) AS median_qty,
+             quantile_cont(l_quantity, 0.25) AS q25,
+             quantile_cont(l_quantity, 0.75) AS q75
+      FROM lineitem GROUP BY 1
+    )
+    SELECT m.l_returnflag, mode_status, median_qty, q25, q75
+    FROM mode m JOIN med USING (l_returnflag)
+    """,
+)
+def q_mode_median(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 exact order statistics: interpolated median / quartiles
+    (F.median == percentile_cont 0.5 in both engines) plus a
+    DETERMINISTIC mode (most frequent; ties to the smallest value).
+    Built-in F.mode has engine-defined tie-break, so the mode is
+    computed explicitly as count + row_number — same plan DuckDB's
+    oracle uses, deterministic everywhere. Exact percentiles shuffle
+    the full value set — the sketch twin (approx_percentiles) is the
+    100 TB default; this is the small-group exact path."""
+    li = _t(spark, sf, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt")
+    )
+    wm = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("l_linestatus")
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_linestatus").alias("mode_status"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+    )
+    return mode.join(med, "l_returnflag")
+
+
+@register(
+    "posexplode_terms",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id,
+           CAST(unnest(range(1, len(words) + 1)) AS INT) AS pos,
+           unnest(words) AS word
+    FROM w
+    """,
+)
+def q_posexplode_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Lateral/table-generating projection with ordinality: posexplode
+    the whitespace tokenization, 1-based positions (P16 + §2.8 UDTF
+    family, but pure built-in — generator runs inside codegen, no
+    Python). DuckDB twin: zipped unnest(range(...), words)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 50 == 0)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    ).select("doc_id", (F.col("pos") + 1).cast("int").alias("pos"), "word")
+
+
+@register(
+    "interval_overlap_join",
+    """
+    WITH a AS (
+      SELECT user_id, event_id AS click_id, ts AS a_start,
+             ts + INTERVAL 10 MINUTE AS a_end
+      FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT user_id, event_id AS view_id, ts AS b_start,
+             ts + INTERVAL 10 MINUTE AS b_end
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT a.user_id, click_id, view_id,
+           greatest(a_start, b_start) AS overlap_start,
+           least(a_end, b_end) AS overlap_end
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a_start < b_end AND b_start < a_end
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J7 interval-overlap join: click/view activity intervals
+    (ts, ts+10min) per user that overlap. The equi key (user_id)
+    carries the shuffle — the overlap predicate is a post-join filter,
+    so this stays a hash/sort-merge join, NOT a nested-loop cross
+    product (the per-user interval count is bounded, the 100 TB-safe
+    shape; a pure theta overlap join would need binning — see
+    operators/rangejoin.py)."""
+    ev = _t(spark, sf, "events")
+    ten = F.expr("INTERVAL 10 MINUTES")
+    a = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + ten).alias("a_end"),
+    )
+    b = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + ten).alias("b_end"),
+    )
+    j = a.join(
+        b,
+        (a.user_id == b.b_user)
+        & (F.col("a_start") < F.col("b_end"))
+        & (F.col("b_start") < F.col("a_end")),
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "view_id",
+        F.greatest("a_start", "b_start").alias("overlap_start"),
+        F.least("a_end", "b_end").alias("overlap_end"),
+    )
+
+
+@register(
+    "gap_fill_forward",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM events WHERE user_id % 20 = 0 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(day) AS mind, max(day) AS maxd
+      FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(mind, maxd, INTERVAL 1 DAY))
+                  AS TIMESTAMP) AS day
+      FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           last_value(d.value_sum IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_gap_fill_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap-fill: build the dense per-user day spine with
+    sequence()+explode, left-join the sparse daily aggregate, fill
+    counts with 0 and forward-fill the last observed value
+    (last(..., ignorenulls) over an unbounded-preceding frame). The
+    spine generation is embarrassingly parallel (one row per user →
+    explode); the join and the window share the user_id shuffle key."""
+    ev = _t(spark, sf, "events").where(F.col("user_id") % 20 == 0)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n_events"), dsum("value", "value_sum"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("mind"), F.max("day").alias("maxd")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mind", "maxd", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.last("value_sum", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+@register(
+    "grid_spatial_join",
+    """
+    WITH pts AS (
+      SELECT o_orderkey AS id,
+             ((o_orderkey * o_orderkey) % 18000) / 100.0 - 90.0 AS lat,
+             (((o_orderkey + 12345) * (o_orderkey + 67890)) % 36000) / 100.0
+               - 180.0 AS lon
+      FROM orders
+    ), cells AS (
+      SELECT *, CAST(floor(lat) AS BIGINT) AS cy,
+                CAST(floor(lon) AS BIGINT) AS cx
+      FROM pts
+    ), probe AS (
+      SELECT c.*, c.cy + dy.d AS ny, c.cx + dx.d AS nx
+      FROM cells c,
+           (VALUES (-1), (0), (1)) dy(d),
+           (VALUES (-1), (0), (1)) dx(d)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+    FROM probe a JOIN cells b ON a.ny = b.cy AND a.nx = b.cx
+    WHERE a.id < b.id
+      AND (a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon) < 0.01
+    """,
+)
+def q_grid_spatial_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-bucketed spatial self-join — all point pairs within ~0.5°.
+    The scale pattern for "points within radius" on GPS data (the
+    reference's domain): bucket points into 1° grid cells, expand the
+    probe side to its 3×3 neighborhood (explode of 9 offsets — NOT a
+    cross join), then an EQUI-join on cell id + exact distance filter.
+    Turns an O(n²) theta join into a shuffle join on cell keys; skewed
+    cells are handled by AQE skew splitting. Distance is squared
+    euclidean in degrees (pure *, +, - arithmetic → bit-identical
+    across engines; haversine's libm sin/cos is not)."""
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    pts = o.select(
+        k.alias("id"),
+        (((k * k) % 18000) / 100.0 - 90.0).alias("lat"),
+        ((((k + 12345) * (k + 67890)) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    cells = pts.withColumn(
+        "cy", F.floor("lat").cast("long")
+    ).withColumn("cx", F.floor("lon").cast("long"))
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dy).cast("long").alias("dy"),
+                    F.lit(dx).cast("long").alias("dx"),
+                )
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    )
+    probe = cells.select("*", offsets.alias("o")).select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+    )
+    build = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cy",
+        "cx",
+    )
+    dlat = F.col("lat_a") - F.col("lat_b")
+    dlon = F.col("lon_a") - F.col("lon_b")
+    dist2 = dlat * dlat + dlon * dlon
+    return (
+        probe.join(
+            build,
+            (F.col("ny") == F.col("cy")) & (F.col("nx") == F.col("cx")),
+        )
+        .where((F.col("id_a") < F.col("id_b")) & (dist2 < 0.01))
+        .select("id_a", "id_b", dist2.alias("dist2"))
+    )
+
+
+@register("kmeans_embeddings", None)  # iterative fixed-point → rows-only
+def q_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 k-means (operators/kmeans.py): 5 Lloyd iterations over the
+    embedding table; returns per-cluster size + mean within-cluster
+    squared distance. Deterministic (lowest-id seeding, argmin ties to
+    low cluster id) but 5-round iterative → not one SQL statement;
+    tests/test_operators.py asserts determinism and that iterations
+    never increase total inertia."""
+    from etl_geotab_spark.operators.kmeans import assign_clusters, lloyd_kmeans
+
+    emb = _t(spark, sf, "embeddings")
+    assigned, centroids = lloyd_kmeans(
+        emb, vec_col="embedding", id_col="vec_id", k=8, iters=5
+    )
+    from etl_geotab_spark.operators.kmeans import _sq_dist
+
+    dists = assigned.withColumn(
+        "d2",
+        F.array(
+            *[_sq_dist(F.col("embedding"), c) for c in centroids]
+        )[F.col("cluster")],
+    )
+    return (
+        dists.groupBy("cluster")
+        .agg(
+            F.count("*").alias("size"),
+            F.round(F.avg("d2"), 6).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register("doc_winnow_fingerprints", None)  # rolling-hash winnowing → rows-only
+def q_doc_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """X1/X3 winnowing fingerprints (functions/text.py
+    winnow_fingerprints): per-doc count of distinct winnowed k-gram
+    hashes + pairs of docs sharing >= 8 fingerprints via explode +
+    self-join on hash — the plagiarism-detection / near-dup shape with
+    a LOCAL guarantee (any shared run >= k+w-1 chars is caught).
+    Deterministic arithmetic, but the DuckDB twin would be a page of
+    list-lambda SQL → rows-only; unit tests pin exact values on
+    literal strings."""
+    # persist BEFORE exploding: Catalyst inlines the staged `__hashes`
+    # column back into the generator when fp's only consumer is the
+    # explode, which turns the sliding-window min back into the
+    # O(len²·k)-per-doc re-evaluation with_winnow_fingerprints exists
+    # to avoid (observed: 60-doc explode ran >200 s; persisted: 1.4 s).
+    # Also reused by the df-cap count and both self-join sides.
+    docs = with_winnow_fingerprints(
+        _t(spark, sf, "documents").select("doc_id", "text"),
+        "text",
+        "fp",
+        k=7,
+        window=5,
+    ).select("doc_id", "fp").persist()
+    exploded = docs.select("doc_id", F.explode("fp").alias("h"))
+    # stop-gram removal: a fingerprint shared by >5% of the corpus has
+    # no discriminative value and would blow the self-join up
+    # quadratically (sum of c_h² pairs) — the standard df-cap in
+    # near-dup pipelines. Keeps the join linear in true near-dup mass.
+    n_docs = docs.count()
+    rare = exploded.join(
+        broadcast(
+            exploded.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where(F.col("df") <= F.lit(max(2, int(n_docs * 0.05))))
+            .select("h")
+        ),
+        "h",
+    )
+    pairs = (
+        rare.alias("a")
+        .join(rare.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 8)
+    )
+    return pairs.orderBy(F.desc("shared_fps"), "doc_a", "doc_b").limit(100)
+
+
+# ===================== batch 9: sampling, histograms, collocations, regex
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    WHERE CASE WHEN o_orderpriority = '1-URGENT'
+               THEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                      IN ('0', '1', '2')
+               ELSE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+          END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling (sampleBy semantics, but
+    reproducible across engines/runs): per-stratum rate via the first
+    hex digit of md5(key) — URGENT orders kept at 3/16, the rest at
+    1/16. At 100 TB this is the shape you want anyway: a pure
+    map-side filter (no sampleBy RNG/seed drift across retries), and
+    the SAME predicate works for train/test splits."""
+    o = _t(spark, sf, "orders")
+    digit = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    keep = F.when(
+        F.col("o_orderpriority") == "1-URGENT", digit.isin("0", "1", "2")
+    ).otherwise(digit == "0")
+    return o.where(keep).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@register(
+    "histogram_buckets",
+    """
+    SELECT CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram via floor-division bucketing (A2 family;
+    width_bucket without the function so the arithmetic is identical
+    in every engine). One partial-aggregating shuffle of ≤ #buckets
+    rows per partition — the profiling primitive for choosing join
+    strategies / spotting skew at 100 TB."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 30000.0).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "bigram_pmi",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+      FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM tk
+    ), ucnt AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ), bi AS (
+      SELECT unnest(list_transform(
+               list_zip(t[:-2], t[2:]), p -> p[1] || ' ' || p[2]
+             )) AS bigram,
+             unnest(t[:-2]) AS w1,
+             unnest(t[2:]) AS w2
+      FROM tk
+    ), bcnt AS (
+      SELECT bigram, w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM bi GROUP BY bigram, w1, w2
+    ), tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM ucnt
+    ), btot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n_bi FROM bcnt
+    )
+    SELECT b.bigram, b.c AS bigram_count,
+           round(ln((b.c / btot.n_bi)
+                 / ((u1.c / tot.n_uni) * (u2.c / tot.n_uni))), 6) AS pmi
+    FROM bcnt b
+    JOIN ucnt u1 ON b.w1 = u1.w
+    JOIN ucnt u2 ON b.w2 = u2.w
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE b.c >= 5
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 collocation mining: pointwise mutual information of adjacent
+    token pairs — PMI = ln(p(xy) / (p(x)p(y))). Bigrams are built with
+    zip_with over two array slices (pure JVM expressions, no UDF);
+    unigram/bigram counts are partial-aggregated; the two probability
+    joins broadcast the unigram table. The co-occurrence statistic
+    behind phrase detection in LLM corpus prep."""
+    docs = _t(spark, sf, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+        ).alias("t"),
+    )
+    n = F.size("t")
+    bi = tk.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, n - 1),
+                F.slice("t", 2, n - 1),
+                lambda a, b: F.struct(
+                    F.concat_ws(" ", a, b).alias("bigram"),
+                    a.alias("w1"),
+                    b.alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    uni = tk.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    bcnt = bi.groupBy("bigram", "w1", "w2").agg(F.count("*").alias("c"))
+    n_uni = float(ucnt.agg(F.sum("c")).collect()[0][0])
+    n_bi = float(bcnt.agg(F.sum("c")).collect()[0][0])
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bcnt.where(F.col("c") >= 5)
+        .join(broadcast(u1), "w1")
+        .join(broadcast(u2), "w2")
+        .select(
+            "bigram",
+            F.col("c").alias("bigram_count"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.lit(n_bi))
+                    / ((F.col("c1") / F.lit(n_uni)) * (F.col("c2") / F.lit(n_uni)))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "regex_token_ops",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 's[a-z]+')) AS BIGINT)
+             AS n_s_words,
+           regexp_extract(text, '([a-z]+) (table)', 1) AS before_table,
+           length(regexp_replace(text, '(scan|query)', '[OP]', 'g'))
+             AS scrubbed_len
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+)
+def q_regex_token_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """P13 regex family: extract-all (count of matches), group
+    extraction, and global replace (the PII-scrub shape — mask every
+    occurrence of a pattern; here over synthetic tokens). All three
+    are codegen'd JVM string expressions — the scrub pass at 100 TB
+    is a pure map stage with zero shuffle."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") % 25 == 0)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("s[a-z]+"), 0)).cast(
+            "long"
+        ).alias("n_s_words"),
+        F.regexp_extract("text", "([a-z]+) (table)", 1).alias("before_table"),
+        F.length(
+            F.regexp_replace("text", "(scan|query)", "[OP]")
+        ).alias("scrubbed_len"),
+    )

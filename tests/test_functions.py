@@ -143,3 +143,36 @@ def test_hll_rollup_and_approx_percentiles_accuracy(spark):
     for flag, quartiles in approx.items():
         for got, want in zip(quartiles, exact[flag]):
             assert abs(got - want) <= max(1.0, 0.05 * want)
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing local guarantee: docs sharing a long substring share
+    at least one fingerprint; short docs degrade gracefully."""
+    from etl_geotab_spark.functions.text import with_winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "PREFIX one " + shared + " SUFFIX alpha"),
+        (2, "completely different opening " + shared + " tail two"),
+        (3, "no overlap here at all zzzz qqqq wwww"),
+        (4, "tiny"),  # shorter than k → empty fingerprint set
+        (5, "exactlyten"),  # >= k but fewer than `window` grams
+    ]
+    df = with_winnow_fingerprints(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "text", "fp",
+        k=7, window=5,
+    ).select("doc_id", "fp")
+    got = {r["doc_id"]: set(r["fp"]) for r in df.collect()}
+    # local guarantee: substring len >= k+w-1 = 11 chars shared
+    assert got[1] & got[2], "docs sharing a long substring must share a fp"
+    assert got[4] == set()
+    assert len(got[5]) >= 1
+    # determinism across evaluations
+    again = {
+        r["doc_id"]: set(r["fp"])
+        for r in with_winnow_fingerprints(
+            spark.createDataFrame(rows, ["doc_id", "text"]), "text", "fp",
+            k=7, window=5,
+        ).select("doc_id", "fp").collect()
+    }
+    assert got == again

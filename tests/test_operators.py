@@ -367,3 +367,105 @@ def test_csv_json_roundtrip(spark, tmp_path):
     want = sorted(map(tuple, nation.collect()))
     assert sorted(map(tuple, back_csv.select(*nation.columns).collect())) == want
     assert sorted(map(tuple, back_json.select(*nation.columns).collect())) == want
+
+
+def test_kmeans_deterministic_and_converging(spark):
+    """Lloyd's: same input → same centroids; inertia never increases."""
+    from etl_geotab_spark.operators.kmeans import (
+        _sq_dist,
+        assign_clusters,
+        lloyd_kmeans,
+    )
+    from etl_geotab_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def inertia(centroids):
+        assigned = assign_clusters(emb, "embedding", centroids)
+        d2 = F.array(
+            *[_sq_dist(F.col("embedding"), c) for c in centroids]
+        )[F.col("cluster")]
+        return assigned.agg(F.sum(d2)).collect()[0][0]
+
+    _, c1 = lloyd_kmeans(emb, k=4, iters=1)
+    _, c3 = lloyd_kmeans(emb, k=4, iters=3)
+    _, c3b = lloyd_kmeans(emb, k=4, iters=3)
+    assert c3 == c3b, "k-means must be deterministic"
+    assert inertia(c3) <= inertia(c1) + 1e-9, "inertia must not increase"
+    # every point assigned to a valid cluster
+    assigned, cents = lloyd_kmeans(emb, k=4, iters=2)
+    clusters = {r["cluster"] for r in assigned.select("cluster").collect()}
+    assert clusters <= set(range(4))
+    assert len(cents) == 4
+
+
+def test_grid_spatial_join_matches_naive(spark):
+    """Grid-bucketed pair join finds exactly the naive O(n^2) pairs."""
+    from etl_geotab_spark.queries import queries
+    from etl_geotab_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in queries()["grid_spatial_join"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    k = F.col("o_orderkey")
+    pts = o.select(
+        k.alias("id"),
+        (((k * k) % 18000) / 100.0 - 90.0).alias("lat"),
+        ((((k + 12345) * (k + 67890)) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dlat = F.col("a.lat") - F.col("b.lat")
+    dlon = F.col("a.lon") - F.col("b.lon")
+    naive = {
+        (r["ia"], r["ib"])
+        for r in a.crossJoin(b)
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            & (dlat * dlat + dlon * dlon < 0.01)
+        )
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .collect()
+    }
+    assert got == naive
+    assert naive, "scatter parameters must actually produce pairs"
+
+
+def test_sessionize_gap_semantics(spark):
+    """30-min gap starts a new session; boundary (exactly 30min) does not."""
+    from pyspark.sql import functions as F
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 100, base, 1.0),
+        (2, 100, base + dt.timedelta(minutes=30), 1.0),   # exactly 30 → same
+        (3, 100, base + dt.timedelta(minutes=61), 1.0),   # >30 gap → new
+        (4, 200, base, 5.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    ev.createOrReplaceTempView("_sess_ev")
+    # reuse the production query body against a temp dir is awkward;
+    # replicate the operator inline (same expressions as queries.py)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("s", F.sum(is_new).over(run))
+    got = {
+        (r["user_id"], r["event_id"]): r["s"]
+        for r in sess.collect()
+    }
+    assert got[(100, 1)] == 1 and got[(100, 2)] == 1
+    assert got[(100, 3)] == 2
+    assert got[(200, 4)] == 1
