@@ -2625,3 +2625,215 @@ def q_regex_token_ops(spark: SparkSession, sf: str) -> DataFrame:
             F.regexp_replace("text", "(scan|query)", "[OP]")
         ).alias("scrubbed_len"),
     )
+
+
+# ===================== batch 10: statistical aggregates, outliers, packing
+
+
+@register(
+    "linear_fit_stats",
+    """
+    WITH sc AS (
+      SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y,
+             l_quantity * l_extendedprice AS xy,
+             l_extendedprice * l_extendedprice AS yy
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(floor(xy) AS DECIMAL(18,0))) AS DOUBLE)
+               + CAST(sum(CAST(xy - floor(xy) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sxy,
+             CAST(sum(CAST(floor(yy) AS DECIMAL(18,0))) AS DOUBLE)
+               + CAST(sum(CAST(yy - floor(yy) AS DECIMAL(18,4))) AS DOUBLE)
+               AS syy
+      FROM sc GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS intercept,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_x
+    FROM m
+    """,
+)
+def q_linear_fit_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A2/A6 statistical aggregates: per-group least-squares fit of
+    extendedprice on quantity — slope, intercept, Pearson correlation,
+    sample stddev — from the five raw moments (n, Σx, Σy, Σx², Σxy,
+    Σy²). Engine-native REGR_SLOPE/CORR/STDDEV are NOT bit-stable
+    across engines (double partial sums reassociate), so each moment
+    is an exact DECIMAL sum (associative → partition-order-proof) and
+    the closed-form arithmetic is ONE identical IEEE expression on
+    both sides. This is also the 100 TB shape: one partial-aggregating
+    shuffle of 7 numbers per group, regardless of N.
+
+    Two numeric hazards and their fixes (both found empirically):
+    (1) a decimal SUM whose scaled integer exceeds 2^53 no longer
+    converts to double identically across engines (DuckDB
+    double-rounds int->double then /10^scale; Spark's BigDecimal
+    rounds once) -- so the big second-order moments are SPLIT into an
+    integer-part sum (DECIMAL(18,0), total < 2^53 -> exact cast) and a
+    fractional-part sum (tiny -> exact cast), recombined with ONE
+    IEEE addition. (2) casting a "dirty" double (full mantissa) to
+    decimal rounds differently across engines near quanta -- avoided
+    because every cast value here is clean by construction: quantities
+    are integer-valued, prices have exactly 2 decimals, so floor(x*y)
+    is integer and the fractional parts are exact 4-decimal values
+    recovered error-free on both sides."""
+    li = _t(spark, sf, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    xy = x * y
+    yy = y * y
+
+    def split_sum(c, alias):
+        return (
+            F.sum(F.floor(c).cast("decimal(18,0)")).cast("double")
+            + F.sum((c - F.floor(c)).cast("decimal(18,4)")).cast("double")
+        ).alias(alias)
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(18,2)")).cast("double").alias("sxx"),
+        split_sum(xy, "sxy"),
+        split_sum(yy, "syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - 1))).alias("stddev_x"),
+    )
+
+
+@register(
+    "zscore_outliers",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY user_id
+      HAVING count(*) >= 10
+    )
+    SELECT e.user_id, e.event_id, e.value,
+           (e.value - s.sx / s.n)
+             / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1)))
+             AS zscore
+    FROM events e JOIN s USING (user_id)
+    WHERE abs((e.value - s.sx / s.n)
+              / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))))
+          > 3.0
+    """,
+)
+def q_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group anomaly detection: events whose value is > 3 sample
+    standard deviations from the group mean — the data-quality filter
+    shape for training pipelines (drop metric outliers before they
+    skew curation stats). Decimal moments (see linear_fit_stats) keep
+    the threshold comparison bit-identical cross-engine. Plan: one
+    partial agg on user_id, then a join back — AQE broadcasts the
+    per-user stats side (|users| << |events|); at 100 TB both sides
+    are already hash-partitioned on user_id so the join reuses the
+    aggregation exchange."""
+    ev = _t(spark, sf, "events")
+    v = F.col("value")
+    s = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(v.cast("decimal(18,6)")).cast("double").alias("sx"),
+            F.sum((v * v).cast("decimal(18,6)")).cast("double").alias("sxx"),
+        )
+        .where(F.col("n") >= 10)
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = (v - sx / n) / F.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+    return (
+        ev.join(s, "user_id")
+        .where(F.abs(z) > 3.0)
+        .select("user_id", "event_id", "value", z.alias("zscore"))
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH tk AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                  AS BIGINT) AS tokens
+      FROM documents
+    ), pos AS (
+      SELECT *,
+             sum(tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) - tokens AS offset_before
+      FROM tk
+    )
+    SELECT shard * 100000 + CAST(floor(offset_before / 512.0) AS BIGINT)
+             AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM pos GROUP BY 1
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """LLM sequence packing (concat-and-chunk): assign documents to
+    fixed-capacity context bins (512 whitespace tokens) by running
+    token offset — the GPT-style pretraining packing where docs are
+    concatenated in order and split every C tokens. Sharding first
+    (doc_id % 16) keeps the prefix-sum window parallel — a GLOBAL
+    cumsum would serialize on one partition at 100 TB; per-shard
+    packing is what a real pipeline does (one pack job per input
+    shard), at the cost of ≤ one underfull bin per shard. Bin ids are
+    shard-namespaced (shard*1e5 + local bin). Everything is integer
+    arithmetic → exact cross-engine."""
+    docs = _t(spark, sf, "documents")
+    tk = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).cast("long").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = tk.withColumn(
+        "offset_before", F.sum("tokens").over(w) - F.col("tokens")
+    )
+    return pos.groupBy(
+        (
+            F.col("shard") * 100000
+            + F.floor(F.col("offset_before") / 512.0).cast("long")
+        ).alias("bin_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

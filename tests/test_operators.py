@@ -469,3 +469,36 @@ def test_sessionize_gap_semantics(spark):
     assert got[(100, 1)] == 1 and got[(100, 2)] == 1
     assert got[(100, 3)] == 2
     assert got[(200, 4)] == 1
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc lands in exactly one bin; bin token totals tile the
+    per-shard running sum (concat-and-chunk semantics: a bin holds the
+    docs whose starting offset falls in [b*C, (b+1)*C))."""
+    from etl_geotab_spark.queries import queries
+    from etl_geotab_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    bins = queries()["pack_sequences"](spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    n_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        )
+    ).collect()[0][0]
+    assert sum(r["n_docs"] for r in bins) == n_docs
+    assert sum(r["bin_tokens"] for r in bins) == total_tokens
+    # bin ids are unique and shard-namespaced
+    ids = [r["bin_id"] for r in bins]
+    assert len(ids) == len(set(ids))
+    # every non-final bin in a shard starts where the previous ended:
+    # per shard, bins sorted by id have contiguous doc ranges
+    by_shard = {}
+    for r in bins:
+        by_shard.setdefault(r["bin_id"] // 100000, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["bin_id"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["last_doc"] < b["first_doc"]
