@@ -106,3 +106,15 @@ def debug_sink(df: DataFrame, n: int = 20, truncate: bool = True) -> DataFrame:
     df.printSchema()
     df.show(n, truncate=truncate)
     return df
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (PushedFilters + ReadSchema in the scan node); the interchange
+    format when the lake is Hive-era ORC instead of parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC write (snappy by default)."""
+    df.write.mode(mode).orc(path)

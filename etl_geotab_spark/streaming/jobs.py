@@ -232,3 +232,38 @@ def stream_stream_join(
             "gap_us"
         ),
     )
+
+
+def run_foreach_batch_exactly_once(
+    result: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Exactly-once file sink via idempotent foreachBatch: each
+    micro-batch overwrites ITS OWN partition directory
+    (``batch_id=<n>``), so a batch replayed after a crash between
+    "files written" and "offsets committed" simply rewrites the same
+    directory instead of duplicating rows. This is the standard
+    recipe for sinks without transactional commit (REST, plain files):
+    make the per-batch write idempotent, let the checkpoint replay at
+    least once, and idempotence upgrades it to exactly-once.
+    (The parquet sink gets this from its own transaction log; this
+    pattern is for everything else — kept on files here so the test
+    can verify replay-safety hermetically.)
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    q = (
+        result.writeStream.foreachBatch(_write)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

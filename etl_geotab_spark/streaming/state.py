@@ -86,3 +86,81 @@ def user_running_stats(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------- transformWithStateInPandas (Spark 4 API)
+#
+# The successor API to applyInPandasWithState: typed state handles
+# (value/list/map state), timers, and TTL, over the RocksDB state
+# store. Its Python driver worker needs `google.protobuf`, which is
+# not installed in this container (and installs are unavailable), so
+# the operator is gated: HAS_TWS tells callers/tests whether the
+# runtime path works; the processor class itself imports lazily.
+
+try:  # pragma: no cover - environment probe
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS = True
+except ImportError:
+    HAS_TWS = False
+
+
+def user_running_stats_tws(events: DataFrame) -> DataFrame:
+    """`user_running_stats` re-expressed on transformWithStateInPandas
+    (valueState handle instead of the GroupState tuple). Raises
+    RuntimeError when the runtime lacks protobuf — callers should
+    check HAS_TWS and fall back to user_running_stats.
+    """
+    if not HAS_TWS:
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "not available in this runtime; use user_running_stats"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("total", DoubleType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() or (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _RunningStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

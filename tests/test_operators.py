@@ -502,3 +502,18 @@ def test_pack_sequences_invariants(spark):
         rs.sort(key=lambda r: r["bin_id"])
         for a, b in zip(rs, rs[1:]):
             assert a["last_doc"] < b["first_doc"]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC write/read preserves rows and schema (S6 family, 2nd
+    columnar format)."""
+    from etl_geotab_spark.io import load_table, read_orc, write_orc
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )

@@ -166,3 +166,61 @@ def test_stream_stream_join_equals_batch(spark):
     want = stream_stream_join(load_table(spark, SF_DIR, "events")).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert got  # non-trivial: fixture has signup→purchase sequences
+
+
+def test_foreach_batch_exactly_once_replay(spark, tmp_path):
+    """The idempotent per-batch-directory sink survives a replay: run
+    the same AvailableNow drain twice with the SECOND run given a
+    fresh checkpoint (forcing every batch to replay) — output rows are
+    identical, not doubled."""
+    from etl_geotab_spark.io import load_table
+    from etl_geotab_spark.streaming.jobs import run_foreach_batch_exactly_once
+
+    src_dir = str(tmp_path / "src")
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "user_id", "value")
+        .limit(500)
+    )
+    # two source files → two micro-batches under maxFilesPerTrigger=1
+    ev.repartition(2).write.parquet(src_dir)
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+    out = str(tmp_path / "out")
+    run_foreach_batch_exactly_once(stream(), out, str(tmp_path / "ck1"))
+    first = sorted(
+        map(tuple, spark.read.parquet(out).drop("batch_id").collect())
+    )
+    # fresh checkpoint → the engine replays every batch from scratch;
+    # idempotent per-batch dirs must absorb the replay, not double rows
+    run_foreach_batch_exactly_once(stream(), out, str(tmp_path / "ck2"))
+    second = sorted(
+        map(tuple, spark.read.parquet(out).drop("batch_id").collect())
+    )
+    assert first == second and len(first) == 500
+
+
+def test_tws_gated(spark):
+    """transformWithStateInPandas is gated on protobuf availability:
+    in this container HAS_TWS is False and the operator raises with a
+    pointer to the supported fallback; where protobuf exists it must
+    produce the same totals as user_running_stats (exercised only in
+    such environments)."""
+    import pytest
+
+    from etl_geotab_spark.streaming import state as st
+    from etl_geotab_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(10)
+    if not st.HAS_TWS:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            st.user_running_stats_tws(ev)
+    else:  # pragma: no cover - exercised only where protobuf exists
+        df = st.user_running_stats_tws(ev)
+        assert set(df.columns) == {"user_id", "n_events", "total_value"}
