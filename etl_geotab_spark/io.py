@@ -118,3 +118,16 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC write (snappy by default)."""
     df.write.mode(mode).orc(path)
+
+
+def observed(df: DataFrame, name: str, *metrics):
+    """Attach named observation metrics (count/sum/min/max expressions)
+    computed as a side effect of whatever action next runs the
+    DataFrame — free pipeline telemetry (no extra scan, unlike a
+    separate .agg() job). Returns (df, Observation); read
+    ``observation.get`` AFTER an action. The operational layer the
+    reference gets from CloudTAK invocation logs."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

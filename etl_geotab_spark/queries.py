@@ -2837,3 +2837,29 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "streaming_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_streaming_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """X1/T2 streaming dedup — a REAL streaming run of
+    dropDuplicatesWithinWatermark (streaming/jobs.streaming_dedup)
+    drained with AvailableNow: first row per (user_id, event_type)
+    key, state evicted as the watermark passes (bounded memory at
+    stream scale, unlike plain streaming dropDuplicates). Projected to
+    the key columns, the result is exactly batch DISTINCT — which is
+    what makes a streaming dedup oracle-checkable."""
+    from etl_geotab_spark.streaming import (
+        run_to_memory_table,
+        stream_events,
+        streaming_dedup,
+    )
+
+    deduped = streaming_dedup(
+        stream_events(spark, sf), ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return run_to_memory_table(deduped, output_mode="append")

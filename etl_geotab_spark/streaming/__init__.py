@@ -12,15 +12,19 @@ family the north star requires.
 from etl_geotab_spark.streaming.jobs import (
     freshness_filter,
     run_collect_batches,
+    run_foreach_batch_exactly_once,
     run_to_memory_table,
     sessionized_counts,
     stream_events,
+    streaming_dedup,
     windowed_counts,
 )
 from etl_geotab_spark.streaming.state import user_running_stats
 
 __all__ = [
     "freshness_filter",
+    "run_foreach_batch_exactly_once",
+    "streaming_dedup",
     "run_collect_batches",
     "run_to_memory_table",
     "sessionized_counts",

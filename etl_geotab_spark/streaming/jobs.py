@@ -267,3 +267,23 @@ def run_foreach_batch_exactly_once(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key and
+    — unlike plain ``dropDuplicates`` in streaming, whose key state
+    grows forever — evicts a key's state once the watermark passes its
+    first-seen event time. The streaming twin of X1 exact dedup and
+    the ONLY way dedup state stays O(active window) at 100 TB stream
+    scale. Project to the key columns for a deterministic result (the
+    surviving row per key is arrival-order-dependent; the key set is
+    not)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -517,3 +517,24 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, nation.collect())
     )
+
+
+def test_observed_metrics(spark):
+    """observe() metrics ride along with the action — no second scan."""
+    from pyspark.sql import functions as F
+
+    from etl_geotab_spark.io import load_table, observed
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    df, obs = observed(
+        nation,
+        "nation_metrics",
+        F.count(F.lit(1)).alias("rows"),
+        # DISTINCT aggregates are rejected in CollectMetrics — the
+        # sketch twin is allowed (and the right habit at scale anyway)
+        F.approx_count_distinct("n_regionkey").alias("regions"),
+    )
+    out = df.where(F.col("n_nationkey") >= 0).collect()
+    got = obs.get
+    assert got["rows"] == 25 and len(out) == 25
+    assert got["regions"] == 5

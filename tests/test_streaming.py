@@ -224,3 +224,48 @@ def test_tws_gated(spark):
     else:  # pragma: no cover - exercised only where protobuf exists
         df = st.user_running_stats_tws(ev)
         assert set(df.columns) == {"user_id", "n_events", "total_value"}
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per key even when
+    the duplicates arrive in DIFFERENT micro-batches (the case plain
+    per-batch dedup misses)."""
+    import datetime as dt
+
+    from etl_geotab_spark.streaming.jobs import streaming_dedup
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch1 = [(1, 100, "click", base)]
+    batch2 = [(2, 100, "click", base + dt.timedelta(minutes=1)),  # dup key
+              (3, 200, "view", base + dt.timedelta(minutes=2))]
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_dedup(stream, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    name = "dedup_xbatch"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        map(tuple, spark.table(name).collect())
+    )
+    assert rows == [(100, "click"), (200, "view")]
