@@ -2863,3 +2863,40 @@ def q_streaming_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
         stream_events(spark, sf), ["user_id", "event_type"]
     ).select("user_id", "event_type")
     return run_to_memory_table(deduped, output_mode="append")
+
+
+@register(
+    "variant_shred",
+    """
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max
+    FROM events e
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def q_variant_shred(spark: SparkSession, sf: str) -> DataFrame:
+    """P18 on Spark 4's VARIANT type: parse the semi-structured props
+    column ONCE into an open-schema variant (parse_json), extract
+    typed paths with try_variant_get, aggregate. Versus
+    get_json_object (string re-parse per extraction), variant is the
+    100 TB path: parse once, binary-encoded, shreddable into parquet
+    at write time. Oracle: DuckDB's native JSON extraction — same
+    values, engine-appropriate implementations on each side."""
+    ev = _t(spark, sf, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
