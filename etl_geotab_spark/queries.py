@@ -2900,3 +2900,40 @@ def q_variant_shred(spark: SparkSession, sf: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@register(
+    "unpivot_metrics",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_qty,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_disc,
+             CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS sum_tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, val
+    FROM agg UNPIVOT (val FOR metric IN (sum_qty, sum_disc, sum_tax))
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 reshaping: wide→long unpivot (df.unpivot / SQL UNPIVOT) —
+    the inverse of pivot_returnflag. Done AFTER aggregation so the
+    unpivot multiplies a |groups|-row table by the metric count, not
+    the fact table (unpivoting 100 TB of lineitem ×3 would triple scan
+    output for no reason). The melt itself is a zero-shuffle
+    projection."""
+    li = _t(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_discount", "sum_disc"),
+        dsum("l_tax", "sum_tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_disc", "sum_tax"],
+        "metric",
+        "val",
+    )
