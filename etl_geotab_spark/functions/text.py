@@ -8,6 +8,8 @@ zero shuffle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -192,6 +194,65 @@ def _winnow_from(
             F.array_sort(F.array_distinct(mins))
         )
     )
+
+
+def winnow_fingerprints_arrow(
+    text: Column | str,
+    k: int = 5,
+    window: int = 4,
+    modulus: int = 2**31 - 1,
+) -> Column:
+    """Vectorized winnowing (same values as ``winnow_fingerprints``):
+    an Arrow-batched pandas UDF with numpy rolling hashes — O(n) per
+    document and SIMD-friendly, vs the interpreted higher-order-function
+    expression form which evaluates one lambda call per character.
+    This is the 100 TB hot path: still a pure map stage (zero shuffle),
+    with Python cost amortized over Arrow batches.
+
+    Exactness: iterates UTF-16 code units (numpy view over utf-16-le),
+    which is precisely what the JVM's ``split('')`` + ``ascii`` sees,
+    so fingerprints are bit-identical to the expression form — unit
+    tests pin this (tests/test_functions.py).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    base = 257
+    # base^(k-1-j) mod M per k-gram position: each addend is then
+    # < 2^16 * 2^31 and the k-term sum < k*2^47 — int64-safe, so one
+    # final mod suffices.
+    powers = [pow(base, k - 1 - j, modulus) for j in range(k)]
+
+    @pandas_udf("array<long>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            if s is None:
+                # expression form yields [] for NULL text (the when()
+                # guard swallows the null) — match it exactly
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            c = np.frombuffer(s.encode("utf-16-le"), dtype=np.uint16).astype(
+                np.int64
+            )
+            n = c.size
+            if n < k:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            m = n - k + 1
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(k):  # k vector ops, not n scalar ops
+                h += c[j : j + m] * powers[j]
+            h %= modulus
+            if m < window:
+                out.append(np.unique(h))
+                continue
+            mins = np.lib.stride_tricks.sliding_window_view(h, window).min(
+                axis=1
+            )
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    return _winnow(_c(text))
 
 
 def with_winnow_fingerprints(

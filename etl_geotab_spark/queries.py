@@ -41,7 +41,7 @@ from etl_geotab_spark.functions.text import (
     quality_stopword_ratio,
     tokenize,
     token_count,
-    with_winnow_fingerprints,
+    winnow_fingerprints_arrow,
 )
 from etl_geotab_spark.functions.vector import cosine_similarity, l2_norm
 from etl_geotab_spark.operators.dedup import (
@@ -79,6 +79,21 @@ def oracle_sql() -> dict[str, str]:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism before expensive
+    per-row work (pandas UDFs, signature computation, HOF chains).
+
+    Why: the local fixtures are single-file/single-row-group parquet, so
+    the scan yields ONE partition and any map-heavy stage downstream of
+    it runs serialized on one core. On a real cluster the scan has
+    natural parallelism (many files/row groups) and this repartition is
+    a cheap no-op by comparison — shuffling a few MB of text is noise
+    next to serializing minutes of per-row compute. Pure-aggregation
+    queries do NOT want this (their groupBy shuffle already spreads)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
 
 
 # A decimal-exact sum re-expressed as double (see module docstring).
@@ -1247,7 +1262,7 @@ def q_haversine_distance(spark: SparkSession, sf: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """X3 quality battery: punctuation ratio, BPE-ish token count,
     rolling-hash fingerprint, heuristic language ID."""
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return d.select(
         "doc_id",
         quality_punct_ratio("text").alias("punct_ratio"),
@@ -1286,7 +1301,7 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """X1 exact n-gram Jaccard near-dup pairs (shared-gram equi-join;
     intersection counted in the SAME aggregation — no pair blowup)."""
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
 
 
@@ -1295,7 +1310,7 @@ def q_minhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """X1 MinHash-LSH near-dup pairs, Jaccard-verified. Deterministic
     (seeded hash family) but candidate recall < 1 by design, so no
     exhaustive SQL oracle; pytest cross-checks against exact Jaccard."""
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return minhash_lsh_pairs(
         d, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.5
     )
@@ -1307,7 +1322,7 @@ def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     4-block/16-bit pigeonhole blocking — the classic Manku-style config:
     16-bit blocks keep bucket collision rates ~2^-16 so the candidate
     join never goes quadratic, unlike 4-bit blocks)."""
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3, num_blocks=4)
 
 
@@ -1507,7 +1522,7 @@ def q_multimodal_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
         synthesize_media,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     media = synthesize_media(d, "doc_id", "text")
     return decode_media(media, "doc_id").drop("histogram")
 
@@ -1620,7 +1635,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     topology."""
     from etl_geotab_spark.operators.clusters import dedup_clusters
 
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     pairs = minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
     out = dedup_clusters(d.select("doc_id", "lang", "source"), pairs, "doc_id")
     return out.select("doc_id", "component", "is_canonical")
@@ -1802,7 +1817,7 @@ def q_quality_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     level (one scan, one shuffle on the facet key); at 100 TB the
     filter prunes BEFORE the shuffle — the aggregate sees only
     survivors."""
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     scored = d.select(
         "source",
         token_count("text").alias("n_tok"),
@@ -2376,7 +2391,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     never increase total inertia."""
     from etl_geotab_spark.operators.kmeans import assign_clusters, lloyd_kmeans
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _spread(_t(spark, sf, "embeddings")).persist()
     assigned, centroids = lloyd_kmeans(
         emb, vec_col="embedding", id_col="vec_id", k=8, iters=5
     )
@@ -2408,19 +2423,19 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     Deterministic arithmetic, but the DuckDB twin would be a page of
     list-lambda SQL → rows-only; unit tests pin exact values on
     literal strings."""
-    # persist BEFORE exploding: Catalyst inlines the staged `__hashes`
-    # column back into the generator when fp's only consumer is the
-    # explode, which turns the sliding-window min back into the
-    # O(len²·k)-per-doc re-evaluation with_winnow_fingerprints exists
-    # to avoid (observed: 60-doc explode ran >200 s; persisted: 1.4 s).
-    # Also reused by the df-cap count and both self-join sides.
-    docs = with_winnow_fingerprints(
-        _t(spark, sf, "documents").select("doc_id", "text"),
-        "text",
-        "fp",
-        k=7,
-        window=5,
-    ).select("doc_id", "fp").persist()
+    # Arrow-batched numpy winnowing (bit-identical to the expression
+    # form — pinned in tests/test_functions.py) — O(n) per doc vs the
+    # interpreted HOF expression (was 9.6 s at sf0.1, now <2 s).
+    # persist: fp is consumed by the df-cap count AND both self-join
+    # sides; without it the UDF stage runs three times.
+    docs = (
+        _spread(_t(spark, sf, "documents").select("doc_id", "text"))
+        .select(
+            "doc_id",
+            winnow_fingerprints_arrow("text", k=7, window=5).alias("fp"),
+        )
+        .persist()
+    )
     exploded = docs.select("doc_id", F.explode("fp").alias("h"))
     # stop-gram removal: a fingerprint shared by >5% of the corpus has
     # no discriminative value and would blow the self-join up
@@ -2550,7 +2565,7 @@ def q_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     unigram/bigram counts are partial-aggregated; the two probability
     joins broadcast the unigram table. The co-occurrence statistic
     behind phrase detection in LLM corpus prep."""
-    docs = _t(spark, sf, "documents")
+    docs = _spread(_t(spark, sf, "documents"))
     tk = docs.select(
         "doc_id",
         F.filter(

@@ -176,3 +176,39 @@ def test_winnow_fingerprints_properties(spark):
         ).select("doc_id", "fp").collect()
     }
     assert got == again
+
+
+def test_winnow_arrow_matches_expression_form(spark):
+    """The vectorized pandas-UDF winnowing must be bit-identical to the
+    pure-expression form, including unicode (UTF-16 code units) and the
+    short-doc edge cases."""
+    from etl_geotab_spark.functions.text import (
+        winnow_fingerprints_arrow,
+        with_winnow_fingerprints,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "aé€ non-ascii ünïcødé text with accents héllo wörld"),
+        (3, "tiny"),
+        (4, "exactlyten"),
+        (5, "aaaaaaaaaaaaaaaaaaaaaaaa"),  # degenerate repeats
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    expr = {
+        r["doc_id"]: r["fp"]
+        for r in with_winnow_fingerprints(df, "text", "fp", k=7, window=5)
+        .select("doc_id", "fp")
+        .collect()
+    }
+    arrow = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id",
+            winnow_fingerprints_arrow("text", k=7, window=5).alias("fp"),
+        ).collect()
+    }
+    # NULL text → [] in both forms (when() guard swallows the null)
+    assert expr == arrow
