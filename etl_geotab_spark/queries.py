@@ -2952,3 +2952,215 @@ def q_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
         "metric",
         "val",
     )
+
+# ===================== batch 11: classic multi-join benchmark shapes
+# (public TPC-H query patterns Q3/Q5/Q6/Q10 adapted to the fixture
+# columns). These exist to exercise/grade the join-planning story the
+# reference hand-rolled (SURVEY §4): selective dims broadcast, the one
+# genuinely large join (lineitem ⋈ orders) shuffles on its key, and
+# every filter lands in PushedFilters at the parquet scan.
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: two selective filters + 3-way join + top-10 by
+    aggregated revenue. Plan: the filtered customer key list broadcasts
+    into orders, lineitem ⋈ orders shuffles on the order key, and the
+    top-10 is TakeOrderedAndProject (no global sort). Revenue is a
+    decimal-exact sum and l_orderkey is unique per group, so the
+    LIMIT-10 set is engine-deterministic."""
+    cust = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cut = F.to_timestamp(F.lit("1998-01-01"))
+    ords = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with a cross-dimension equality
+    (customer and supplier in the same nation). Plan: region→nation→
+    supplier collapse into one broadcast build (dims are tiny at any
+    scale: nations/regions are enumerable, suppliers ~1e-4 of facts);
+    customer broadcasts too; the only shuffle is lineitem ⋈ orders on
+    the order key — exactly the join you cannot avoid at 100 TB, and
+    the one AQE re-plans if a date range makes orders broadcastable."""
+    reg = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nat = _t(spark, sf, "nation").join(
+        broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    sup = (
+        _t(spark, sf, "supplier")
+        .join(
+            broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    ords = (
+        _t(spark, sf, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, the predicate-
+    pushdown probe. All four predicates reach the parquet scan as
+    PushedFilters (range on two doubles + timestamp range), the
+    projection reads 4 of 11 columns, and the aggregate is a single
+    partial+final sum — zero shuffle beyond the 1-row exchange."""
+    li = _t(spark, sf, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "returned_item_report",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o_orderdate < TIMESTAMP '1999-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_returned_item_report(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last half-year.
+    lineitem's returnflag filter and orders' date range both push to
+    their scans; customer⋈nation is a broadcast-of-broadcast; the
+    agg keys include the unique customer key so LIMIT-20 is
+    deterministic with the decimal-exact revenue + custkey tiebreak."""
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    cust = (
+        _t(spark, sf, "customer")
+        .join(broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    ords = (
+        _t(spark, sf, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1999-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1999-07-01")))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
