@@ -3164,3 +3164,99 @@ def q_returned_item_report(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "upsert_orders",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.05 AS o_totalprice,
+             CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'I' AS o_orderstatus,
+             o_totalprice,
+             CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 1000 = 1
+    )
+    SELECT * FROM updates
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+)
+def q_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE-INTO semantics without a table format
+    (operators/merge.upsert): matched keys take the update batch's
+    full row, unmatched keys insert, the rest of the target passes
+    through — via union + one max_by hash aggregate (one shuffle per
+    input, no join). The update batch here is derived
+    deterministically from orders: 10%% price-adjusted updates + 0.1%%
+    synthetic inserts."""
+    from etl_geotab_spark.operators.merge import upsert
+
+    orders = _t(spark, sf, "orders")
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.05).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = orders.where(F.col("o_orderkey") % 1000 == 1).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return upsert(
+        orders, updates.unionByName(inserts), key_cols=["o_orderkey"]
+    )
+
+
+@register(
+    "scd2_user_history",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS _prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM c
+      WHERE _prev IS NULL OR _prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_user_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/merge.scd2_from_events):
+    collapse the per-user event_type change stream into validity
+    intervals [valid_from, valid_to) with is_current + version —
+    consecutive re-observations of the same state merge into one
+    interval. One shuffle on user_id + per-key window sort."""
+    from etl_geotab_spark.operators.merge import scd2_from_events
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    out = scd2_from_events(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return out.withColumn("version", F.col("version").cast("long"))

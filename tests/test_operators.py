@@ -538,3 +538,46 @@ def test_observed_metrics(spark):
     got = obs.get
     assert got["rows"] == 25 and len(out) == 25
     assert got["regions"] == 5
+
+
+def test_upsert_semantics(spark):
+    """MERGE semantics: matched keys replaced, new keys inserted,
+    unmatched target rows untouched; column order preserved."""
+    from etl_geotab_spark.operators.merge import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "name", "val"],
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2", 99.0), (4, "d", 40.0)], ["k", "name", "val"]
+    )
+    got = {r["k"]: (r["name"], r["val"]) for r in
+           upsert(target, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B2", 99.0),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_scd2_collapses_and_versions(spark):
+    """SCD2: consecutive identical states merge; intervals chain
+    end-to-start; exactly one current row per key."""
+    from etl_geotab_spark.operators.merge import scd2_from_events
+
+    rows = [
+        # user 1: a, a (re-observed), b, a  -> 3 versions
+        (1, "a", 1, 101), (1, "a", 2, 102), (1, "b", 3, 103),
+        (1, "a", 4, 104),
+        # user 2: single state
+        (2, "x", 5, 201),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "state", "ts", "eid"])
+    out = scd2_from_events(
+        df, ["uid"], "ts", ["state"], tiebreak_cols=["eid"]
+    ).collect()
+    u1 = sorted([r for r in out if r["uid"] == 1], key=lambda r: r["version"])
+    assert [(r["state"], r["valid_from"], r["valid_to"]) for r in u1] == [
+        ("a", 1, 3), ("b", 3, 4), ("a", 4, None),
+    ]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    u2 = [r for r in out if r["uid"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"] and u2[0]["version"] == 1
