@@ -1,0 +1,64 @@
+"""Scalable global row numbering / contiguous ids.
+
+``row_number() OVER (ORDER BY key)`` with no PARTITION BY collapses
+the whole table into ONE window partition — the canonical accidental
+single-task bottleneck at scale. This operator produces the identical
+numbering with no global single-partition stage:
+
+1. range-repartition by the order key (sampled range boundaries →
+   partition p holds keys strictly below partition p+1);
+2. number rows WITHIN each partition (partition-local window — sorts
+   only its own slice);
+3. count rows per partition (tiny aggregate), prefix-sum the counts on
+   the driver (one row per partition), broadcast-join the offsets back
+   and add.
+
+Total cost: one range shuffle + one per-partition sort + a
+partition-count aggregate. The only driver-side data is one long per
+partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a contiguous 1-based global row number ordered by
+    `order_cols` (must be a deterministic total order — include a
+    unique tiebreak column). Equivalent to
+    ``row_number() OVER (ORDER BY order_cols)`` without the
+    single-partition window."""
+    cols = [F.col(c) for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *cols)
+    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local_rn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(*cols)
+        ),
+    ).persist()  # consumed twice: the count aggregate + the final join
+    # one row per partition reaches the driver; offsets are exact
+    # because range partitioning makes partition ids order-aligned
+    counts = (
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    )
+    by_pid = {r["_pid"]: r["_cnt"] for r in counts}
+    offsets, acc = [], 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
+    return (
+        local.join(broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_offset") + F.col("_local_rn")))
+        .drop("_pid", "_local_rn", "_offset")
+    )

@@ -3260,3 +3260,75 @@ def q_scd2_user_history(spark: SparkSession, sf: str) -> DataFrame:
         tiebreak_cols=["event_id"],
     )
     return out.withColumn("version", F.col("version").cast("long"))
+
+
+@register(
+    "global_rownum_orders",
+    """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def q_global_rownum_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Contiguous global row numbering WITHOUT the single-partition
+    window (operators/rownum.global_row_number): range-repartition on
+    the key, partition-local row_number, driver-side prefix sum of the
+    per-partition counts (one long per partition), broadcast the
+    offsets back. The oracle is the naive global window — identical
+    output, but the naive plan collapses 100 TB into one task while
+    this one never leaves full parallelism."""
+    from etl_geotab_spark.operators.rownum import global_row_number
+
+    orders = _t(spark, sf, "orders").select("o_orderkey")
+    return global_row_number(orders, ["o_orderkey"], "rn").withColumn(
+        "rn", F.col("rn").cast("long")
+    )
+
+
+@register(
+    "ohlc_downsample",
+    """
+    WITH b AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             value,
+             row_number() OVER (
+               PARTITION BY user_id,
+                 time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+               ORDER BY ts, event_id
+             ) AS rf,
+             row_number() OVER (
+               PARTITION BY user_id,
+                 time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+               ORDER BY ts DESC, event_id DESC
+             ) AS rl
+      FROM events
+    )
+    SELECT user_id, bucket,
+           max(CASE WHEN rf = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rl = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM b GROUP BY user_id, bucket
+    """,
+)
+def q_ohlc_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series OHLC downsampling — the telemetry rollup shape for
+    the reference's GPS/speed stream (task.ts:13-20 carries speed per
+    ping): first/max/min/last value per (entity, hour bucket) as ONE
+    hash aggregate. min_by/max_by on a (ts, tiebreak) struct replace
+    any window sort; partial aggregation collapses each partition's
+    bucket to 4 scalars before the shuffle, so shuffle volume is
+    |entities × buckets|, independent of ping rate."""
+    ev = _t(spark, sf, "events")
+    tb = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        "user_id", F.window("ts", "1 hour")["start"].alias("bucket")
+    ).agg(
+        F.min_by("value", tb).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", tb).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -581,3 +581,26 @@ def test_scd2_collapses_and_versions(spark):
     assert [r["is_current"] for r in u1] == [False, False, True]
     u2 = [r for r in out if r["uid"] == 2]
     assert len(u2) == 1 and u2[0]["is_current"] and u2[0]["version"] == 1
+
+
+def test_global_row_number_matches_naive_window(spark):
+    """Range-partitioned numbering == row_number() over global order,
+    on a skewed key distribution and more partitions than rows in some
+    ranges."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_geotab_spark.operators.rownum import global_row_number
+
+    rows = [(k,) for k in [5, 1, 9, 3, 3, 7, 2, 8, 100, -4, 0, 3]]
+    df = spark.createDataFrame(rows, ["k"]).withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+    got = global_row_number(df, ["k", "uid"], "rn", num_partitions=5)
+    naive = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("k", "uid"))
+    )
+    assert sorted(map(tuple, got.select("k", "uid", "rn").collect())) == \
+        sorted(map(tuple, naive.select("k", "uid", "rn").collect()))
+    rns = sorted(r["rn"] for r in got.collect())
+    assert rns == list(range(1, len(rows) + 1))
