@@ -9,18 +9,14 @@ Scale design (100 TB): the N×dim point set stays distributed end to
 end; only the k×dim centroid table ever touches the driver (k ≤ a few
 thousand → KBs-MBs). Each iteration is
 
-    assign:  one narrow map over the points — the centroid list is
-             baked into a JVM array expression (argmin over k squared
-             distances), so there is NO join and NO shuffle;
-    update:  one groupBy(cluster, dim_pos) over posexploded values.
-             The explode is map-side only: hash partial aggregation
-             collapses the dim×N generated rows to k×dim partials per
-             partition BEFORE the exchange, so shuffle volume is
-             k×dim×partitions regardless of N. (Measured against the
-             explode-free alternative — one sum aggregate per
-             dimension — the posexplode plan is ~1.7× faster per
-             iteration: 64 aggregate expressions cost far more codegen
-             than one, for identical shuffle volume.)
+    assign+update (fused): ONE Arrow-batched mapInPandas pass per
+             iteration — numpy computes exact squared distances and
+             argmin per batch (BLAS-speed, vs k×dim interpreted
+             lambda calls per row in the expression form, kept below
+             as assign_clusters for tests/small data), then emits
+             k×dim partial (sum, count) rows per batch: the map-side
+             combine. One tiny groupBy(cluster, pos) merges partials,
+             so shuffle volume is k×dim×batches regardless of N.
 
 That is the canonical distributed k-means cost: O(iters) jobs, each one
 scan + one tiny shuffle. Deterministic: seeds are the k lowest-id
@@ -29,6 +25,10 @@ vectors, ties in argmin break toward the lower centroid id.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,6 +42,71 @@ def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
+
+
+def assign_clusters_arrow(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Vectorized assign: one Arrow batch → one numpy (N×dim)·(dim×k)
+    matmul-free exact distance argmin. Same tie rule as the expression
+    form (np.argmin keeps the FIRST minimum → lowest cluster id). The
+    100 TB hot path: per-row cost is a BLAS-friendly vector op instead
+    of k×dim interpreted lambda calls."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.asarray(list(vecs), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series([], dtype="int32")
+        # exact per-pair (x-c)^2 sums (not the |x|²-2xc+|c|² expansion,
+        # which loses precision exactly where ties matter)
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return df.withColumn("cluster", _assign(F.col(vec_col)))
+
+
+def _partial_sums_schema() -> str:
+    return "cluster int, pos int, s double, n long"
+
+
+def _cluster_partial_sums(
+    vec_col: str, centroids: list[list[float]]
+):
+    """mapInPandas kernel: per batch, assign via numpy argmin and emit
+    k×dim partial rows (cluster, pos, sum, count) — the map-side
+    combine for the update step, so shuffle volume is k×dim per batch
+    regardless of N."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    k, dim = cents.shape
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            out = []
+            for c in np.unique(a):
+                xs = x[a == c]
+                s = xs.sum(axis=0)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "cluster": np.full(dim, c, dtype=np.int32),
+                            "pos": np.arange(dim, dtype=np.int32),
+                            "s": s,
+                            "n": np.full(dim, xs.shape[0], dtype=np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return gen
 
 
 def assign_clusters(
@@ -85,15 +150,17 @@ def lloyd_kmeans(
 
     points = df.select(id_col, vec_col)
     for _ in range(iters):
-        assigned = assign_clusters(points, vec_col, centroids)
-        # update step: mean per (cluster, dimension). Map-side partial
-        # aggregation collapses the posexploded rows to k*dim partials
-        # per partition before the shuffle (see module docstring), so
-        # only k*dim*partitions rows move; k*dim rows reach the driver.
+        # fused assign+update: one Arrow pass emits k×dim partial
+        # (sum, count) rows per batch (numpy argmin + per-cluster sums
+        # — see _cluster_partial_sums), one tiny groupBy merges them,
+        # k×dim rows reach the driver.
         sums = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+            points.mapInPandas(
+                _cluster_partial_sums(vec_col, centroids),
+                schema=_partial_sums_schema(),
+            )
             .groupBy("cluster", "pos")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new_c = {}
@@ -106,4 +173,4 @@ def lloyd_kmeans(
             for i, c in enumerate(centroids)
         ]
 
-    return assign_clusters(df, vec_col, centroids), centroids
+    return assign_clusters_arrow(df, vec_col, centroids), centroids

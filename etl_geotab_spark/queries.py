@@ -3332,3 +3332,136 @@ def q_ohlc_downsample(spark: SparkSession, sf: str) -> DataFrame:
         F.max_by("value", tb).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      COUNT(t_view) AS stage_view,
+      COUNT(CASE WHEN t_click > t_view THEN 1 END) AS stage_click,
+      COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+        AS stage_purchase
+    FROM stages
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, strictly
+    in sequence): ONE hash aggregate computes each user's earliest
+    stage timestamps (conditional min — no self-joins, no windows),
+    then a single-row conditional count rolls the funnel up. The
+    standard product-analytics query at 100 TB: shuffle volume is one
+    3-timestamp row per user regardless of event volume."""
+    ev = _t(spark, sf, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_view"), 1)
+        ).alias("stage_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("stage_purchase"),
+    )
+
+
+@register(
+    "time_range_moving_avg",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_time_range_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """W3 with an event-TIME frame (rangeBetween over interval), not a
+    row-count frame: per-user trailing-10-minute average — irregular
+    sampling means row frames are wrong for telemetry. Decimal-exact
+    sum / one double division keeps the oracle hash-identical.
+    rangeBetween needs a numeric order key → µs-since-epoch (second
+    granularity would move sub-second boundary rows in/out of the
+    frame vs the oracle)."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("moving_avg"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
+    )
+
+
+@register(
+    "profile_lineitem",
+    """
+    SELECT
+      COUNT(*) AS n_rows,
+      COUNT(*) - COUNT(l_returnflag) AS null_returnflag,
+      CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+      CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+      CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+      CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+      min(CAST(l_shipdate AS TIMESTAMP)) AS min_shipdate,
+      max(CAST(l_shipdate AS TIMESTAMP)) AS max_shipdate,
+      COUNT(DISTINCT l_returnflag) AS n_returnflags,
+      COUNT(DISTINCT l_linestatus) AS n_linestatuses,
+      COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def q_profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Data profiling in ONE pass: null counts, min/max per column,
+    exact distinct counts for three columns in the same aggregate
+    (Spark plans multi-distinct via one Expand — still a single scan).
+    The profile-before-you-process step of any ingest pipeline; at
+    100 TB swap exact COUNT(DISTINCT) for approx_count_distinct and
+    the Expand disappears (see approx_distinct / hll_sketch_rollup)."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_returnflag")).alias("null_returnflag"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.countDistinct("l_returnflag").alias("n_returnflags"),
+        F.countDistinct("l_linestatus").alias("n_linestatuses"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
