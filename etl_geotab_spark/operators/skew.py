@@ -6,10 +6,14 @@ skew at runtime by splitting oversized shuffle partitions. Salting is
 the PLAN-level complement for pathological keys (one key = 30% of a
 100 TB fact table): the fact side scatters each key across
 ``num_salts`` sub-keys via a deterministic hash of row-identifying
-columns; the other side replicates each row ``num_salts`` times. The
-join result is IDENTICAL to the plain join (oracle-checkable) — only
-the shuffle layout changes: max partition size drops by ~num_salts at
-the cost of replicating the (smaller) build side.
+columns; the other side replicates each row ``num_salts`` times. For
+``how`` in {'inner', 'left', 'left_semi'} the join result is IDENTICAL
+to the plain join (oracle-checkable) — only the shuffle layout
+changes: max partition size drops by ~num_salts at the cost of
+replicating the (smaller) build side. Right/full outer joins are NOT
+supported: an unmatched dim row would surface once per salt replica
+(num_salts duplicates); use AQE skew handling or salt the dim side
+instead for those shapes.
 """
 
 from __future__ import annotations
@@ -32,6 +36,11 @@ def salted_join(
     enough to spread them (any high-cardinality columns); the salt is a
     deterministic hash, so runs are reproducible.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "semi"):
+        raise ValueError(
+            "salted_join supports how in {'inner','left','left_semi'}: "
+            f"outer sides of the replicated dim would duplicate ({how!r})"
+        )
     fk = F.col(fact_key) if isinstance(fact_key, str) else fact_key
     dk = F.col(dim_key) if isinstance(dim_key, str) else dim_key
 

@@ -132,8 +132,10 @@ def test_hll_rollup_and_approx_percentiles_accuracy(spark):
     exact_total = o.select(F.countDistinct("o_custkey")).first()[0]
     assert abs(hll["ALL"] - exact_total) / exact_total < 0.05
 
+    # qty_quartiles is serialized at the harness boundary (driver
+    # canonicalizer can't hash arrays) — parse it back
     approx = {
-        r.l_returnflag: r.qty_quartiles
+        r.l_returnflag: [float(x) for x in r.qty_quartiles.split(",")]
         for r in q.q_approx_percentiles(spark, sf).collect()
     }
     exact = {
