@@ -187,7 +187,10 @@ def _winnow_from(
         lambda i: F.array_min(F.slice(hashes, i, window)),
     )
     short = F.array_sort(F.array_distinct(hashes))  # doc shorter than window
-    return F.when(
+    # explicit NULL-in → NULL-out guard: without it the result flips
+    # between [] and NULL depending on the session's size(NULL)
+    # semantics (ANSI vs legacy sizeOfNull)
+    return F.when(chars.isNull(), F.lit(None).cast("array<long>")).when(
         F.size(chars) < F.lit(k), F.array().cast("array<long>")
     ).otherwise(
         F.when(n_h < F.lit(window), short).otherwise(
@@ -209,17 +212,22 @@ def winnow_fingerprints_arrow(
     This is the 100 TB hot path: still a pure map stage (zero shuffle),
     with Python cost amortized over Arrow batches.
 
-    Exactness: iterates UTF-16 code units (numpy view over utf-16-le),
-    which is precisely what the JVM's ``split('')`` + ``ascii`` sees,
-    so fingerprints are bit-identical to the expression form — unit
-    tests pin this (tests/test_functions.py).
+    Exactness: iterates Unicode CODE POINTS (numpy view over
+    utf-32-le), matching the JVM path exactly — ``split('')`` is
+    code-point aware (surrogate pairs stay whole) and ``ascii`` yields
+    the code point — so fingerprints are bit-identical to the
+    expression form for ALL text including non-BMP (emoji, musical
+    symbols); NULL text propagates NULL, as the expression's
+    when()-over-null does. Unit tests pin both
+    (tests/test_functions.py). Round-1 ADVICE caught the earlier
+    UTF-16-code-unit iteration diverging on non-BMP input.
     """
     from pyspark.sql.functions import pandas_udf
 
     base = 257
-    # base^(k-1-j) mod M per k-gram position: each addend is then
-    # < 2^16 * 2^31 and the k-term sum < k*2^47 — int64-safe, so one
-    # final mod suffices.
+    # base^(k-1-j) mod M per k-gram position: code points < 2^21, so
+    # each addend is < 2^21 * 2^31 and the k-term sum < k*2^52 —
+    # int64-safe for any sane k, so one final mod suffices.
     powers = [pow(base, k - 1 - j, modulus) for j in range(k)]
 
     @pandas_udf("array<long>")
@@ -227,11 +235,11 @@ def winnow_fingerprints_arrow(
         out = []
         for s in texts:
             if s is None:
-                # expression form yields [] for NULL text (the when()
-                # guard swallows the null) — match it exactly
-                out.append(np.empty(0, dtype=np.int64))
+                # expression form propagates NULL (split(NULL) nulls
+                # the whole when-chain) — match it exactly
+                out.append(None)
                 continue
-            c = np.frombuffer(s.encode("utf-16-le"), dtype=np.uint16).astype(
+            c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
                 np.int64
             )
             n = c.size
@@ -278,7 +286,11 @@ def with_winnow_fingerprints(
         lambda i: F.array_min(F.slice(hashes, i, window)),
     )
     short = F.array_sort(F.array_distinct(hashes))
+    # NULL guard: same rationale as _winnow_from — session-independent
+    # NULL-in → NULL-out
     fp = F.when(
+        chars.isNull(), F.lit(None).cast("array<long>")
+    ).when(
         F.size(chars) < F.lit(k), F.array().cast("array<long>")
     ).otherwise(
         F.when(n_h < F.lit(window), short).otherwise(

@@ -351,6 +351,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs above a threshold.
 
@@ -359,15 +360,33 @@ def ngram_jaccard_pairs(
     count shared grams per pair in the SAME aggregation (no second
     join for the intersection), then Jaccard = shared/(|a|+|b|-shared).
     Shuffle keys: n-gram, then (id_a,id_b) — bounded by the true
-    candidate set. For 100 TB add a DF-frequency cut (drop n-grams in
-    > T docs) to cap the hottest keys; kept optional here.
+    candidate set.
+
+    ``max_doc_freq`` is the 100 TB skew guard: n-grams appearing in
+    more than that many documents are removed before the self-join —
+    a gram in D docs contributes D² join rows, so one stop-phrase gram
+    at corpus scale would dwarf everything else. The hot-gram list is
+    found with one aggregation and removed with a broadcast anti-join
+    (the list is tiny by construction). Sizes are computed on the
+    FILTERED gram space, so Jaccard stays internally consistent —
+    semantically this is Jaccard over informative grams, the standard
+    dedup-pipeline trade. None disables the cut (exact, oracle-equal).
     """
     # persist: the gram table feeds the self-join (twice) AND the
     # per-doc size aggregate — 3 consumers of one expensive projection
     grams = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("gram"),
-    ).persist()
+    )
+    if max_doc_freq is not None:
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), on="gram", how="left_anti")
+    grams = grams.persist()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     l, r = grams.alias("l"), grams.alias("r")
     shared = (

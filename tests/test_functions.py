@@ -182,8 +182,9 @@ def test_winnow_fingerprints_properties(spark):
 
 def test_winnow_arrow_matches_expression_form(spark):
     """The vectorized pandas-UDF winnowing must be bit-identical to the
-    pure-expression form, including unicode (UTF-16 code units) and the
-    short-doc edge cases."""
+    pure-expression form, including non-BMP unicode (code-point
+    iteration — surrogate pairs are ONE char to the JVM), NULL
+    propagation, and the short-doc edge cases."""
     from etl_geotab_spark.functions.text import (
         winnow_fingerprints_arrow,
         with_winnow_fingerprints,
@@ -197,6 +198,8 @@ def test_winnow_arrow_matches_expression_form(spark):
         (5, "aaaaaaaaaaaaaaaaaaaaaaaa"),  # degenerate repeats
         (6, None),
         (7, ""),
+        (8, "emoji 😀😀 text 𝄞 music beyond the BMP plane"),
+        (9, "中文字符串测试一二三四五 mixed with ascii"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     expr = {

@@ -93,6 +93,46 @@ def test_ngram_jaccard_pairs(spark):
     assert (1, 3) not in out
 
 
+def test_ngram_jaccard_doc_freq_cut(spark):
+    """max_doc_freq drops n-grams hotter than the cap BEFORE the
+    self-join: a stop-phrase shared by every doc stops generating
+    candidate pairs, while rare-gram similarity is unaffected."""
+    stop = "the quick fox"  # appears in ALL docs → DF = 4
+    rows = [
+        (1, stop + " alpha beta gamma"),
+        (2, stop + " alpha beta delta"),
+        (3, stop + " zz qq ww"),
+        (4, stop + " rr ss tt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the corpus size: the stop-phrase grams (DF=4) vanish
+    cut = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold=0.1, max_doc_freq=3
+        ).collect()
+    }
+    # docs 3 and 4 only shared stop-phrase grams → no pair at all
+    assert (3, 4) not in cut
+    assert all(3 not in p and 4 not in p for p in cut)
+    # docs 1/2 still pair on their rare 'alpha beta' grams
+    assert (1, 2) in cut
+    # with the cap above DF the cut is a no-op vs the exact result
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold=0.1, max_doc_freq=100
+        ).collect()
+    }
+    plain = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold=0.1
+        ).collect()
+    }
+    assert exact == plain
+
+
 def test_asof_join_backward(spark):
     left = spark.createDataFrame(
         [(1, "k", ts("2024-01-05T00:00:00")), (2, "k", ts("2024-01-01T00:00:00"))],
