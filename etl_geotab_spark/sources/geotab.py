@@ -254,19 +254,59 @@ class GeotabCredentialCache:
     """S5 — the reference's cross-invocation ephemeral credential store
     (task.ts:127-143): validate a cached session with a cheap ``user()``
     probe, re-``Authenticate`` only on miss/expiry. Driver-side; the
-    session token ships to executors inside the read payload."""
+    session token ships to executors inside the read payload.
 
-    def __init__(self, transport_name: str, endpoint: str, ttl_s: float = 3300.0):
-        self._transport = TRANSPORTS[transport_name]
+    ``transport`` may be a registered transport name or a callable
+    ``(endpoint, payload) -> dict`` (test doubles, custom stacks).
+    ``probe=True`` replicates the reference's validity check
+    (task.ts:301-324): a cached session is only trusted after a cheap
+    authenticated ``Get User`` round-trip; any RPC error ⇒ the session
+    died server-side ⇒ silent re-login (task.ts:127-143's catch path).
+    """
+
+    def __init__(
+        self,
+        transport_name: str,
+        endpoint: str,
+        ttl_s: float = 3300.0,
+        probe: bool = False,
+    ):
+        self._transport = (
+            TRANSPORTS[transport_name]
+            if isinstance(transport_name, str)
+            else transport_name
+        )
         self._endpoint = endpoint
         self._ttl_s = ttl_s
+        self._probe = probe
         self._cached: dict | None = None
         self._born = 0.0
         self.login_count = 0  # observability/testing
+        self.probe_count = 0
+
+    def _session_valid(self) -> bool:
+        """task.ts:301-324 ``user()``: the cheapest authenticated RPC —
+        fetch the session's own user row. Errors (InvalidUserException
+        et al.) mean the cached session is dead, not that the call is."""
+        resp = self._transport(
+            self._endpoint,
+            {
+                "method": "Get",
+                "params": {
+                    "typeName": "User",
+                    "credentials": self._cached,
+                    "search": {"name": (self._cached or {}).get("userName")},
+                },
+            },
+        )
+        self.probe_count += 1
+        return "error" not in resp
 
     def credentials(self, username: str, password: str, database: str) -> dict:
         if self._cached is not None and (time.monotonic() - self._born) < self._ttl_s:
-            return self._cached
+            if not self._probe or self._session_valid():
+                return self._cached
+            self._cached = None  # expired server-side → fall through to re-login
         resp = self._transport(
             self._endpoint,
             {

@@ -100,6 +100,85 @@ def test_credential_cache_avoids_relogin():
     assert cache.login_count == 2
 
 
+class _ExpiringTransport:
+    """Stateful server double: sessions issued before ``expire_all()``
+    answer every authenticated RPC with InvalidUserException — the
+    server-side expiry the reference's user() probe exists to detect
+    (task.ts:127-143, 301-324)."""
+
+    def __init__(self):
+        from etl_geotab_spark.sources.geotab import _fake_transport
+
+        self._inner = _fake_transport
+        self.generation = 0
+        self.issued: dict[str, int] = {}
+        self.calls: list[str] = []
+
+    def __call__(self, endpoint, payload):
+        method = payload.get("method")
+        self.calls.append(method)
+        if method == "Authenticate":
+            resp = self._inner(endpoint, payload)
+            sid = (
+                resp["result"]["credentials"]["sessionId"]
+                + f"-g{self.generation}"
+            )
+            resp["result"]["credentials"]["sessionId"] = sid
+            self.issued[sid] = self.generation
+            return resp
+        sid = payload.get("params", {}).get("credentials", {}).get("sessionId")
+        if self.issued.get(sid) != self.generation:
+            return {"error": {"message": "InvalidUserException"}}
+        return self._inner(endpoint, payload)
+
+    def expire_all(self):
+        self.generation += 1
+
+
+def test_cache_probe_reauths_on_server_side_expiry():
+    """task.ts:127-143: cached creds are trusted only after the user()
+    probe; a dead session triggers exactly one silent re-login and the
+    retried call succeeds with the fresh session."""
+    server = _ExpiringTransport()
+    cache = GeotabCredentialCache(server, "https://example.test/", probe=True)
+
+    c1 = cache.credentials("user", "pw", "db")
+    assert cache.login_count == 1 and cache.probe_count == 0  # cold: no probe
+
+    c2 = cache.credentials("user", "pw", "db")
+    assert c2 == c1 and cache.login_count == 1 and cache.probe_count == 1
+
+    server.expire_all()  # session dies server-side
+    c3 = cache.credentials("user", "pw", "db")
+    assert cache.login_count == 2  # exactly one re-login
+    assert c3["sessionId"] != c1["sessionId"]
+
+    # retry with the fresh session succeeds
+    resp = server(
+        "https://example.test/",
+        {
+            "method": "Get",
+            "params": {"typeName": "Device", "credentials": c3},
+        },
+    )
+    assert "error" not in resp and resp["result"]
+
+    # and the failed-probe → Authenticate sequence is what hit the wire
+    assert server.calls[-3:] == ["Get", "Authenticate", "Get"]
+
+
+def test_cache_ttl_expiry_relogins_without_probe():
+    """Client-side TTL horizon: a stale-by-age cache skips the probe
+    entirely and goes straight to Authenticate."""
+    server = _ExpiringTransport()
+    cache = GeotabCredentialCache(
+        server, "https://example.test/", ttl_s=0.0, probe=True
+    )
+    cache.credentials("user", "pw", "db")
+    cache.credentials("user", "pw", "db")
+    assert cache.login_count == 2 and cache.probe_count == 0
+
+
 def test_rest_sink_posts_all_features(geotab, tmp_path):
     ack = str(tmp_path / "ack.json")
     df = _read(geotab, "Device", groups="g1,g2")

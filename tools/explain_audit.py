@@ -38,6 +38,7 @@ ALLOW_NESTED_LOOP = {
     "correlated_subquery", # decorrelated scalar agg joins back
     "ivf_ann_topk",        # tiny broadcast centroid set × corpus is the design
     "lsh_ann_topk",        # band-join plan; small-SF AQE may inline tiny sides
+    "bigram_pmi",          # 1-row corpus-totals frame × tokens (scalar broadcast)
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -56,12 +57,11 @@ EXPECT_CONTAINS = {
 }
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("etl-geotab-spark-audit")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def audit_plans(spark, sf_dir: str, only: set[str] | None = None,
+                verbose: bool = True) -> list[tuple[str, str]]:
+    """Explain every registered query and return plan violations.
+    Importable so the audit runs inside pytest (CI gate), not just as
+    an ad-hoc CLI."""
     failures = []
     for name, fn in entrymod.queries().items():
         if only and name not in only:
@@ -99,7 +99,17 @@ def main() -> int:
             if ncols >= 16:
                 failures.append((name, f"unpruned scan ({ncols} cols)"))
 
-        print(f"audited {name}")
+        if verbose:
+            print(f"audited {name}")
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("etl-geotab-spark-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = audit_plans(spark, sf_dir, only or None)
 
     if failures:
         print("\nPLAN VIOLATIONS:")
