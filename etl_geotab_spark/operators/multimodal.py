@@ -95,6 +95,9 @@ DECODED_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("mean_intensity", DoubleType()),
+        # exact integer byte-sum: the cross-engine-checkable stat (no
+        # float rounding ties), mean = intensity_sum / (width*height)
+        StructField("intensity_sum", LongType()),
         StructField("histogram", ArrayType(DoubleType())),
     ]
 )
@@ -134,6 +137,7 @@ def decode_media(df: DataFrame, id_col: str, media_col: str = "media") -> DataFr
                         "width": w,
                         "height": h,
                         "mean_intensity": round(float(px.mean()), 6),
+                        "intensity_sum": int(px.sum()),
                         "histogram": (hist / max(len(px), 1)).round(6).tolist(),
                     }
                 )

@@ -1436,7 +1436,20 @@ def q_streaming_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory_table(windowed_counts(stream_events(spark, sf), "5 minutes"))
 
 
-@register("stateful_user_stats", None)  # custom keyed state → not SQL-expressible
+@register(
+    "stateful_user_stats",
+    # The stream drains to completion, so the final keyed state equals
+    # the batch aggregate — that equivalence IS the correctness claim
+    # for the stateful op, so oracle it (round-1 verdict item 10).
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value,
+           max(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def q_stateful_user_stats(spark: SparkSession, sf: str) -> DataFrame:
     """T2 — applyInPandasWithState keyed running aggregates drained with
     foreachBatch; the last update per user is the final state. Rows-only
@@ -1567,12 +1580,41 @@ def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_stats", None)  # stub codec → rows-only
+@register(
+    "multimodal_decode_stats",
+    # Closed-form oracle for the stub codec (round-1 verdict item 10):
+    # blob = sha256(text) digest cycled to width*height bytes, with
+    # width/height = 16 + digest[0..1] % 48 — so dims and the exact
+    # byte-sum are recomputable from sha256 hex in SQL, no decode step.
+    """
+    WITH hx AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, sha256(text) AS h FROM documents
+    ), b AS (
+      SELECT id,
+             [ (strpos('0123456789abcdef', substr(h, 2*i+1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(h, 2*i+2, 1)) - 1
+               for i in generate_series(0, 31) ] AS d
+      FROM hx
+    ), dims AS (
+      SELECT id, d,
+             16 + d[1] % 48 AS width,
+             16 + d[2] % 48 AS height
+      FROM b
+    )
+    SELECT id, width, height,
+           CAST((width*height // 32) * list_sum(d)
+                + coalesce(list_sum(d[1:(width*height) % 32]), 0)
+                AS BIGINT) AS intensity_sum
+    FROM dims
+    """,
+)
 def q_multimodal_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     """X4 decode tier: synthesize deterministic media blobs, decode via
     the Arrow-batched mapInPandas kernel (stub codec — see
-    operators/multimodal.py), emit dims + intensity stats. Rows-only:
-    the codec is engine-specific by design; pytest pins determinism."""
+    operators/multimodal.py), emit dims + exact intensity sum. The
+    synthetic container is sha256-derived, so DuckDB can recompute
+    every stat in closed form (oracle below); mean/histogram floats
+    stay operator-API + pytest."""
     from etl_geotab_spark.operators.multimodal import (
         decode_media,
         synthesize_media,
@@ -1580,7 +1622,9 @@ def q_multimodal_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _spread(_t(spark, sf, "documents"))
     media = synthesize_media(d, "doc_id", "text")
-    return decode_media(media, "doc_id").drop("histogram")
+    return decode_media(media, "doc_id").select(
+        "id", "width", "height", "intensity_sum"
+    )
 
 
 # ============================================ batch 6: range/skew/UDTF
@@ -1681,18 +1725,66 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
 # =============================================== batch 7: dedup clusters
 
 
-@register("dedup_clusters", None)  # iterative fixed-point → rows-only
+@register(
+    "dedup_clusters",
+    # Oracle (round-1 verdict item 10): the min-label fixed point equals
+    # "min doc_id over the transitive closure" — a recursive CTE at
+    # fixture scale. Pair source is the exact n-gram Jaccard join (same
+    # CTE as ngram_jaccard_pairs) so both engines see identical edges;
+    # the MinHash→CC composition stays pytest-covered (rows-only pairs
+    # are probabilistic, clusters over them can't be oracled).
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+                                   for i in generate_series(1, len(tk) - 2)])) AS gram
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), shared AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS shared
+      FROM grams l JOIN grams r ON l.gram = r.gram AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ), comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+)
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """X1 end-to-end dedup: MinHash-LSH pairs → connected components
-    (large-star min-label propagation, operators/clusters.py) → one
-    canonical doc per cluster. The full shape of a production corpus
-    dedup: pairs alone don't dedup, clusters do. Iterative fixed-point
-    is not SQL-expressible → rows-only; pytest pins chain/island
-    topology."""
+    """X1 end-to-end dedup: exact n-gram Jaccard pairs → connected
+    components (min-label propagation + pointer jumping,
+    operators/clusters.py) → one canonical doc per cluster. The full
+    shape of a production corpus dedup: pairs alone don't dedup,
+    clusters do. Oracle = recursive-CTE transitive closure over the
+    same exact-Jaccard edge set."""
     from etl_geotab_spark.operators.clusters import dedup_clusters
 
     d = _spread(_t(spark, sf, "documents"))
-    pairs = minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=1_000_000
+    )
     out = dedup_clusters(d.select("doc_id", "lang", "source"), pairs, "doc_id")
     return out.select("doc_id", "component", "is_canonical")
 
