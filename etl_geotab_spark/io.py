@@ -39,6 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and convert to TimestampType via integer µs division — same
     truncation DuckDB applies casting ns→µs, so oracles agree.
     """
+    # Fixture timestamps are parquet TIMESTAMP with isAdjustedToUTC=false;
+    # Spark 4's default inferTimestampNTZ=true would surface them as
+    # TIMESTAMP_NTZ (breaking unix_micros()/interval arithmetic and
+    # diverging from the DuckDB-naive-at-UTC oracle). The driver harness
+    # hands us ITS session, so set the conf here, not just at build time.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

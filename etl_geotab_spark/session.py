@@ -45,6 +45,12 @@ def get_spark(
         # parquet scans: vectorized reader + pushdown are on by default;
         # keep file-split size at default 128MB (right for 100 TB too).
         .config("spark.sql.parquet.filterPushdown", "true")
+        # fixture timestamps are parquet TIMESTAMP(MICROS) with
+        # isAdjustedToUTC=false; Spark 4 infers those as TIMESTAMP_NTZ
+        # by default, which breaks unix_micros()/timestamp arithmetic
+        # and diverges from DuckDB-naive-at-UTC oracle semantics. Read
+        # them as session-tz (UTC) TIMESTAMP instead.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Python DataSource pushdown (the Geotab connector, sources/)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -63,6 +69,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     for conf, val in (
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.python.filterPushdown.enabled", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(conf, val)
