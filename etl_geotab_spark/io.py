@@ -94,6 +94,25 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_bucketed_external(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """`write_bucketed` with an explicit storage path (external table)
+    and idempotent re-registration — repeated runs in one session
+    (bench loops, the correctness harness) re-create cleanly instead of
+    tripping over a stale catalog entry."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.option("path", path).format("parquet").saveAsTable(table)
+
+
 def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """CSV scan with an EXPLICIT schema — never inferSchema at scale
     (inference is a full extra pass over 100 TB)."""

@@ -644,3 +644,78 @@ def test_global_row_number_matches_naive_window(spark):
         sorted(map(tuple, naive.select("k", "uid", "rn").collect()))
     rns = sorted(r["rn"] for r in got.collect())
     assert rns == list(range(1, len(rows) + 1))
+
+
+def test_bucketed_join_elides_exchange(spark, sf_dir):
+    """Both sides written bucketed on the join key → the join plan has
+    no Exchange above either scan (the whole point of bucketing: the
+    shuffle is paid once at write time, not per query)."""
+    import re
+
+    from etl_geotab_spark.queries import q_bucketed_colocated_join
+
+    # at fixture scale Catalyst would (correctly) broadcast the small
+    # side, which hides the thing under test; force the shuffle-strategy
+    # path to prove the bucket metadata removes its exchanges.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_bucketed_colocated_join(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_m = re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    assert join_m, f"expected a shuffle-strategy join node:\n{plan}"
+    # everything below the join node must be exchange-free
+    below = plan[join_m.start():]
+    assert "Exchange hashpartitioning" not in below, (
+        "bucketed join still shuffles an input:\n" + plan
+    )
+    # and the result is the plain-join answer
+    rows = {r["o_orderpriority"]: r["n_items"] for r in df.collect()}
+    from etl_geotab_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    naive = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert rows == naive
+
+
+def test_pii_redact_strips_all_pii(spark, sf_dir):
+    from etl_geotab_spark.queries import q_pii_redact
+
+    out = q_pii_redact(spark, sf_dir).limit(200).collect()
+    assert out
+    for r in out:
+        assert "@" not in r["clean_text"], r["clean_text"]
+        assert "+1-555-" not in r["clean_text"]
+        assert "<EMAIL>" in r["clean_text"]
+        assert r["n_emails"] >= 1
+
+
+def test_contamination_only_flags_benchmark_overlap(spark, sf_dir):
+    from etl_geotab_spark.queries import q_contamination_overlap
+
+    out = q_contamination_overlap(spark, sf_dir).collect()
+    # benchmark docs themselves (doc_id % 50 == 0) must never appear
+    assert all(r["doc_id"] % 50 != 0 for r in out)
+    assert all(r["n_overlap"] >= 1 for r in out)
+
+
+def test_train_split_deterministic_and_exhaustive(spark, sf_dir):
+    from etl_geotab_spark.io import load_table
+    from etl_geotab_spark.queries import q_train_val_test_split
+
+    out = {r["split"]: r["n_docs"] for r in q_train_val_test_split(spark, sf_dir).collect()}
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(out.values()) == total
+    assert set(out) <= {"train", "val", "test"}
+    # 12/2/2 hex-nibble buckets: train should dominate
+    assert out["train"] > out.get("val", 0) and out["train"] > out.get("test", 0)

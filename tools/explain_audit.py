@@ -39,6 +39,7 @@ ALLOW_NESTED_LOOP = {
     "ivf_ann_topk",        # tiny broadcast centroid set × corpus is the design
     "lsh_ann_topk",        # band-join plan; small-SF AQE may inline tiny sides
     "bigram_pmi",          # 1-row corpus-totals frame × tokens (scalar broadcast)
+    "mad_outliers",        # 1-row median / MAD scalars × orders (scalar broadcast)
 }
 
 # each entry: list of alternatives-groups; every group must match via
