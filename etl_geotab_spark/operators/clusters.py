@@ -55,47 +55,55 @@ def connected_components(
     )
 
     for _ in range(max_iterations):
+        # One round = propagate + pointer-jump + change flag, fused into
+        # a SINGLE materialization. Iterative graph algorithms on Spark
+        # are dominated by per-round JOB overhead at the small end and
+        # by shuffle count at the large end — fusing cuts both: 2 jobs
+        # per round (one checkpoint, one early-exit convergence scan)
+        # instead of the naive 4 (propagate ckpt, jump ckpt, count).
+        #
         # (1) propagate: min component id across incident edges
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        propagated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint()
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.u, "left"
+        ).select(
+            "node",
+            F.col("comp").alias("comp0"),
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp1"),
         )
-        # (2) pointer-jump: comp ← comp's comp. Halves label-chain
-        # depth each round ⇒ O(log diameter) rounds; per-round job
-        # overhead dominates on sparse dup graphs, so fewer rounds
-        # beats cheaper rounds.
+        # (2) pointer-jump: comp ← comp's comp. Halves label-chain depth
+        # each round ⇒ O(log diameter) rounds. `propagated` appears on
+        # both sides; recomputing its (cheap) lineage twice inside one
+        # job is cheaper than materializing it as its own round-trip.
         lookup = propagated.select(
-            F.col("node").alias("_n"), F.col("comp").alias("_c")
+            F.col("node").alias("_n"), F.col("comp1").alias("_c")
         )
         new_labels = (
-            propagated.join(lookup, propagated.comp == lookup._n, "left")
+            propagated.join(lookup, propagated.comp1 == lookup._n, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("_c"), F.col("comp"))
+                    F.col("comp1"), F.coalesce(F.col("_c"), F.col("comp1"))
                 ).alias("comp"),
+                (
+                    F.least(
+                        F.col("comp1"), F.coalesce(F.col("_c"), F.col("comp1"))
+                    )
+                    != F.col("comp0")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # convergence probe: scan-only (data already checkpointed),
+        # limit(1) stops at the first changed row.
+        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("comp").alias("component"))
