@@ -26,6 +26,7 @@ timings of whatever runs late in the session (r02 measured minhash at
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -97,9 +98,17 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
-        # drop persisted intermediates so query N's cache blocks don't
-        # evict/poison query N+1..N+99 (see module docstring)
+        # Session hygiene between queries — measured, not theoretical:
+        # without it, queries running ~90th in the suite clock 3-5x
+        # their isolated time (ngram_jaccard 16.9s vs 3.5s). Two causes:
+        # clearCache() drops persist()ed blocks, but localCheckpoint
+        # RDD blocks (iterative operators) and Python-side plan handles
+        # are only released when their objects are GARBAGE COLLECTED —
+        # Spark's ContextCleaner reacts to JVM GC, and the Python side
+        # holds JVM refs until CPython collects. Force both.
         spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
