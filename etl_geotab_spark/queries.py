@@ -94,6 +94,8 @@ _ROUND_NEW: list[str] = [
     "mad_outliers",
     "vin_filter",
     "bucketed_colocated_join",
+    "udtf_top_terms",
+    "source_temperature_resample",
 ]
 _NEVER_CHECKED: list[str] = [
     "approx_percentiles",
@@ -4077,4 +4079,99 @@ def q_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 2
         ).alias("revenue"),
+    )
+
+
+@register(
+    "udtf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), c AS (
+      SELECT doc_id, term, count(*) AS cnt FROM tok WHERE term <> '' GROUP BY 1, 2
+    ), r AS (
+      SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, term ASC)
+               AS rank
+      FROM c
+    )
+    SELECT doc_id, term, cnt, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+    """,
+)
+def q_udtf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 true Python UDTF (Spark 4 `@udtf` API, not explode-shaped):
+    per-doc top-3 terms with deterministic tie-break, one eval() per
+    row yielding k rows, consumed through a SQL LATERAL join. The UDTF
+    path is the right tool when the row-expansion logic is genuinely
+    imperative (here: a partial sort over a dict); for pure expansions
+    prefer explode/posexplode (see posexplode_terms) which stay JVM-
+    side. Map-only: no shuffle at any scale — the per-doc state is one
+    term-count dict, and docs never cross partitions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term: string, cnt: bigint, rank: int")
+    class TopTerms:
+        def eval(self, text: str, k: int):  # noqa: ANN001
+            if text is None:
+                return
+            counts: dict[str, int] = {}
+            for t in text.split(" "):
+                if t:
+                    counts[t] = counts.get(t, 0) + 1
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            for i, (t, c) in enumerate(ranked):
+                yield (t, c, i + 1)
+
+    spark.udtf.register("etl_top_terms", TopTerms)
+    _t(spark, sf, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.term, t.cnt, t.rank "
+        "FROM _udtf_docs d, LATERAL etl_top_terms(d.text, 3) t"
+    )
+
+
+@register(
+    "source_temperature_resample",
+    """
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM s
+    ), w AS (
+      SELECT source, n_docs,
+             pow(CAST(n_docs AS DOUBLE) / (SELECT total FROM t), 0.5) AS raw
+      FROM s
+    ), z AS (
+      SELECT CAST(sum(raw) AS DOUBLE) AS zsum FROM w
+    )
+    SELECT source, n_docs,
+           round(raw / (SELECT zsum FROM z), 6) AS weight,
+           CAST(round(raw / (SELECT zsum FROM z) * 100000) AS BIGINT) AS target_docs
+    FROM w
+    """,
+)
+def q_source_temperature_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual/multi-
+    source sampling scheme of XLM-R/mT5: p_s ∝ (n_s/N)^alpha with
+    alpha=0.5, so low-resource sources are upsampled). Emits per-source
+    normalized sampling weight and an integer doc budget. Shape: one
+    tiny per-source aggregate; both normalizing scalars ride along as
+    1-row broadcast cross-joins — at 100 TB the only data that moves is
+    one row per source."""
+    d = _t(spark, sf, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = s.agg(F.sum("n_docs").cast("double").alias("total"))
+    w = s.crossJoin(broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.pow(F.col("n_docs").cast("double") / F.col("total"), 0.5).alias("raw"),
+    )
+    z = w.agg(F.sum("raw").cast("double").alias("zsum"))
+    return w.crossJoin(broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("raw") / F.col("zsum"), 6).alias("weight"),
+        F.round(F.col("raw") / F.col("zsum") * 100000, 0).cast("long").alias(
+            "target_docs"
+        ),
     )

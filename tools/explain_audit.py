@@ -40,6 +40,7 @@ ALLOW_NESTED_LOOP = {
     "lsh_ann_topk",        # band-join plan; small-SF AQE may inline tiny sides
     "bigram_pmi",          # 1-row corpus-totals frame × tokens (scalar broadcast)
     "mad_outliers",        # 1-row median / MAD scalars × orders (scalar broadcast)
+    "source_temperature_resample",  # 1-row total/zsum scalars × per-source rows
 }
 
 # each entry: list of alternatives-groups; every group must match via
