@@ -41,6 +41,7 @@ ALLOW_NESTED_LOOP = {
     "bigram_pmi",          # 1-row corpus-totals frame × tokens (scalar broadcast)
     "mad_outliers",        # 1-row median / MAD scalars × orders (scalar broadcast)
     "source_temperature_resample",  # 1-row total/zsum scalars × per-source rows
+    "ann_recall_eval",     # exact-baseline brute force + centroid broadcasts by design
 }
 
 # each entry: list of alternatives-groups; every group must match via
