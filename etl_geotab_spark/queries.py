@@ -2610,16 +2610,61 @@ def q_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("doc_winnow_fingerprints", None)  # rolling-hash winnowing → rows-only
+@register(
+    "doc_winnow_fingerprints",
+    # Full winnowing twin in DuckDB list comprehensions (round-1 verdict
+    # item 10: "oracle-ify what's oracle-able"): code points → k-gram
+    # polynomial hashes (constants inlined: 257^j mod 2^31-1) → window
+    # minima → distinct → df-capped shared-fingerprint pairs. Verified
+    # bit-identical to the Arrow UDF on the fixtures before wiring in.
+    """
+    WITH cp AS (
+      SELECT doc_id, [unicode(c) FOR c IN string_split(text, '')] AS u
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CASE WHEN len(u) < 7 THEN CAST([] AS BIGINT[])
+                  ELSE [ CAST((CAST(u[i] AS BIGINT) * 336663071 + CAST(u[i+1] AS BIGINT) * 168429323 + CAST(u[i+2] AS BIGINT) * 67503107 + CAST(u[i+3] AS BIGINT) * 16974593 + CAST(u[i+4] AS BIGINT) * 66049 + CAST(u[i+5] AS BIGINT) * 257 + CAST(u[i+6] AS BIGINT) * 1) % 2147483647 AS BIGINT)
+                         FOR i IN generate_series(1, len(u) - 6) ]
+             END AS hh
+      FROM cp
+    ), w AS (
+      SELECT doc_id,
+             CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(hh) < 5 THEN list_sort(list_distinct(hh))
+                  ELSE list_sort(list_distinct(
+                         [ list_min(hh[i:i+4])
+                           FOR i IN generate_series(1, len(hh) - 4) ]))
+             END AS fp
+      FROM h
+    ), ex AS (
+      SELECT doc_id, unnest(fp) AS hsh FROM w
+    ), rare AS (
+      SELECT hsh FROM (
+        SELECT hsh, count(DISTINCT doc_id) AS dfc FROM ex GROUP BY 1
+      ) WHERE dfc <= GREATEST(2, CAST(floor(
+          (SELECT count(*) FROM documents) * 0.05) AS BIGINT))
+    ), re AS (
+      SELECT ex.doc_id, ex.hsh FROM ex JOIN rare USING (hsh)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM re a JOIN re b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 8
+    ORDER BY shared_fps DESC, doc_a, doc_b
+    LIMIT 100
+    """,
+)
 def q_doc_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """X1/X3 winnowing fingerprints (functions/text.py
     winnow_fingerprints): per-doc count of distinct winnowed k-gram
     hashes + pairs of docs sharing >= 8 fingerprints via explode +
     self-join on hash — the plagiarism-detection / near-dup shape with
     a LOCAL guarantee (any shared run >= k+w-1 chars is caught).
-    Deterministic arithmetic, but the DuckDB twin would be a page of
-    list-lambda SQL → rows-only; unit tests pin exact values on
-    literal strings."""
+    Oracle: the full winnowing pipeline re-expressed in DuckDB list
+    comprehensions (hash constants inlined) — hash-checked end to end;
+    unit tests additionally pin exact values on literal strings."""
     # Arrow-batched numpy winnowing (bit-identical to the expression
     # form — pinned in tests/test_functions.py) — O(n) per doc vs the
     # interpreted HOF expression (was 9.6 s at sf0.1, now <2 s).
