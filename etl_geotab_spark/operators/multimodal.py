@@ -103,11 +103,38 @@ DECODED_SCHEMA = StructType(
 )
 
 
+# Real-codec feature gate: when Pillow is present (production image),
+# non-FAKE blobs decode through it; in this container it is absent and
+# only the synthetic container decodes. Probed once at import.
+try:  # pragma: no cover - environment probe
+    from PIL import Image as _PILImage  # noqa: N813
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+
+def _decode_real(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """PIL-backed decode for real image bytes (PNG/JPEG/...). Grayscale
+    ('L') so the pixel array contract matches the stub codec: bytes in
+    → (w, h, uint8 pixel array) out. Only reachable when HAS_PIL."""
+    import io as _io
+
+    img = _PILImage.open(_io.BytesIO(blob)).convert("L")
+    w, h = img.size
+    return w, h, np.asarray(img, dtype=np.uint8).reshape(-1)
+
+
 def _decode_fake(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """STUB CODEC — parses the synthetic container. Replace with
-    ``PIL.Image.open(io.BytesIO(blob))`` in production; the operator
-    contract (bytes in → (w, h, pixel array) out) is identical."""
+    """Codec dispatch: FAKE container → header parse (deterministic
+    stub, always available); anything else → PIL when installed
+    (HAS_PIL), else a clear NotImplementedError. The operator contract
+    (bytes in → (w, h, pixel array) out) is identical on every path —
+    swapping containers/codecs changes nothing downstream."""
     if blob[:4] != _MAGIC:
+        if HAS_PIL:
+            return _decode_real(blob)
         raise NotImplementedError(
             "real media decode requires PIL/ffmpeg (not in this container); "
             "only the FAKE synthetic container is decodable here"

@@ -97,6 +97,7 @@ _ROUND_NEW: list[str] = [
     "udtf_top_terms",
     "source_temperature_resample",
     "ann_recall_eval",
+    "minhash_recall_eval",
 ]
 _NEVER_CHECKED: list[str] = [
     "approx_percentiles",
@@ -4272,3 +4273,39 @@ def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     lsh = lsh_bucketed_ann(emb, queries_side, k=k, **_ANN_LSH)
     ivf = ivf_topk(emb, queries_side, k=k, **_ANN_IVF)
     return recall_of(lsh, "lsh").unionAll(recall_of(ivf, "ivf"))
+
+
+@register("minhash_recall_eval", None)  # measures an approximate method → rows-only
+def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """X1 dedup quality harness: recall/precision of MinHash-LSH pairs
+    against the EXACT shingle-Jaccard pair set (same shingle space,
+    same threshold — ngram_jaccard_pairs is the ground truth). The LSH
+    verify stage re-checks exact Jaccard on candidates, so precision
+    should measure 1.0; recall < 1 is the banding trade (P[collide] =
+    1-(1-s^r)^b). This is the eval a production dedup pipeline runs
+    before committing to an index configuration; deterministic but
+    approximate by construction → rows-only."""
+    d = _spread(_t(spark, sf, "documents"))
+    exact = (
+        ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    approx = minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.5
+    ).select("id_a", "id_b").persist()
+    n_exact = exact.count()
+    n_approx = approx.count()
+    n_hit = approx.join(exact, ["id_a", "id_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                "minhash_lsh_64x16",
+                int(n_exact),
+                int(n_approx),
+                round(n_hit / n_exact, 4) if n_exact else 1.0,
+                round(n_hit / n_approx, 4) if n_approx else 1.0,
+            )
+        ],
+        "method string, n_exact bigint, n_found bigint, recall double, precision double",
+    )

@@ -65,3 +65,32 @@ def test_sample_frames_schedule(spark):
     assert sorted(by_vid["v1"]) == [0, 1000, 2000, 3000]
     assert sorted(by_vid["v2"]) == [0]
     assert "v3" not in by_vid  # zero-length media yields no frames
+
+
+def test_real_codec_gate():
+    """The PIL branch is feature-gated: with Pillow absent (this
+    container) non-FAKE bytes raise the documented NotImplementedError;
+    with Pillow present they dispatch to _decode_real. The gate flag
+    must agree with reality either way."""
+    from etl_geotab_spark.operators import multimodal as mm
+
+    try:
+        import PIL  # noqa: F401
+
+        assert mm.HAS_PIL
+    except ImportError:
+        assert not mm.HAS_PIL
+    if mm.HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (4, 3), color=7).save(buf, format="PNG")
+        w, h, px = mm._decode_fake(buf.getvalue())
+        assert (w, h, px.tolist()) == (4, 3, [7] * 12)
+    else:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            mm._decode_fake(b"\x89PNG\r\n\x1a\nnotreal")
