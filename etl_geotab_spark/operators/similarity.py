@@ -390,10 +390,23 @@ def ivf_topk(
 
     def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
         """top-n centroids per row by cosine (broadcast nested loop over
-        the tiny centroid set — num_centroids rows, never the corpus)."""
+        the tiny centroid set — num_centroids rows, never the corpus).
+        n=1 (the assignment path, run once per refine round + once for
+        the inverted file) uses max_by — one hash aggregate, no sort;
+        ties break to the smaller centroid_id via the negated id in the
+        ordering struct, matching the window form exactly."""
         scored = df.crossJoin(cent).withColumn(
             "_csim", cosine_similarity(vec_col, "_cvec")
         )
+        if n == 1:
+            others = [c for c in df.columns if c != id_col]
+            return scored.groupBy(id_col).agg(
+                *[F.first(c).alias(c) for c in others],
+                F.max_by(
+                    F.col("centroid_id"),
+                    F.struct(F.col("_csim"), -F.col("centroid_id")),
+                ).alias(out),
+            ).select(df.columns + [F.col(out)])
         w = Window.partitionBy(id_col).orderBy(
             F.desc("_csim"), F.asc("centroid_id")
         )

@@ -119,6 +119,10 @@ _ROUND_DEFER = {
     "conditional_functions",
     "distinct_values",
     "union_all_tagged",
+    "set_ops",
+    "text_stats",
+    "token_frequencies",
+    "percentiles",
 }
 
 
