@@ -98,6 +98,7 @@ _ROUND_NEW: list[str] = [
     "source_temperature_resample",
     "ann_recall_eval",
     "minhash_recall_eval",
+    "streaming_session_window",
 ]
 _NEVER_CHECKED: list[str] = [
     "approx_percentiles",
@@ -1703,7 +1704,7 @@ def q_range_join_events(spark: SparkSession, sf: str) -> DataFrame:
 def q_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-salted fact⋈dim join (operators/skew.py): result is
     IDENTICAL to the plain join — the oracle proves it — while the
-    shuffle spreads each order key over 16 sub-keys (the 100 TB
+    shuffle spreads each order key over 8 sub-keys (the 100 TB
     mitigation for pathological key skew; AQE skew-split is the
     runtime complement)."""
     from etl_geotab_spark.operators.skew import salted_join
@@ -1716,7 +1717,7 @@ def q_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey",
         "o_orderkey",
         salt_cols=["l_linenumber", "l_partkey"],
-        num_salts=16,
+        num_salts=8,
     )
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -4313,3 +4314,48 @@ def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         ],
         "method string, n_exact bigint, n_found bigint, recall double, precision double",
     )
+
+
+@register(
+    "streaming_session_window",
+    # Gap-merged sessions: islands by >30 min gaps; session_window's
+    # end = last event + gap, start = first event (Spark semantics).
+    """
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                         ) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), isl AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id, sid
+    """,
+)
+def q_streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """T4 — a REAL Structured Streaming session-window run: file-source
+    readStream → watermark → session_window(gap) state merge →
+    AvailableNow drain. The stream drains to completion, so the merged
+    session set equals the batch gap-merge — which IS the oracle (an
+    islands CTE; session end = last event + gap per Spark semantics).
+    The batch twin is session_window (islands expression); this one
+    exercises the streaming state-store merge path."""
+    from etl_geotab_spark.streaming.jobs import (
+        run_to_memory_table,
+        sessionized_counts,
+        stream_events,
+    )
+
+    return run_to_memory_table(sessionized_counts(stream_events(spark, sf)))

@@ -73,6 +73,7 @@ def audit_plans(spark, sf_dir: str, only: set[str] | None = None,
             "streaming_tumbling_window",
             "streaming_stream_join",
             "stateful_user_stats",
+            "streaming_session_window",
         ):
             continue  # streaming plans audited via their own tests
         df = fn(spark, sf_dir)
