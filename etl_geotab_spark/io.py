@@ -124,6 +124,32 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """X4 media ingestion: the `binaryFile` source — one row per file
+    with (path, modificationTime, length, content binary). This is the
+    production input path for multimodal columns: downstream decode /
+    resize / frame-sample operators (operators/multimodal.py) consume
+    the `content` column exactly like the synthetic media blobs.
+
+    Scale notes: length/path/modificationTime come from the file
+    LISTING, so a `length <= max_bytes` filter prunes before any byte
+    is read (pushed to the source); content is only materialized for
+    surviving rows. Partitioning is per-file — fine for media objects
+    (one task decodes a bounded batch of files)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df
+
+
 def debug_sink(df: DataFrame, n: int = 20, truncate: bool = True) -> DataFrame:
     """S8 — the reference's DEBUG flag ("Print GeoJSON Features in
     logs", task.ts:76): log a bounded sample + schema, return the input

@@ -124,6 +124,7 @@ _ROUND_DEFER = {
     "text_stats",
     "token_frequencies",
     "percentiles",
+    "text_quality",
 }
 
 

@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis): operator INVARIANTS that must
+hold for arbitrary inputs, not just the curated fixtures.
+
+Spark jobs are expensive per example, so each property generates a
+BATCH of random cases and verifies the invariant over the whole batch
+in one or two jobs, with a small max_examples budget.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@SLOW
+@given(
+    data=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef ", min_size=0, max_size=30),  # prefix
+            st.text(alphabet="abcdef ", min_size=0, max_size=30),  # suffix a
+            st.text(alphabet="abcdef ", min_size=0, max_size=30),  # suffix b
+            st.text(alphabet="ghijkl", min_size=8, max_size=20),  # shared run
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_winnow_local_guarantee(spark, data):
+    """SIGMOD'03 winnowing guarantee: two documents sharing a substring
+    of length >= k + window - 1 (here 5+4-1=8) share at least one
+    fingerprint. The shared run uses a disjoint alphabet so the only
+    guaranteed common substring is the injected one."""
+    from etl_geotab_spark.functions.text import winnow_fingerprints_arrow
+
+    rows = []
+    for i, (pre, sa, sb, shared) in enumerate(data):
+        rows.append((2 * i, pre + shared + sa))
+        rows.append((2 * i + 1, sb + shared + pre))
+    df = spark.createDataFrame(rows, "id long, text string").select(
+        "id", winnow_fingerprints_arrow("text", k=5, window=4).alias("fp")
+    )
+    got = {r.id: set(r.fp) for r in df.collect()}
+    for i in range(len(data)):
+        a, b = got[2 * i], got[2 * i + 1]
+        assert a & b, f"case {i}: no shared fingerprint {data[i]!r}"
+
+
+@SLOW
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),  # skewed keys
+        min_size=0,
+        max_size=40,
+    ),
+    dim=st.lists(
+        st.tuples(st.integers(0, 5), st.text("xyz", min_size=1, max_size=3)),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_plain_join(spark, fact, dim, how):
+    """salted_join is a pure shuffle-layout change: for inner/left the
+    result multiset must equal the plain join on arbitrary (skewed)
+    inputs, including unmatched fact rows on the left path."""
+    from etl_geotab_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(fact)], "k long, v long, uid long"
+    )
+    d = spark.createDataFrame(dim, "dk long, label string")
+    got = salted_join(
+        f, d, "k", "dk", salt_cols=["uid"], num_salts=4, how=how
+    ).select("k", "v", "uid", "label")
+    want = f.join(d, f.k == d.dk, how).select("k", "v", "uid", "label")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed min-label CC == a driver-side union-find reference on
+    arbitrary graphs (self-loops, parallel edges, chains, islands)."""
+    from etl_geotab_spark.operators.clusters import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # canonicalize: representative = min node of the component
+    comp_min: dict[int, int] = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want
