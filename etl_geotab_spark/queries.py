@@ -99,6 +99,7 @@ _ROUND_NEW: list[str] = [
     "ann_recall_eval",
     "minhash_recall_eval",
     "streaming_session_window",
+    "udaf_weighted_median",
 ]
 _NEVER_CHECKED: list[str] = [
     "approx_percentiles",
@@ -4360,3 +4361,70 @@ def q_streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return run_to_memory_table(sessionized_counts(stream_events(spark, sf)))
+
+
+@register(
+    "udaf_weighted_median",
+    # Lower weighted median: smallest v whose running weight (ordered by
+    # v) reaches half the total. Quantities are integer-valued doubles,
+    # so every partial sum is exact and tie order within equal v cannot
+    # change which v crosses the half-weight line.
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING
+             ) AS cw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(CAST(min(CASE WHEN cw >= tw / 2.0 THEN v END) AS DOUBLE), 4)
+             AS weighted_median_price,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def q_udaf_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 true UDAF: a GROUPED_AGG pandas UDF (Arrow-batched custom
+    aggregate) computing the quantity-weighted median price per return
+    flag — genuinely not a Spark builtin (percentile_approx has no
+    weights). Each group's (value, weight) columns arrive as aligned
+    numpy arrays; the aggregate sorts once and binary-searches the
+    half-weight crossing. Plan shape: ObjectHashAggregate with the
+    Python stage as the aggregate expression — one shuffle on the
+    group key, no driver involvement. Scale caveat (honest): a
+    GROUPED_AGG UDF sees each group's full column at once (no partial
+    merge), so per-group cardinality must fit a worker — fine for
+    bounded groups like return flags; for unbounded groups use the
+    two-pass expression form (cumulative-weight window + first
+    crossing, exactly what the oracle SQL does distributedly)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType (not type hints): this module uses
+    # `from __future__ import annotations`, which stringifies the
+    # hints pandas_udf would otherwise introspect
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(v, w):
+        import numpy as np
+
+        order = np.argsort(v.to_numpy(), kind="stable")
+        vv = v.to_numpy()[order]
+        ww = w.to_numpy()[order]
+        cum = np.cumsum(ww)
+        idx = int(np.searchsorted(cum, cum[-1] / 2.0, side="left"))
+        return float(vv[idx])
+
+    li = _t(spark, sf, "lineitem")
+    # GROUPED_AGG pandas UDFs cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — run the two tiny per-flag
+    # aggregates separately and join the 3-row results.
+    med = li.groupBy("l_returnflag").agg(
+        F.round(wmedian(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias(
+            "weighted_median_price"
+        )
+    )
+    cnt = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    return med.join(cnt, "l_returnflag")
