@@ -126,6 +126,7 @@ _ROUND_DEFER = {
     "token_frequencies",
     "percentiles",
     "text_quality",
+    "cube_agg",
 }
 
 
