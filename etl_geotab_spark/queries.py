@@ -100,6 +100,7 @@ _ROUND_NEW: list[str] = [
     "minhash_recall_eval",
     "streaming_session_window",
     "udaf_weighted_median",
+    "fuzzy_match_customers",
 ]
 _NEVER_CHECKED: list[str] = [
     "approx_percentiles",
@@ -127,6 +128,7 @@ _ROUND_DEFER = {
     "percentiles",
     "text_quality",
     "cube_agg",
+    "approx_distinct",
 }
 
 
@@ -4429,3 +4431,53 @@ def q_udaf_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     )
     cnt = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
     return med.join(cnt, "l_returnflag")
+
+
+@register(
+    "fuzzy_match_customers",
+    """
+    WITH blocked AS (
+      SELECT c_custkey, c_name, substr(c_name, 10, 8) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_match_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution / fuzzy matching: candidate pairs via a
+    blocking key (shared name prefix — the same blocking discipline as
+    every near-dup operator in this engine: never an all-pairs edit-
+    distance), verified with exact Levenshtein <= 1. The block bounds
+    pair volume (block size 10 here) at the standard blocking-recall
+    cost: a pair differing OUTSIDE the blocked prefix is unseen — at
+    100 TB you OR several complementary blocks (prefix, suffix, q-gram,
+    phonetic), all reusing this same verify stage. levenshtein() is a JVM builtin
+    on both engines — no UDF in the verify."""
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    blocked = cust.withColumn("blk", F.substring("c_name", 10, 8))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.c_custkey") < F.col("b.c_custkey"),
+            ],
+        )
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            .cast("int")
+            .alias("edit_dist"),
+        )
+    )
