@@ -82,15 +82,24 @@ def write_bucketed(
     num_buckets: int,
     sort_col: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
+    drop_first: bool = False,
 ) -> None:
     """Bucketed (hash-clustered) table. Two tables bucketed on their
     join key with the same bucket count join WITHOUT a shuffle — the
     Exchange disappears from the plan. This is the storage-layout
     answer to the biggest recurring fact⋈fact cost at scale: pay the
-    shuffle once at write time, amortize it over every downstream join."""
+    shuffle once at write time, amortize it over every downstream join.
+
+    ``path`` makes it an external table; ``drop_first`` drops any stale
+    catalog entry so repeated runs in one session re-register cleanly."""
+    if drop_first:
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 
@@ -102,15 +111,12 @@ def write_bucketed_external(
     num_buckets: int,
     sort_col: str | None = None,
 ) -> None:
-    """`write_bucketed` with an explicit storage path (external table)
-    and idempotent re-registration — repeated runs in one session
-    (bench loops, the correctness harness) re-create cleanly instead of
-    tripping over a stale catalog entry."""
-    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
-    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
-    if sort_col is not None:
-        writer = writer.sortBy(sort_col)
-    writer.option("path", path).format("parquet").saveAsTable(table)
+    """`write_bucketed` with an explicit storage path + idempotent
+    re-registration (kept as a named convenience wrapper)."""
+    write_bucketed(
+        df, table, bucket_col, num_buckets, sort_col=sort_col,
+        path=path, drop_first=True,
+    )
 
 
 def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:

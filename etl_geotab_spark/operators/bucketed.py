@@ -38,19 +38,30 @@ def colocated_tables(
 ) -> dict[str, DataFrame]:
     """Write each (df, key) side bucketed by its join key and return
     catalog-backed DataFrames whose bucketing metadata Catalyst can use
-    to elide the join exchange. Table names are namespaced by sf_dir so
-    sf0.01 correctness runs and sf0.1 bench runs never collide."""
-    ns = _safe_name(sf_dir.strip("/"))
+    to elide the join exchange.
+
+    Isolation + amortization:
+    - names and paths are namespaced by sf_dir AND process id — the
+      correctness driver, pytest, and bench may run concurrently, and a
+      shared path would let one session's overwrite delete bucket files
+      out from under another session's lazy scan;
+    - within a session the write happens ONCE per (sf, side): if the
+      table is already registered, it is reused as-is (fixtures are
+      immutable), which is precisely the pay-the-shuffle-once contract
+      the layout exists for — re-invocations measure the JOIN, not the
+      write."""
+    ns = f"{_safe_name(sf_dir.strip('/'))}_p{os.getpid()}"
     out: dict[str, DataFrame] = {}
     for name, (df, key) in sides.items():
         table = f"bkt_{ns}_{name}"
-        write_bucketed_external(
-            df,
-            table,
-            os.path.join(base_dir, ns, name),
-            key,
-            n_buckets,
-            sort_col=key,
-        )
+        if not spark.catalog.tableExists(table):
+            write_bucketed_external(
+                df,
+                table,
+                os.path.join(base_dir, ns, name),
+                key,
+                n_buckets,
+                sort_col=key,
+            )
         out[name] = spark.table(table)
     return out

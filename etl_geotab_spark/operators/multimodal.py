@@ -118,10 +118,15 @@ except ImportError:
 def _decode_real(blob: bytes) -> tuple[int, int, np.ndarray]:
     """PIL-backed decode for real image bytes (PNG/JPEG/...). Grayscale
     ('L') so the pixel array contract matches the stub codec: bytes in
-    → (w, h, uint8 pixel array) out. Only reachable when HAS_PIL."""
+    → (w, h, uint8 pixel array) out. Only reachable when HAS_PIL.
+    Undecodable bytes raise ValueError (one stable exception class for
+    callers, whatever PIL raised underneath)."""
     import io as _io
 
-    img = _PILImage.open(_io.BytesIO(blob)).convert("L")
+    try:
+        img = _PILImage.open(_io.BytesIO(blob)).convert("L")
+    except Exception as e:  # UnidentifiedImageError, truncated data, ...
+        raise ValueError(f"undecodable media blob ({len(blob)} bytes): {e}") from e
     w, h = img.size
     return w, h, np.asarray(img, dtype=np.uint8).reshape(-1)
 

@@ -425,13 +425,20 @@ def ivf_topk(
             "centroid_id", F.posexplode(F.col(vec_col)).alias("_p", "_v")
         )
         means = dims.groupBy("centroid_id", "_p").agg(F.avg("_v").alias("_m"))
+        moved = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_mvec")
+        )
+        # a centroid that captured nothing this round keeps its previous
+        # vector instead of vanishing — otherwise the index silently
+        # shrinks below num_centroids (and the n_probe fraction lies)
         cent = (
-            means.groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_p", "_m"))),
-                    lambda s: s["_m"],
-                ).alias("_cvec")
+            cent.join(moved, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_mvec"), F.col("_cvec")).alias("_cvec"),
             )
         )
         cent = broadcast(cent.localCheckpoint())

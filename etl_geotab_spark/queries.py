@@ -76,7 +76,8 @@ def register(name: str, oracle: str | None):
 # signal queries inside the checked window. Registration order below
 # never changes; only the exported ordering rotates.
 #
-# Round-3 window: (a) the 9 queries new this round, (b) the 3 queries
+# Round-3 window: (a) every query new this round (_ROUND_NEW, in
+# registration order), (b) the 3 queries
 # that have never had a CORRECTNESS row (rows-only by design, but the
 # row itself documents that), then (c) the round-1-checked set — last
 # verified on round-1 code, since which the timestamp read path (NTZ),
@@ -4268,21 +4269,23 @@ def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     ).persist()
     n_queries = exact.select("query_id").distinct().count()
 
-    def recall_of(approx: DataFrame, method: str) -> DataFrame:
+    def recall_of(approx: DataFrame) -> float:
         hits = approx.select("query_id", "neighbor_id").join(
             exact, ["query_id", "neighbor_id"], "left_semi"
         )
-        return hits.agg(
-            F.lit(method).alias("method"),
-            F.round(
-                F.count(F.lit(1)).cast("double") / F.lit(float(n_queries * k)), 4
-            ).alias("recall_at_10"),
-            F.lit(n_queries).alias("n_queries"),
-        )
+        return round(hits.count() / float(n_queries * k), 4)
 
-    lsh = lsh_bucketed_ann(emb, queries_side, k=k, **_ANN_LSH)
-    ivf = ivf_topk(emb, queries_side, k=k, **_ANN_IVF)
-    return recall_of(lsh, "lsh").unionAll(recall_of(ivf, "ivf"))
+    # terminal scalars computed eagerly so the persisted baseline can be
+    # RELEASED before returning — the correctness harness runs many
+    # queries in one session and leaked cache blocks degrade whatever
+    # runs later (the bench.py GC lesson, applied at the source).
+    lsh = recall_of(lsh_bucketed_ann(emb, queries_side, k=k, **_ANN_LSH))
+    ivf = recall_of(ivf_topk(emb, queries_side, k=k, **_ANN_IVF))
+    exact.unpersist()
+    return spark.createDataFrame(
+        [("lsh", lsh, n_queries), ("ivf", ivf, n_queries)],
+        "method string, recall_at_10 double, n_queries bigint",
+    )
 
 
 @register("minhash_recall_eval", None)  # measures an approximate method → rows-only
@@ -4307,6 +4310,8 @@ def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     n_exact = exact.count()
     n_approx = approx.count()
     n_hit = approx.join(exact, ["id_a", "id_b"], "left_semi").count()
+    exact.unpersist()
+    approx.unpersist()
     return spark.createDataFrame(
         [
             (

@@ -72,6 +72,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # same session hygiene as bench.py: a few operators persist
+            # intermediates; over a 100+-query session leaked blocks
+            # degrade whatever runs later
+            spark.catalog.clearCache()
 
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, "
