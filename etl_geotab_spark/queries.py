@@ -102,6 +102,7 @@ _ROUND_NEW: list[str] = [
     "streaming_session_window",
     "udaf_weighted_median",
     "fuzzy_match_customers",
+    "grouped_map_ewma",
 ]
 _NEVER_CHECKED: list[str] = [
     "approx_percentiles",
@@ -130,6 +131,7 @@ _ROUND_DEFER = {
     "text_quality",
     "cube_agg",
     "approx_distinct",
+    "json_functions",
 }
 
 
@@ -4485,4 +4487,50 @@ def q_fuzzy_match_customers(spark: SparkSession, sf: str) -> DataFrame:
             .cast("int")
             .alias("edit_dist"),
         )
+    )
+
+
+@register(
+    "grouped_map_ewma",
+    # list_reduce applies the SAME sequential float64 recursion pandas
+    # ewm(adjust=False) runs (s_1 = v_1; s_i = 0.8*s_{i-1} + 0.2*v_i),
+    # so the final smoothed value is bit-identical before rounding.
+    """
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+           round(list_reduce(vs, (acc, x) -> 0.8 * acc + 0.2 * x), 6)
+             AS ewma_final
+    FROM ordered
+    """,
+)
+def q_grouped_map_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 GROUPED_MAP applyInPandas: per-user exponentially-weighted
+    moving average over the time-ordered event series. EWMA is the
+    canonical computation a SQL window CANNOT express (each output
+    depends recursively on the previous output, not on a frame of
+    inputs) — exactly when the full-group pandas escape hatch is the
+    right tool. One shuffle on the group key; each group's series is
+    smoothed in one vectorized pandas call. Scale contract: per-group
+    cardinality must fit a worker (same as any grouped-map op); for
+    unbounded groups, window-chunk the series first."""
+
+    def smooth(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = pdf["value"].ewm(alpha=0.2, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma_final": [round(float(s.iloc[-1]), 6)],
+            }
+        )
+
+    ev = _t(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        smooth, "user_id bigint, n_events bigint, ewma_final double"
     )
