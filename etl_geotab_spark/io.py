@@ -148,7 +148,7 @@ def read_binary_files(
     surviving rows. Partitioning is per-file — fine for media objects
     (one task decodes a bounded batch of files)."""
     reader = spark.read.format("binaryFile")
-    if glob:
+    if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(path)
     if max_bytes is not None:

@@ -17,8 +17,10 @@ in-memory catalog, so no Hive metastore is needed.
 
 from __future__ import annotations
 
+import atexit
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -51,17 +53,33 @@ def colocated_tables(
       the layout exists for — re-invocations measure the JOIN, not the
       write."""
     ns = f"{_safe_name(sf_dir.strip('/'))}_p{os.getpid()}"
+    # this process's bucket dirs are temp state: best-effort removal at
+    # exit so repeated runs don't grow the temp dir without bound
+    _cleanup_at_exit(os.path.join(base_dir, ns))
     out: dict[str, DataFrame] = {}
     for name, (df, key) in sides.items():
-        table = f"bkt_{ns}_{name}"
+        # cache key includes WHAT is cached (join key + bucket count):
+        # a same-named side with different bucketing gets its own table
+        # instead of silently reusing the first call's layout
+        table = f"bkt_{ns}_{name}_{_safe_name(key)}_{n_buckets}"
         if not spark.catalog.tableExists(table):
             write_bucketed_external(
                 df,
                 table,
-                os.path.join(base_dir, ns, name),
+                os.path.join(base_dir, ns, f"{name}_{_safe_name(key)}_{n_buckets}"),
                 key,
                 n_buckets,
                 sort_col=key,
             )
         out[name] = spark.table(table)
     return out
+
+
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _cleanup_at_exit(path: str) -> None:
+    if path in _CLEANUP_REGISTERED:
+        return
+    _CLEANUP_REGISTERED.add(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)

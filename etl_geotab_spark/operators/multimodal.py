@@ -42,6 +42,14 @@ from pyspark.sql.types import (
 _MAGIC = b"FAKE"  # synthetic media container: FAKE | kind | w | h | payload
 
 
+class UndecodableMediaError(NotImplementedError):
+    """One stable exception for every blob the codec stack cannot
+    decode — whether the codec is unavailable in this environment
+    (no Pillow) or the bytes are garbage. Subclasses
+    NotImplementedError so the original documented stub contract
+    (catch NotImplementedError) keeps working in both environments."""
+
+
 # ----------------------------------------------------------- synthesis
 
 
@@ -119,14 +127,17 @@ def _decode_real(blob: bytes) -> tuple[int, int, np.ndarray]:
     """PIL-backed decode for real image bytes (PNG/JPEG/...). Grayscale
     ('L') so the pixel array contract matches the stub codec: bytes in
     → (w, h, uint8 pixel array) out. Only reachable when HAS_PIL.
-    Undecodable bytes raise ValueError (one stable exception class for
-    callers, whatever PIL raised underneath)."""
+    Undecodable bytes raise UndecodableMediaError (the same class the
+    no-PIL path raises — callers quarantine bad rows with ONE except
+    clause in every environment)."""
     import io as _io
 
     try:
         img = _PILImage.open(_io.BytesIO(blob)).convert("L")
     except Exception as e:  # UnidentifiedImageError, truncated data, ...
-        raise ValueError(f"undecodable media blob ({len(blob)} bytes): {e}") from e
+        raise UndecodableMediaError(
+            f"undecodable media blob ({len(blob)} bytes): {e}"
+        ) from e
     w, h = img.size
     return w, h, np.asarray(img, dtype=np.uint8).reshape(-1)
 
@@ -134,13 +145,15 @@ def _decode_real(blob: bytes) -> tuple[int, int, np.ndarray]:
 def _decode_fake(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Codec dispatch: FAKE container → header parse (deterministic
     stub, always available); anything else → PIL when installed
-    (HAS_PIL), else a clear NotImplementedError. The operator contract
-    (bytes in → (w, h, pixel array) out) is identical on every path —
-    swapping containers/codecs changes nothing downstream."""
+    (HAS_PIL), else UndecodableMediaError (also raised by the PIL path
+    on garbage bytes — ONE failure class in every environment). The
+    operator contract (bytes in → (w, h, pixel array) out) is identical
+    on every path — swapping containers/codecs changes nothing
+    downstream."""
     if blob[:4] != _MAGIC:
         if HAS_PIL:
             return _decode_real(blob)
-        raise NotImplementedError(
+        raise UndecodableMediaError(
             "real media decode requires PIL/ffmpeg (not in this container); "
             "only the FAKE synthetic container is decodable here"
         )

@@ -4498,7 +4498,7 @@ def q_fuzzy_match_customers(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH ordered AS (
       SELECT user_id, list(value ORDER BY ts, event_id) AS vs
-      FROM events GROUP BY user_id
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
     )
     SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
            round(list_reduce(vs, (acc, x) -> 0.8 * acc + 0.2 * x), 6)
@@ -4530,7 +4530,14 @@ def q_grouped_map_ewma(spark: SparkSession, sf: str) -> DataFrame:
             }
         )
 
-    ev = _t(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    # drop NULL values identically on both sides: pandas ewm SKIPS NaN
+    # while the oracle's list_reduce would PROPAGATE NULL — the two
+    # semantics diverge on any null, so nulls are excluded by contract
+    ev = (
+        _t(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .where(F.col("value").isNotNull())
+    )
     return ev.groupBy("user_id").applyInPandas(
         smooth, "user_id bigint, n_events bigint, ewma_final double"
     )
