@@ -103,6 +103,7 @@ _ROUND_NEW: list[str] = [
     "udaf_weighted_median",
     "fuzzy_match_customers",
     "grouped_map_ewma",
+    "flagship_schema_contract",
 ]
 _NEVER_CHECKED: list[str] = [
     "approx_percentiles",
@@ -132,6 +133,7 @@ _ROUND_DEFER = {
     "cube_agg",
     "approx_distinct",
     "json_functions",
+    "math_functions",
 }
 
 
@@ -4540,4 +4542,40 @@ def q_grouped_map_ewma(spark: SparkSession, sf: str) -> DataFrame:
     )
     return ev.groupBy("user_id").applyInPandas(
         smooth, "user_id bigint, n_events bigint, ewma_final double"
+    )
+
+
+@register(
+    "flagship_schema_contract",
+    # Static oracle: the output contract IS the expected value. A type
+    # or column change in the flagship pipeline fails this query's
+    # rows+hash check — the engine's version of the reference's
+    # Capabilities/SchemaOutput introspection (task.ts:109-122,
+    # CHANGELOG v2.15.0).
+    """
+    SELECT * FROM (VALUES
+      (1, 'id', 'string'),
+      (2, 'callsign', 'string'),
+      (3, 'order_key', 'bigint'),
+      (4, 'start_ts', 'timestamp'),
+      (5, 'speed_ms', 'double'),
+      (6, 'segment', 'string'),
+      (7, 'nation_name', 'string')
+    ) AS t(field_pos, field_name, field_type)
+    """,
+)
+def q_flagship_schema_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """Entry 3 (schema introspection, task.ts:109-122): the flagship
+    result schema surfaced AS DATA and pinned against a static oracle —
+    the declared output contract cannot drift from what the pipeline
+    emits, because this query recomputes it from the live plan (no
+    execution: schema comes from analysis only) while the oracle states
+    the contract."""
+    schema = q_geotab_flagship(spark, sf).schema
+    rows = [
+        (i + 1, f.name, f.dataType.simpleString())
+        for i, f in enumerate(schema.fields)
+    ]
+    return spark.createDataFrame(
+        rows, "field_pos int, field_name string, field_type string"
     )
