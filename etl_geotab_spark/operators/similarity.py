@@ -366,14 +366,26 @@ def ivf_topk(
     partition pruning for vector search. Recall is tuned by n_probe
     (pytest checks recall vs the exact result).
     """
-    from etl_geotab_spark.functions.vector import cosine_similarity
+    cent, inverted = _ivf_build(
+        corpus, vec_col, id_col, num_centroids, seed, refine_iters
+    )
+    # 3. queries probe their n_probe nearest lists
+    probes = _nearest_centroids(
+        queries.select(id_col, vec_col), cent, vec_col, id_col, n_probe, "centroid_id"
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        "centroid_id",
+    )
+    return _probe_and_rank(probes, inverted, vec_col, id_col, k)
 
-    # 1. deterministic centroid sample: smallest md5(id) wins.
-    # centroid_id = row_number over the SAME md5 ordering (not
-    # monotonically_increasing_id, which is partition-layout-dependent
-    # and could renumber across reruns — round-1 ADVICE/VERDICT #5);
-    # the window runs over num_centroids rows post-limit, so the single-
-    # partition sort is trivial.
+
+def _ivf_sample_centroids(corpus, vec_col, id_col, num_centroids, seed):
+    """Deterministic centroid sample: smallest md5(seed||id) wins;
+    centroid_id = row_number over the SAME md5 ordering (not
+    monotonically_increasing_id, which is partition-layout-dependent
+    and could renumber across reruns — round-1 ADVICE/VERDICT #5). The
+    window sorts num_centroids rows post-limit — trivial."""
     cent = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .withColumn("_r", F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))))
@@ -386,74 +398,70 @@ def ivf_topk(
             F.col(vec_col).alias("_cvec"),
         )
     )
-    cent = broadcast(cent.localCheckpoint())
+    return broadcast(cent.localCheckpoint())
 
-    def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
-        """top-n centroids per row by cosine (broadcast nested loop over
-        the tiny centroid set — num_centroids rows, never the corpus).
-        n=1 (the assignment path, run once per refine round + once for
-        the inverted file) uses max_by — one hash aggregate, no sort;
-        ties break to the smaller centroid_id via the negated id in the
-        ordering struct, matching the window form exactly."""
-        scored = df.crossJoin(cent).withColumn(
-            "_csim", cosine_similarity(vec_col, "_cvec")
-        )
-        if n == 1:
-            others = [c for c in df.columns if c != id_col]
-            return scored.groupBy(id_col).agg(
-                *[F.first(c).alias(c) for c in others],
-                F.max_by(
-                    F.col("centroid_id"),
-                    F.struct(F.col("_csim"), -F.col("centroid_id")),
-                ).alias(out),
-            ).select(df.columns + [F.col(out)])
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("_csim"), F.asc("centroid_id")
-        )
-        return (
-            scored.withColumn("_crank", F.row_number().over(w))
-            .where(F.col("_crank") <= n)
-            .select(df.columns + [F.col("centroid_id").alias(out)])
-        )
 
-    # 1b. optional Lloyd refinement: assign → per-dim mean → new
-    # centroids. Only (num_centroids × dim) aggregate rows move; the
-    # corpus is re-scanned once per round (same contract as kmeans.py).
-    for _ in range(refine_iters):
-        assigned = nearest(corpus.select(id_col, vec_col), 1, "centroid_id")
-        dims = assigned.select(
-            "centroid_id", F.posexplode(F.col(vec_col)).alias("_p", "_v")
-        )
-        means = dims.groupBy("centroid_id", "_p").agg(F.avg("_v").alias("_m"))
-        moved = means.groupBy("centroid_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_p", "_m"))),
-                lambda s: s["_m"],
-            ).alias("_mvec")
-        )
-        # a centroid that captured nothing this round keeps its previous
-        # vector instead of vanishing — otherwise the index silently
-        # shrinks below num_centroids (and the n_probe fraction lies)
-        cent = (
-            cent.join(moved, "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce(F.col("_mvec"), F.col("_cvec")).alias("_cvec"),
-            )
-        )
-        cent = broadcast(cent.localCheckpoint())
-
-    # 2. inverted file: corpus row → its single nearest centroid
-    inverted = nearest(corpus.select(id_col, vec_col), 1, "centroid_id")
-    # 3. queries probe their n_probe nearest lists
-    probes = nearest(
-        queries.select(id_col, vec_col), n_probe, "centroid_id"
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        "centroid_id",
+def _nearest_centroids(df, cent, vec_col, id_col, n, out):
+    """top-n centroids per row by cosine (broadcast nested loop over
+    the tiny centroid set — num_centroids rows, never the corpus).
+    n=1 (the assignment path, run once per refine round + once for
+    the inverted file) uses max_by — one hash aggregate, no sort;
+    ties break to the smaller centroid_id via the negated id in the
+    ordering struct, matching the window form exactly."""
+    scored = df.crossJoin(cent).withColumn(
+        "_csim", cosine_similarity(vec_col, "_cvec")
+    )
+    if n == 1:
+        others = [c for c in df.columns if c != id_col]
+        return scored.groupBy(id_col).agg(
+            *[F.first(c).alias(c) for c in others],
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("_csim"), -F.col("centroid_id")),
+            ).alias(out),
+        ).select(df.columns + [F.col(out)])
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_csim"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .where(F.col("_crank") <= n)
+        .select(df.columns + [F.col("centroid_id").alias(out)])
     )
 
+
+def _ivf_refine_once(corpus, cent, vec_col, id_col):
+    """One Lloyd round: assign → per-dim mean → new centroids. Only
+    (num_centroids × dim) aggregate rows move; the corpus is re-scanned
+    once per round (same contract as kmeans.py). A centroid that
+    captured nothing keeps its previous vector instead of vanishing —
+    otherwise the index silently shrinks below num_centroids (and the
+    n_probe fraction lies)."""
+    assigned = _nearest_centroids(
+        corpus.select(id_col, vec_col), cent, vec_col, id_col, 1, "centroid_id"
+    )
+    dims = assigned.select(
+        "centroid_id", F.posexplode(F.col(vec_col)).alias("_p", "_v")
+    )
+    means = dims.groupBy("centroid_id", "_p").agg(F.avg("_v").alias("_m"))
+    moved = means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+            lambda s: s["_m"],
+        ).alias("_mvec")
+    )
+    new_cent = cent.join(moved, "centroid_id", "left").select(
+        "centroid_id",
+        F.coalesce(F.col("_mvec"), F.col("_cvec")).alias("_cvec"),
+    )
+    return broadcast(new_cent.localCheckpoint())
+
+
+def _probe_and_rank(
+    probes: DataFrame, inverted: DataFrame, vec_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Shared IVF probe stage: join query probes to their inverted
+    lists, exact cosine, deterministic per-query top-k."""
     candidates = probes.join(inverted, on="centroid_id").where(
         F.col("query_id") != F.col(id_col)
     )
@@ -468,3 +476,78 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    seed: int = 42,
+    refine_iters: int = 0,
+) -> None:
+    """Materialize the IVF index ON DISK: the inverted file written
+    partitioned by centroid_id (one directory per list) plus the
+    centroid table. This is the claim in ivf_topk's docstring made
+    literal — the assignment shuffle is paid ONCE at build time, and
+    every later query batch reads only its probed lists via PARTITION
+    PRUNING (PartitionFilters on centroid_id in the scan — asserted in
+    tests), the vector-search analogue of a partitioned fact table."""
+    cent, inverted = _ivf_build(
+        corpus, vec_col, id_col, num_centroids, seed, refine_iters
+    )
+    inverted.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/inverted"
+    )
+    cent.select(
+        "centroid_id", F.col("_cvec").cast("array<double>").alias("cvec")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index. Probe centroids are chosen from the
+    (tiny) centroid table; the union of probed list ids — at most
+    num_centroids values — becomes a LITERAL isin() filter on the
+    partition column, so the inverted-file scan prunes to the probed
+    directories before reading a single vector byte."""
+    cent = broadcast(
+        spark.read.parquet(f"{path}/centroids").select(
+            "centroid_id", F.col("cvec").alias("_cvec")
+        ).localCheckpoint()
+    )
+    probes = _nearest_centroids(
+        queries.select(id_col, vec_col), cent, vec_col, id_col, n_probe, "centroid_id"
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        "centroid_id",
+    )
+    probed_ids = [
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    ]
+    inverted = spark.read.parquet(f"{path}/inverted").where(
+        F.col("centroid_id").isin(probed_ids)
+    )
+    return _probe_and_rank(probes, inverted, vec_col, id_col, k)
+
+
+def _ivf_build(corpus, vec_col, id_col, num_centroids, seed, refine_iters):
+    """Centroids + inverted file, the shared build path of ivf_topk and
+    build_ivf_index (identical determinism: same seed → same index)."""
+    cent = _ivf_sample_centroids(corpus, vec_col, id_col, num_centroids, seed)
+    for _ in range(refine_iters):
+        cent = _ivf_refine_once(corpus, cent, vec_col, id_col)
+    inverted = _nearest_centroids(
+        corpus.select(id_col, vec_col), cent, vec_col, id_col, 1, "centroid_id"
+    )
+    return cent, inverted

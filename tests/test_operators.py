@@ -719,3 +719,40 @@ def test_train_split_deterministic_and_exhaustive(spark, sf_dir):
     assert set(out) <= {"train", "val", "test"}
     # 12/2/2 hex-nibble buckets: train should dominate
     assert out["train"] > out.get("val", 0) and out["train"] > out.get("test", 0)
+
+
+def test_persisted_ivf_index_prunes_and_matches(spark, tmp_path):
+    """build_ivf_index -> ivf_index_topk: the on-disk inverted file is
+    partitioned by centroid_id, the query path prunes to the probed
+    partitions (PartitionFilters in the scan), and results equal the
+    in-memory ivf_topk with the same seed/params."""
+    from pyspark.sql import functions as F
+
+    from etl_geotab_spark.io import load_table
+    from etl_geotab_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+
+    import re
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.where(F.col("vec_id") % 250 == 0)  # 2 queries -> <=6 probed lists
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, num_centroids=8, seed=42, refine_iters=1)
+
+    got = ivf_index_topk(spark, path, qs, k=5, n_probe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the inverted-file scan must prune on the partition column with a
+    # bounded IN-list (scan paths are truncated in plan metadata, so
+    # identify the scan by its partition filter, not its location)
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*centroid_id[^\]]* IN \([^)]*\)", plan
+    ), plan
+
+    want = ivf_topk(emb, qs, k=5, num_centroids=8, n_probe=3, seed=42,
+                    refine_iters=1)
+    g = sorted((r.query_id, r.neighbor_id, r.rank) for r in got.collect())
+    w = sorted((r.query_id, r.neighbor_id, r.rank) for r in want.collect())
+    assert g == w and g, "persisted index diverged from in-memory path"
