@@ -407,3 +407,51 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs_probe(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    probe_ids: list,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs INCIDENT to a bounded probe set — the
+    scale-safe ground truth for recall evaluation (round-3 verdict:
+    whole-corpus exact ground truth is O(n²) and dies first at 100×).
+
+    Only grams of probe documents join against the corpus gram table,
+    so cost is O(|probe| × gram-collision fan-out) — linear in corpus,
+    quadratic only in the fixed probe size. Pairs with BOTH endpoints
+    in the probe appear once per direction, so the shared-gram count
+    uses countDistinct. ``probe_ids`` is a driver-side list because it
+    is bounded by construction (the same contract as IVF probe ids).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("gram"),
+    ).persist()
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    l = grams.where(F.col(id_col).isin(probe_ids)).alias("l")
+    r = grams.alias("r")
+    shared = (
+        l.join(r, on=[F.col("l.gram") == F.col("r.gram"), F.col(f"l.{id_col}") != F.col(f"r.{id_col}")])
+        .groupBy(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_b"),
+        )
+        .agg(F.count_distinct(F.col("l.gram")).alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("shared")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -76,77 +76,107 @@ def register(name: str, oracle: str | None):
 # signal queries inside the checked window. Registration order below
 # never changes; only the exported ordering rotates.
 #
-# Round-3 window: (a) every query new this round (_ROUND_NEW, in
-# registration order), (b) the 3 queries
-# that have never had a CORRECTNESS row (rows-only by design, but the
-# row itself documents that), then (c) the round-1-checked set — last
-# verified on round-1 code, since which the timestamp read path (NTZ),
-# asof join, similarity candidates, winnowing, and multimodal kernels
-# all changed. Trivial expression-only queries from that set are pushed
-# past the cutoff (least likely to regress; all were hash-green in r01
-# and every r02-checked query keeps its r02 row).
+# Round-4 window: (a) every query whose code or oracle changed this
+# round (_ROUND_NEW — the connector pipeline gets its FIRST-ever oracle
+# row, the eval harnesses got bounded ground truth, dedup_clusters'
+# fused-CC rewrite postdates its r02 row), then (b) the r02-checked set
+# — two rounds stale by now, judge-named operator-touched queries first
+# (range/chunk/grid/variant/sessionize: their operators changed in
+# round 3). Low-risk pure-expression r02 queries are deferred past the
+# cutoff; any spare window slots fall to the r01-era expression set
+# (three rounds stale) via registration order.
 _ROUND_NEW: list[str] = [
-    "pii_redact",
-    "repetition_ratio",
-    "contamination_overlap",
-    "dedup_normalized",
-    "train_val_test_split",
-    "embedding_centroid_distance",
-    "mad_outliers",
-    "vin_filter",
-    "bucketed_colocated_join",
-    "udtf_top_terms",
-    "source_temperature_resample",
+    "geotab_connector_pipeline",
+    "pricing_summary",
+    "dedup_clusters",
     "ann_recall_eval",
     "minhash_recall_eval",
-    "streaming_session_window",
-    "udaf_weighted_median",
-    "fuzzy_match_customers",
-    "grouped_map_ewma",
-    "flagship_schema_contract",
 ]
-_NEVER_CHECKED: list[str] = [
-    "approx_percentiles",
-    "hll_sketch_rollup",
-    "doc_winnow_fingerprints",
+# r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
+_R02_REFRESH_PRIORITY: list[str] = [
+    "range_join_events",
+    "chunk_documents",
+    "grid_spatial_join",
+    "variant_shred",
+    "sessionize_events",
+    "interval_overlap_join",
+    "time_range_moving_avg",
 ]
-# r01-set members re-checked in round 2 (keep their fresh r02 rows) or
-# cheap expression-only queries deprioritized past the driver cutoff.
+# pure-expression r02 queries with untouched operators — least likely
+# to regress, pushed past the cutoff to free slots
 _ROUND_DEFER = {
-    "collect_array_agg",
+    "conditional_agg",
+    "mode_median",
+    "linear_fit_stats",
+    "zscore_outliers",
+    "histogram_buckets",
+    "regex_token_ops",
+    "posexplode_terms",
+    "string_agg_sorted",
+    "exists_subquery",
+    "in_subquery",
+}
+# last green in round 2 (besides the priority/deferred sets above)
+_R02_REST: list[str] = [
     "geotab_flagship",
-    "geotab_connector_pipeline",
+    "collect_array_agg",
+    "multimodal_frame_sample",
+    "multimodal_decode_stats",
+    "salted_skew_join",
+    "pivot_returnflag",
+    "grouping_sets",
+    "hash_sample",
+    "quality_filter_pipeline",
+    "streaming_stream_join",
+    "window_distribution",
+    "tfidf_top_terms",
+    "gap_fill_forward",
+    "stratified_sample",
+    "bigram_pmi",
+    "pack_sequences",
+    "streaming_dedup_keys",
+    "unpivot_metrics",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue",
+    "returned_item_report",
+    "upsert_orders",
+    "scd2_user_history",
+    "global_rownum_orders",
+    "ohlc_downsample",
+    "funnel_conversion",
+    "profile_lineitem",
+]
+
+
+# last green in round 1 — three rounds stale; spare window slots (the
+# 50-cutoff minus the tiers above) refresh these oldest rows first
+_R01_REFRESH: list[str] = [
     "scan_filter_project",
     "string_functions",
+    "math_functions",
+    "conditional_functions",
+    "json_functions",
+    "set_ops",
+    "distinct_values",
+    "text_stats",
+    "token_frequencies",
+    "percentiles",
+    "cube_agg",
+    "union_all_tagged",
     "map_functions",
     "struct_geojson",
     "array_norms",
     "haversine_distance",
-    "conditional_functions",
-    "distinct_values",
-    "union_all_tagged",
-    "set_ops",
-    "text_stats",
-    "token_frequencies",
-    "percentiles",
     "text_quality",
-    "cube_agg",
-    "approx_distinct",
-    "json_functions",
-    "math_functions",
-}
+]
 
 
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
-    r01_set = [
-        n
-        for n in names[:50]
-        if n not in _ROUND_DEFER and n not in _ROUND_NEW and n not in _NEVER_CHECKED
-    ]
-    head = _ROUND_NEW + _NEVER_CHECKED + r01_set
-    rest = [n for n in names if n not in head]
-    return head + rest
+    head = _ROUND_NEW + _R02_REFRESH_PRIORITY + _R02_REST + _R01_REFRESH
+    rest = [n for n in names if n not in head and n not in _ROUND_DEFER]
+    return head + rest + sorted(_ROUND_DEFER)
 
 
 def queries() -> dict[str, QueryFn]:
@@ -1519,7 +1549,19 @@ def q_stateful_user_stats(spark: SparkSession, sf: str) -> DataFrame:
 # ==================================================== batch 4: connector
 
 
-@register("geotab_connector_pipeline", None)  # external source → rows-only
+def _connector_oracle() -> str:
+    # Deterministic fake transport ⇒ the connector dataflow IS
+    # oracle-checkable: materialize the exact wire rows as VALUES CTEs
+    # and re-express the pipeline independently in DuckDB SQL
+    # (sources/geotab.py:connector_pipeline_oracle_sql).
+    from etl_geotab_spark.sources.geotab import connector_pipeline_oracle_sql
+
+    return connector_pipeline_oracle_sql(
+        groups=("g1", "g2", "g3", "g4"), now="2024-01-01 22:00:00", freshness_hours=24
+    )
+
+
+@register("geotab_connector_pipeline", _connector_oracle())
 def q_geotab_connector_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """S1-S5 + S7 — the reference's full dataflow through the Python
     DataSource connector (sources/geotab.py): three JSON-RPC entity
@@ -1575,8 +1617,16 @@ def q_geotab_connector_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # Harness boundary: the driver canonicalizer can't hash array cells
     # (VERDICT r1) — serialize `groups` and the GeoJSON struct (its
     # coordinates field is an array); the library API keeps both typed.
+    # Geometry uses %.3f (not to_json) so the float rendering is
+    # engine-pinned: Java's Double.toString and DuckDB/Python shortest-
+    # repr disagree on some doubles, printf-style formatting never does.
     return feats.withColumn("groups", F.to_json("groups")).withColumn(
-        "geometry", F.to_json("geometry")
+        "geometry",
+        F.format_string(
+            '{"type":"Point","coordinates":[%.3f,%.3f]}',
+            F.col("geometry.coordinates")[0],
+            F.col("geometry.coordinates")[1],
+        ),
     )
 
 
@@ -4266,7 +4316,13 @@ def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = _t(spark, sf, "embeddings")
-    queries_side = emb.where(F.col("vec_id") % 50 == 0)
+    # Bounded query side (round-3 verdict): md5-order limit(64) is a
+    # deterministic FIXED-size sample — TakeOrderedAndProject, no full
+    # sort — so the exact baseline is O(corpus × 64), linear in corpus,
+    # instead of the old vec_id%50 sample whose O(n²/50) died first at
+    # scale. Recall averaged over 64 queries is statistically the same
+    # estimate.
+    queries_side = emb.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(64)
     k = 10
     exact = cosine_topk_bruteforce(emb, queries_side, k=k).select(
         F.col("query_id"), F.col("neighbor_id")
@@ -4295,22 +4351,45 @@ def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
 @register("minhash_recall_eval", None)  # measures an approximate method → rows-only
 def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     """X1 dedup quality harness: recall/precision of MinHash-LSH pairs
-    against the EXACT shingle-Jaccard pair set (same shingle space,
-    same threshold — ngram_jaccard_pairs is the ground truth). The LSH
+    against the EXACT shingle-Jaccard pairs incident to a fixed-size
+    probe sample (same shingle space, same threshold —
+    ngram_jaccard_pairs_probe is the ground truth). The LSH
     verify stage re-checks exact Jaccard on candidates, so precision
     should measure 1.0; recall < 1 is the banding trade (P[collide] =
     1-(1-s^r)^b). This is the eval a production dedup pipeline runs
     before committing to an index configuration; deterministic but
     approximate by construction → rows-only."""
+    from etl_geotab_spark.operators.dedup import ngram_jaccard_pairs_probe
+
     d = _spread(_t(spark, sf, "documents"))
+    # Bounded ground truth (round-3 verdict): exact Jaccard only for
+    # pairs INCIDENT to a fixed 300-doc probe sample (md5-order limit —
+    # deterministic, corpus-size independent). The MinHash side still
+    # runs the FULL corpus — that is the production op under test —
+    # then restricts to probe-incident pairs for the comparison. The
+    # probe id list is a bounded driver-side collect (same contract as
+    # IVF probe ids).
+    probe_ids = [
+        r[0]
+        for r in d.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .limit(300)
+        .collect()
+    ]
     exact = (
-        ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+        ngram_jaccard_pairs_probe(d, "text", "doc_id", probe_ids, n=3, threshold=0.5)
         .select("id_a", "id_b")
         .persist()
     )
-    approx = minhash_lsh_pairs(
-        d, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.5
-    ).select("id_a", "id_b").persist()
+    incident = F.col("id_a").isin(probe_ids) | F.col("id_b").isin(probe_ids)
+    approx = (
+        minhash_lsh_pairs(
+            d, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.5
+        )
+        .select("id_a", "id_b")
+        .where(incident)
+        .persist()
+    )
     n_exact = exact.count()
     n_approx = approx.count()
     n_hit = approx.join(exact, ["id_a", "id_b"], "left_semi").count()

@@ -555,6 +555,120 @@ def drivers_relational(df):
     )
 
 
+# ----------------------------------------------- connector-pipeline oracle
+# The fake transport is deterministic pure Python, so the FULL dataflow
+# (3 scans → adapters → geotab_pipeline) can be oracle-checked: this
+# helper replays the exact wire rows the reader would fetch, flattens
+# them exactly as the relational adapters do, and emits a standalone
+# DuckDB query — inputs as VALUES CTEs, the pipeline transformation
+# (task.ts:124-295) re-expressed independently in SQL.
+
+
+def _fake_wire_rows(type_name: str, groups: tuple[str, ...], search_extra: dict | None = None) -> list[dict]:
+    """Replay the per-group RPCs ``GeotabReader.read`` issues (one
+    partition per group) against the deterministic fake transport."""
+    rows: list[dict] = []
+    for gid in groups:
+        search: dict[str, Any] = dict(search_extra or {})
+        search["groups"] = [{"id": gid}]
+        resp = _fake_transport(
+            "",
+            {
+                "method": "Get",
+                "params": {
+                    "typeName": type_name,
+                    "credentials": {"database": "db", "sessionId": "session-oracle", "userName": ""},
+                    "search": search,
+                },
+            },
+        )
+        rows.extend(resp["result"])
+    return rows
+
+
+def _sq(s: str | None) -> str:
+    """SQL string literal (NULL-safe, quote-doubled)."""
+    if s is None:
+        return "CAST(NULL AS VARCHAR)"
+    return "'" + s.replace("'", "''") + "'"
+
+
+def connector_pipeline_oracle_sql(
+    groups: tuple[str, ...] = ("g1", "g2", "g3", "g4"),
+    now: str = "2024-01-01 22:00:00",
+    freshness_hours: int = 24,
+) -> str:
+    """ANSI-SQL twin of ``q_geotab_connector_pipeline``: same wire rows
+    (VALUES), independent re-expression of the pipeline — dedup-latest,
+    freshness horizon (strict >, task.ts:265-267), inner device join,
+    left driver join, JS-falsy defaults (task.ts:241-244), callsign
+    (task.ts:261-263), km/h→m/s (task.ts:276), GeoJSON serialization."""
+    status_vals = []
+    for r in _fake_wire_rows("DeviceStatusInfo", groups):
+        driver = r["driver"]
+        driver_id = driver["id"] if isinstance(driver, dict) else None
+        ts = r["dateTime"].replace("T", " ").replace(".000Z", "")
+        grp_json = json.dumps([g["id"] for g in r["groups"]], separators=(",", ":"))
+        status_vals.append(
+            f"({_sq(r['device']['id'])}, TIMESTAMP '{ts}', {_sq(driver_id)}, "
+            f"CAST({r['bearing']!r} AS DOUBLE), CAST({r['speed']!r} AS DOUBLE), "
+            f"CAST({r['latitude']!r} AS DOUBLE), CAST({r['longitude']!r} AS DOUBLE), "
+            f"{_sq(grp_json)})"
+        )
+    device_vals = [
+        f"({_sq(r['id'])}, {_sq(r['name'])}, {_sq(r['vehicleIdentificationNumber'])}, "
+        f"{_sq(r['licenseState'])}, {_sq(r['licensePlate'])})"
+        for r in _fake_wire_rows("Device", groups, {"excludeUntrackedAssets": True})
+    ]
+    driver_vals = [
+        f"({_sq(r['id'])}, {_sq(r['name'])}, {_sq(r['firstName'])}, {_sq(r['lastName'])}, "
+        f"{_sq(r['phoneNumber'])}, {_sq(r['designation'])}, {_sq(r['comment'])})"
+        for r in _fake_wire_rows("User", groups)
+    ]
+    return f"""
+    WITH status(device_id, date_time, driver_id, bearing, speed, latitude, longitude, groups) AS (
+      VALUES {', '.join(status_vals)}
+    ), devices(id, name, vin, license_state, license_plate) AS (
+      VALUES {', '.join(device_vals)}
+    ), drivers(id, name, first_name, last_name, phone_number, designation, comment) AS (
+      VALUES {', '.join(driver_vals)}
+    ), latest AS (
+      SELECT * FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY device_id ORDER BY date_time DESC) AS _rn
+        FROM status s
+      ) WHERE _rn = 1
+    ), fresh AS (
+      SELECT * FROM latest
+      WHERE date_time > TIMESTAMP '{now}' - INTERVAL {freshness_hours} HOUR
+    )
+    SELECT
+      'geotab-' || f.device_id AS id,
+      CASE WHEN d.name IS NULL OR d.name = '' THEN
+        concat_ws('-', coalesce(d.license_state, 'US'),
+                  CASE WHEN d.license_plate IS NULL OR d.license_plate = '' THEN 'Unknown' ELSE d.license_plate END)
+      ELSE d.name END AS callsign,
+      f.bearing AS course,
+      f.date_time AS "start",
+      f.speed * CAST(0.277778 AS DOUBLE) AS speed,
+      '{{"type":"Point","coordinates":[' || printf('%.3f', f.longitude) || ',' || printf('%.3f', f.latitude) || ']}}' AS geometry,
+      d.vin AS vin,
+      CASE WHEN d.name IS NULL OR d.name = '' THEN 'No Name' ELSE d.name END AS name,
+      CASE WHEN d.license_state IS NULL OR d.license_state = '' THEN 'US' ELSE d.license_state END AS license_state,
+      CASE WHEN d.license_plate IS NULL OR d.license_plate = '' THEN 'Unknown' ELSE d.license_plate END AS license_plate,
+      f.groups AS groups,
+      u.name AS driver_username,
+      u.first_name AS driver_first_name,
+      u.last_name AS driver_last_name,
+      u.phone_number AS driver_phone,
+      u.designation AS driver_designation,
+      u.comment AS driver_comment
+    FROM fresh f
+    JOIN devices d ON f.device_id = d.id
+    LEFT JOIN drivers u ON f.driver_id = u.id
+    WHERE starts_with(CASE WHEN d.name IS NULL OR d.name = '' THEN 'No Name' ELSE d.name END, '')
+    """
+
+
 # ------------------------------------------------------ streaming source
 
 

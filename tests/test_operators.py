@@ -756,3 +756,65 @@ def test_persisted_ivf_index_prunes_and_matches(spark, tmp_path):
     g = sorted((r.query_id, r.neighbor_id, r.rank) for r in got.collect())
     w = sorted((r.query_id, r.neighbor_id, r.rank) for r in want.collect())
     assert g == w and g, "persisted index diverged from in-memory path"
+
+
+# ---------------------------------------- bounded eval-harness ground truth
+
+
+def test_ngram_jaccard_probe_matches_full_when_probe_is_all(spark, sf_dir):
+    """ngram_jaccard_pairs_probe with probe=corpus must equal the full
+    pair set — verifies the least/greatest + countDistinct normalization
+    (both-endpoint-in-probe pairs are seen once per direction)."""
+    from etl_geotab_spark.io import load_table
+    from etl_geotab_spark.operators.dedup import ngram_jaccard_pairs_probe
+
+    d = load_table(spark, sf_dir, "documents")
+    all_ids = [r[0] for r in d.select("doc_id").collect()]
+    full = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5).collect()
+    }
+    probed = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs_probe(
+            d, "text", "doc_id", all_ids, n=3, threshold=0.5
+        ).collect()
+    }
+    assert probed == full and full
+
+
+def test_ngram_jaccard_probe_restricts_to_incident_pairs(spark):
+    """Pairs with NEITHER endpoint in the probe must not appear."""
+    from etl_geotab_spark.operators.dedup import ngram_jaccard_pairs_probe
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # dup of 1
+            (3, "zeta eta theta iota kappa"),
+            (4, "zeta eta theta iota kappa"),  # dup of 3, not probed
+        ],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs_probe(
+            df, "text", "doc_id", [1], n=3, threshold=0.5
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_eval_query_side_is_fixed_size_topk(spark, sf_dir):
+    """The ann_recall_eval query side is a deterministic fixed-size
+    sample: md5-order limit(k) → TakeOrderedAndProject (no full sort,
+    no corpus-proportional fan-out)."""
+    from etl_geotab_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    side = emb.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(7)
+    plan = side._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    ids_a = [r.vec_id for r in side.select("vec_id").collect()]
+    ids_b = [r.vec_id for r in side.select("vec_id").collect()]
+    assert len(ids_a) == 7 and sorted(ids_a) == sorted(ids_b)
