@@ -93,6 +93,13 @@ def write_bucketed(
 
     ``path`` makes it an external table; ``drop_first`` drops any stale
     catalog entry so repeated runs in one session re-register cleanly."""
+    import re as _re
+
+    # public API: validate the identifier before it reaches raw SQL
+    # (round-3 advice — internal callers pre-sanitize, external ones
+    # may not); dots allowed for db-qualified names
+    if not _re.fullmatch(r"[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)*", table):
+        raise ValueError(f"invalid table identifier: {table!r}")
     if drop_first:
         df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)

@@ -58,10 +58,13 @@ def colocated_tables(
     _cleanup_at_exit(os.path.join(base_dir, ns))
     out: dict[str, DataFrame] = {}
     for name, (df, key) in sides.items():
-        # cache key includes WHAT is cached (join key + bucket count):
-        # a same-named side with different bucketing gets its own table
-        # instead of silently reusing the first call's layout
-        table = f"bkt_{ns}_{name}_{_safe_name(key)}_{n_buckets}"
+        # cache key includes WHAT is cached (join key + bucket count +
+        # a fingerprint of the input PLAN): a same-named side with
+        # different bucketing — or different/filtered input data under
+        # the same side name — gets its own table instead of silently
+        # reusing the first call's layout (round-3 advice).
+        plan_fp = df.semanticHash() & 0xFFFFFFFF
+        table = f"bkt_{ns}_{name}_{_safe_name(key)}_{n_buckets}_{plan_fp:08x}"
         if not spark.catalog.tableExists(table):
             write_bucketed_external(
                 df,

@@ -117,6 +117,69 @@ def geotab_pipeline(
     return out.where(F.col("name").startswith(F.lit(prefix)))
 
 
+def run_connector_pipeline(
+    spark,
+    groups: tuple[str, ...] = ("g1", "g2", "g3", "g4"),
+    transport: str = "fake",
+    session_id: str = "session-bench",
+    now: Column | None = None,
+    freshness: str = "1 HOUR",
+    prefix: str = "",
+    debug: bool = False,
+) -> DataFrame:
+    """The reference's full ``control()`` dataflow (task.ts:124-295)
+    end-to-end through the connector: three JSON-RPC entity scans
+    (partition-per-group, pushdown) → wire→relational adapters →
+    ``geotab_pipeline`` → feature rows.
+
+    ``debug`` is the reference's DEBUG flag ("Print GeoJSON Features
+    in logs", task.ts:76): when set, the feature frame is routed
+    through ``io.debug_sink`` (bounded sample + schema to the logs)
+    before being returned — observability without changing the result.
+    """
+    from etl_geotab_spark.sources.geotab import (
+        _SCHEMAS,
+        device_status_relational,
+        devices_relational,
+        drivers_relational,
+        register_geotab_source,
+    )
+
+    register_geotab_source(spark)
+    try:  # the reader implements pushFilters → the gate conf must be on
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+
+    def read(entity: str, **opts):
+        # Wire schemas are fixed constants (task.ts:12-55) — passing
+        # them explicitly skips a Python-planner round-trip per load
+        # (the DataSource.schema() call spawns a worker; ~0.6 s each).
+        r = (
+            spark.read.format("geotab")
+            .schema(_SCHEMAS[entity])
+            .option("typename", entity)
+            .option("transport", transport)
+            .option("sessionid", session_id)
+            .option("groups", ",".join(groups))
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    status = device_status_relational(read("DeviceStatusInfo"))
+    devices = devices_relational(read("Device", excludeuntrackedassets="true"))
+    drivers = drivers_relational(read("User"))
+    feats = geotab_pipeline(
+        devices, status, drivers, prefix=prefix, now=now, freshness=freshness
+    )
+    if debug:
+        from etl_geotab_spark.io import debug_sink
+
+        feats = debug_sink(feats)
+    return feats
+
+
 def to_geojson_features(features: DataFrame) -> DataFrame:
     """S7 sink shape: one JSON string per feature, matching the
     reference's Feature envelope (task.ts:269-285). Use

@@ -303,24 +303,57 @@ def q_geotab_flagship(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1-shaped hash aggregate (A2): map-side partial agg + one
-    shuffle on the 2-col group key; decimal sums for oracle exactness."""
+    shuffle on the 2-col group key; decimal sums for oracle exactness.
+
+    The scalar subquery (max shipdate) runs as its own tiny single-
+    column job and the cutoff is inlined as a LITERAL predicate — a
+    broadcast-joined `_maxd - INTERVAL 90 DAY` comparison evaluates
+    interval arithmetic per row and cannot reach PushedFilters, which
+    cost ~0.5 s at sf0.1 (round-3 regression). The 1-row collect is
+    bounded by construction. Averages divide the (deduplicated) decimal
+    sums post-aggregation instead of declaring parallel sum exprs."""
+    import datetime as _dt
+
     li = _t(spark, sf, "lineitem")
-    maxd = li.agg(F.max("l_shipdate").alias("_maxd"))
-    filtered = li.join(broadcast(maxd), how="cross").where(
-        F.col("l_shipdate") <= F.expr("_maxd - INTERVAL 90 DAY")
-    )
+    maxd = li.agg(F.max("l_shipdate")).collect()[0][0]
+    if maxd is None:
+        filtered = li.where(F.lit(False))
+    else:
+        filtered = li.where(
+            F.col("l_shipdate") <= F.lit(maxd - _dt.timedelta(days=90))
+        )
     cnt = F.count(F.lit(1))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return filtered.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", "sum_qty"),
+    # Narrowed exact sums where value structure allows (decimal-sum
+    # buffers above precision 18 fall off the compact-long path):
+    # quantity is integral → plain long sum; discount is exact cents →
+    # scaled-long sum (max |sum| ≈ rows × 10 — no overflow at any
+    # realistic scale). The three price-magnitude sums stay decimal:
+    # a cents-scaled long would silently overflow int64 around 100 TB
+    # row counts, and decimal(28,6) cannot. All variants produce the
+    # identical correctly-rounded double the oracle's
+    # SUM(CAST(AS DECIMAL(18,6))) produces.
+    agg = filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("_sum_qty_l"),
         dsum("l_extendedprice", "sum_base_price"),
         dsum(disc_price, "sum_disc_price"),
         dsum(charge, "sum_charge"),
-        (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / cnt.cast("double")).alias("avg_qty"),
-        (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / cnt.cast("double")).alias("avg_price"),
-        (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / cnt.cast("double")).alias("avg_disc"),
+        F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias("_disc_cents"),
         cnt.alias("count_order"),
+    )
+    n = F.col("count_order").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sum_qty_l").cast("double").alias("sum_qty"),
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("_sum_qty_l").cast("double") / n).alias("avg_qty"),
+        (F.col("sum_base_price") / n).alias("avg_price"),
+        (F.col("_disc_cents").cast("double") / F.lit(100.0) / n).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -1570,47 +1603,13 @@ def q_geotab_connector_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     geotab_pipeline → feature rows. Not sf-dependent (the source is the
     connector, not parquet) → rows-only; tests/test_sources.py covers
     pushdown, partitioning, union normalization, sink acks."""
-    from etl_geotab_spark.pipeline.geotab import geotab_pipeline
-    from etl_geotab_spark.sources.geotab import (
-        _SCHEMAS,
-        device_status_relational,
-        devices_relational,
-        drivers_relational,
-        register_geotab_source,
-    )
+    from etl_geotab_spark.pipeline.geotab import run_connector_pipeline
 
-    register_geotab_source(spark)
-    try:  # the reader implements pushFilters → the gate conf must be on
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    except Exception:
-        pass
-
-    def read(entity: str, **opts):
-        # Wire schemas are fixed constants (task.ts:12-55) — passing them
-        # explicitly skips a Python-planner round-trip per load (the
-        # DataSource.schema() call spawns a worker; ~0.6 s each locally).
-        r = (
-            spark.read.format("geotab")
-            .schema(_SCHEMAS[entity])
-            .option("typename", entity)
-            .option("transport", "fake")
-            .option("sessionid", "session-bench")
-        )
-        for k, v in opts.items():
-            r = r.option(k, v)
-        return r.load()
-
-    status = device_status_relational(
-        read("DeviceStatusInfo", groups="g1,g2,g3,g4")
-    )
-    devices = devices_relational(
-        read("Device", groups="g1,g2,g3,g4", excludeuntrackedassets="true")
-    )
-    drivers = drivers_relational(read("User", groups="g1,g2,g3,g4"))
-    feats = geotab_pipeline(
-        devices,
-        status,
-        drivers,
+    feats = run_connector_pipeline(
+        spark,
+        groups=("g1", "g2", "g3", "g4"),
+        transport="fake",
+        session_id="session-bench",
         now=F.lit("2024-01-01T22:00:00Z").cast("timestamp"),
         freshness="24 HOURS",
     )

@@ -270,6 +270,7 @@ class GeotabCredentialCache:
         endpoint: str,
         ttl_s: float = 3300.0,
         probe: bool = False,
+        store_path: str | None = None,
     ):
         self._transport = (
             TRANSPORTS[transport_name]
@@ -279,10 +280,18 @@ class GeotabCredentialCache:
         self._endpoint = endpoint
         self._ttl_s = ttl_s
         self._probe = probe
+        # S5 durable tier: the reference persists credentials in the
+        # platform's ephemeral KV so they survive ACROSS invocations
+        # (task.ts:127-143). ``store_path`` is the engine equivalent —
+        # a JSON file the next driver process loads; a disk-loaded
+        # session is ALWAYS probe-revalidated before reuse (it may
+        # have died server-side while no process was running).
+        self._store_path = store_path
         self._cached: dict | None = None
         self._born = 0.0
         self.login_count = 0  # observability/testing
         self.probe_count = 0
+        self.store_hits = 0
 
     def _session_valid(self) -> bool:
         """task.ts:301-324 ``user()``: the cheapest authenticated RPC —
@@ -302,11 +311,59 @@ class GeotabCredentialCache:
         self.probe_count += 1
         return "error" not in resp
 
+    def _load_store(self) -> None:
+        """Adopt a persisted session from a previous process if it is
+        inside the TTL horizon AND answers the user() probe — the
+        trust-but-verify load the reference does on its ephemeral KV
+        (task.ts:127-143 try / 301-324 validate)."""
+        import os
+
+        if not self._store_path or not os.path.exists(self._store_path):
+            return
+        try:
+            with open(self._store_path) as f:
+                persisted = json.load(f)
+            creds, born_unix = persisted["credentials"], float(persisted["born_unix"])
+        except (ValueError, KeyError, OSError):
+            return  # corrupt store → behave as cold
+        age = time.time() - born_unix
+        if age >= self._ttl_s:
+            return
+        self._cached = creds
+        if not self._session_valid():
+            self._cached = None  # died server-side while we were down
+            return
+        # carry the REMAINING ttl over (age counts from original login)
+        self._born = time.monotonic() - age
+        self.store_hits += 1
+
+    def _write_store(self) -> None:
+        import os
+        import tempfile
+
+        if not self._store_path:
+            return
+        d = os.path.dirname(self._store_path) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".geotab-cred-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"credentials": self._cached, "born_unix": time.time()}, f)
+            os.replace(tmp, self._store_path)  # atomic vs concurrent readers
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
     def credentials(self, username: str, password: str, database: str) -> dict:
         if self._cached is not None and (time.monotonic() - self._born) < self._ttl_s:
             if not self._probe or self._session_valid():
                 return self._cached
             self._cached = None  # expired server-side → fall through to re-login
+        if self._cached is None:
+            self._load_store()
+            if self._cached is not None:
+                return self._cached
         resp = self._transport(
             self._endpoint,
             {
@@ -323,10 +380,18 @@ class GeotabCredentialCache:
         self.login_count += 1
         self._cached = resp["result"]["credentials"]
         self._born = time.monotonic()
+        self._write_store()
         return self._cached
 
     def invalidate(self) -> None:
+        import os
+
         self._cached = None
+        if self._store_path:
+            try:
+                os.unlink(self._store_path)
+            except OSError:
+                pass
 
 
 # ----------------------------------------------------------------- reader

@@ -246,3 +246,96 @@ def test_streaming_source_emits_snapshot(geotab, tmp_path):
     assert {r.id for r in got.collect()} == {
         r.id for r in _read(geotab, "Device", groups="g1,g2").collect()
     }
+
+
+# ----------------------------------------- S5 durable credential store
+
+
+def test_durable_store_survives_process_restart(tmp_path):
+    """task.ts:127-143: credentials persisted in the ephemeral KV are
+    reused by the NEXT invocation after a user() probe — here, a fresh
+    cache instance (process-restart equivalent) loads the file, probes
+    once, and performs zero logins."""
+    server = _ExpiringTransport()
+    store = str(tmp_path / "cred.json")
+    c1 = GeotabCredentialCache(server, "https://example.test/", store_path=store)
+    a = c1.credentials("user", "pw", "db")
+    assert c1.login_count == 1
+
+    c2 = GeotabCredentialCache(server, "https://example.test/", store_path=store)
+    b = c2.credentials("user", "pw", "db")
+    assert b == a
+    assert c2.login_count == 0 and c2.probe_count == 1 and c2.store_hits == 1
+
+
+def test_durable_store_reauths_when_persisted_session_dead(tmp_path):
+    """A persisted session that died server-side while no process was
+    running fails the load probe → exactly one silent re-login, and the
+    FRESH session is re-persisted for the next process."""
+    server = _ExpiringTransport()
+    store = str(tmp_path / "cred.json")
+    c1 = GeotabCredentialCache(server, "https://example.test/", store_path=store)
+    a = c1.credentials("user", "pw", "db")
+
+    server.expire_all()
+    c2 = GeotabCredentialCache(server, "https://example.test/", store_path=store)
+    b = c2.credentials("user", "pw", "db")
+    assert c2.login_count == 1 and c2.store_hits == 0
+    assert b["sessionId"] != a["sessionId"]
+
+    c3 = GeotabCredentialCache(server, "https://example.test/", store_path=store)
+    c = c3.credentials("user", "pw", "db")
+    assert c == b and c3.login_count == 0 and c3.store_hits == 1
+
+
+def test_durable_store_ignores_expired_and_corrupt(tmp_path):
+    server = _ExpiringTransport()
+    store = str(tmp_path / "cred.json")
+    c1 = GeotabCredentialCache(
+        server, "https://example.test/", ttl_s=0.0, store_path=store
+    )
+    c1.credentials("user", "pw", "db")
+    # ttl 0 → persisted session is stale by age: next process re-auths
+    c2 = GeotabCredentialCache(
+        server, "https://example.test/", ttl_s=0.0, store_path=store
+    )
+    c2.credentials("user", "pw", "db")
+    assert c2.login_count == 1 and c2.store_hits == 0
+
+    with open(store, "w") as f:
+        f.write("{not json")
+    c3 = GeotabCredentialCache(server, "https://example.test/", store_path=store)
+    c3.credentials("user", "pw", "db")
+    assert c3.login_count == 1 and c3.store_hits == 0
+
+    # invalidate() also clears the durable tier
+    import os
+
+    c3.invalidate()
+    assert not os.path.exists(store)
+
+
+# --------------------------------------------------- DEBUG flag plumbing
+
+
+def test_debug_flag_routes_through_debug_sink(geotab, capsys):
+    """task.ts:76 DEBUG ("Print GeoJSON Features in logs"): the
+    connector pipeline entry logs a bounded feature sample + schema
+    without changing the returned frame."""
+    from pyspark.sql import functions as F
+    from etl_geotab_spark.pipeline.geotab import run_connector_pipeline
+
+    kw = dict(
+        groups=("g1", "g2"),
+        now=F.lit("2024-01-01T22:00:00Z").cast("timestamp"),
+        freshness="24 HOURS",
+    )
+    quiet = run_connector_pipeline(geotab, debug=False, **kw)
+    rows_quiet = {r.id for r in quiet.collect()}
+    assert capsys.readouterr().out.strip() == ""  # no debug chatter
+
+    debug = run_connector_pipeline(geotab, debug=True, **kw)
+    rows_debug = {r.id for r in debug.collect()}
+    out = capsys.readouterr().out
+    assert "callsign" in out and "geotab-" in out  # schema + sample logged
+    assert rows_debug == rows_quiet  # passthrough: result unchanged
