@@ -44,6 +44,7 @@ from etl_geotab_spark.functions.text import (
     tokenize,
     token_count,
     winnow_fingerprints_arrow,
+    word_shingles,
 )
 from etl_geotab_spark.functions.vector import cosine_similarity, l2_norm
 from etl_geotab_spark.operators.dedup import (
@@ -91,6 +92,9 @@ _ROUND_NEW: list[str] = [
     "dedup_clusters",
     "ann_recall_eval",
     "minhash_recall_eval",
+    "recursive_order_chains",
+    "boilerplate_ngram_ratio",
+    "vocab_coverage",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -4656,4 +4660,213 @@ def q_flagship_schema_contract(spark: SparkSession, sf: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "field_pos int, field_name string, field_type string"
+    )
+
+
+# ============================================ batch 12: round-4 additions
+
+
+@register(
+    "recursive_order_chains",
+    # Same recursion in DuckDB: per-customer orders form a linked list
+    # (parent = previous order by date), traversed from the roots.
+    """
+    WITH RECURSIVE e AS (
+      SELECT o_orderkey, o_custkey,
+             lag(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS parent
+      FROM orders
+    ), chain(o_orderkey, o_custkey, depth) AS (
+      SELECT o_orderkey, o_custkey, 1 FROM e WHERE parent IS NULL
+      UNION ALL
+      SELECT e.o_orderkey, e.o_custkey, c.depth + 1
+      FROM chain c JOIN e ON e.parent = c.o_orderkey
+    )
+    SELECT o_custkey,
+           max(depth) AS chain_len,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM chain GROUP BY o_custkey
+    """,
+)
+def q_recursive_order_chains(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 SQL surface — WITH RECURSIVE (Spark 4's recursive CTE):
+    per-customer order chains as a linked list (parent = previous order
+    by date) traversed recursively from the roots; chain_len == n_orders
+    validates every order is visited exactly once.
+
+    Scale shape: recursion cost = depth × (join + shuffle) where depth
+    is the LONGEST per-key chain (~orders-per-customer, bounded), not
+    corpus size — the right tool for hierarchy/chain traversal. For
+    unbounded component closure Spark's recursive CTE cannot be used
+    (UNION-distinct recursion is unsupported, and UNION ALL on a cyclic
+    edge set never terminates) — that workload belongs to
+    operators/clusters.py's pointer-jumping CC, which converges in
+    O(log n) rounds instead of O(diameter) joins."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o.withColumn("parent", F.lag("o_orderkey").over(w)).createOrReplaceTempView(
+        "_order_edges_r4"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(o_orderkey, o_custkey, depth) AS (
+          SELECT o_orderkey, o_custkey, 1 FROM _order_edges_r4 WHERE parent IS NULL
+          UNION ALL
+          SELECT e.o_orderkey, e.o_custkey, c.depth + 1
+          FROM chain c JOIN _order_edges_r4 e ON e.parent = c.o_orderkey
+        )
+        SELECT o_custkey,
+               max(depth) AS chain_len,
+               count(*) AS n_orders
+        FROM chain GROUP BY o_custkey
+        """
+    )
+
+
+@register(
+    "boilerplate_ngram_ratio",
+    # Mirror of word_shingles(5): lower+trim, whitespace split, distinct
+    # 5-grams; boilerplate = grams in ≥20% of the source's docs
+    # (integer-exact threshold: 5*df >= n_docs).
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct([array_to_string(tk[i:i+4], ' ')
+                                   for i in generate_series(1, len(tk) - 4)])) AS gram
+      FROM toks
+    ), src AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), gdf AS (
+      SELECT source, gram, COUNT(*) AS df
+      FROM g GROUP BY source, gram
+    ), boiler AS (
+      SELECT gdf.source, gdf.gram
+      FROM gdf JOIN src ON gdf.source = src.source
+      WHERE 5 * gdf.df >= src.n_docs
+    ), per_doc AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(b.gram) AS n_boiler
+      FROM g LEFT JOIN boiler b ON g.source = b.source AND g.gram = b.gram
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CASE WHEN coalesce(p.n_grams, 0) > 0
+                THEN CAST(p.n_boiler AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+                ELSE 0.0 END AS boiler_ratio
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def q_boilerplate_ngram_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 boilerplate detection (RefinedWeb/CCNet-style): per-source
+    5-grams appearing in ≥20% of that source's documents are template
+    boilerplate (headers, footers, nav chrome); each doc scores the
+    fraction of its distinct 5-grams that are boilerplate — a standard
+    quality-filter input upstream of LLM training.
+
+    Scale shape: one gram explode (map-side), one (source, gram) hash
+    agg for document frequency, and the boilerplate set is SMALL by
+    construction (grams crossing a 20% document-frequency floor) →
+    broadcast back against the gram table. Threshold compares
+    integer-exact (5*df >= n_docs) so both engines agree without float
+    edge cases."""
+    d = _t(spark, sf, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 5))).alias("gram"),
+    ).persist()
+    src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    gdf = grams.groupBy("source", "gram").agg(F.count("*").alias("df"))
+    boiler = (
+        gdf.join(broadcast(src), "source")
+        .where(F.lit(5) * F.col("df") >= F.col("n_docs"))
+        .select("source", "gram")
+    )
+    per_doc = (
+        grams.join(
+            broadcast(boiler.withColumn("_b", F.lit(1))),
+            ["source", "gram"],
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_b").alias("n_boiler"),
+        )
+    )
+    out = (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("n_boiler").cast("double") / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_ratio"),
+        )
+    )
+    return out
+
+
+@register(
+    "vocab_coverage",
+    """
+    WITH c AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (
+        SELECT unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ), top AS (
+      SELECT tok AS token, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank
+      FROM c ORDER BY cnt DESC, tok LIMIT 256
+    )
+    SELECT rank, token, CAST(cnt AS BIGINT) AS cnt,
+           CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE)
+             / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c) AS cum_coverage
+    FROM top
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 tokenizer-vocabulary induction: corpus token counts, top-256
+    vocabulary by (count desc, token), with cumulative corpus coverage
+    per rank — the curve a tokenizer team reads to size a vocabulary.
+
+    Scale shape: one map-side-combined token count agg; total-token
+    count is a bounded 1-row collect; the global order is
+    TakeOrderedAndProject limit(256); the cumulative window runs over
+    256 rows only (never the corpus, never the full vocab)."""
+    d = _t(spark, sf, "documents")
+    counts = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(256)
+    w = (
+        Window.orderBy(F.col("cnt").desc(), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "token",
+        "cnt",
+        (F.sum("cnt").over(w).cast("double") / F.lit(float(total))).alias(
+            "cum_coverage"
+        ),
     )
