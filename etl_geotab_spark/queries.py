@@ -1891,9 +1891,10 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # Shared ANN index settings: tuned on the fixture recall sweep (round 3)
-# — LSH 24 planes / 8 bands: recall@10 ≈ 0.86; IVF 32 centroids /
-# 12-probe / 2 Lloyd refinement rounds: recall@10 ≈ 0.80 at a 37%
-# probe fraction. ann_recall_eval MEASURES these numbers every run.
+# — LSH 24 planes / 8 bands: recall@10 ≈ 0.86-0.87; IVF 32 centroids /
+# 12-probe / 2 Lloyd refinement rounds: recall@10 ≈ 0.77-0.80 at a 37%
+# probe fraction (the spread is 64-query sampling noise).
+# ann_recall_eval MEASURES these numbers every run.
 _ANN_LSH = {"num_planes": 24, "bands": 8, "dim": 64}
 _ANN_IVF = {"num_centroids": 32, "n_probe": 12, "refine_iters": 2}
 
@@ -4323,9 +4324,14 @@ def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic FIXED-size sample — TakeOrderedAndProject, no full
     # sort — so the exact baseline is O(corpus × 64), linear in corpus,
     # instead of the old vec_id%50 sample whose O(n²/50) died first at
-    # scale. Recall averaged over 64 queries is statistically the same
-    # estimate.
-    queries_side = emb.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(64)
+    # scale. Recall averaged over 64 queries is the same estimate to
+    # within sampling noise. Persist + repartition: all three methods
+    # reference this side (persist stops each from re-running the
+    # sample scan) and TakeOrdered leaves ONE partition (repartition
+    # restores downstream join parallelism).
+    queries_side = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(64).repartition(8)
+    ).persist()
     k = 10
     exact = cosine_topk_bruteforce(emb, queries_side, k=k).select(
         F.col("query_id"), F.col("neighbor_id")
@@ -4345,6 +4351,7 @@ def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     lsh = recall_of(lsh_bucketed_ann(emb, queries_side, k=k, **_ANN_LSH))
     ivf = recall_of(ivf_topk(emb, queries_side, k=k, **_ANN_IVF))
     exact.unpersist()
+    queries_side.unpersist()
     return spark.createDataFrame(
         [("lsh", lsh, n_queries), ("ivf", ivf, n_queries)],
         "method string, recall_at_10 double, n_queries bigint",
