@@ -64,12 +64,17 @@ def colocated_tables(
         # the same side name — gets its own table instead of silently
         # reusing the first call's layout (round-3 advice).
         plan_fp = df.semanticHash() & 0xFFFFFFFF
-        table = f"bkt_{ns}_{name}_{_safe_name(key)}_{n_buckets}_{plan_fp:08x}"
+        # fingerprint goes into the PATH as well as the table name —
+        # a same-named side with different data must get its own files,
+        # not overwrite the first call's directory out from under its
+        # already-returned (lazy) scan
+        suffix = f"{name}_{_safe_name(key)}_{n_buckets}_{plan_fp:08x}"
+        table = f"bkt_{ns}_{suffix}"
         if not spark.catalog.tableExists(table):
             write_bucketed_external(
                 df,
                 table,
-                os.path.join(base_dir, ns, f"{name}_{_safe_name(key)}_{n_buckets}"),
+                os.path.join(base_dir, ns, suffix),
                 key,
                 n_buckets,
                 sort_col=key,

@@ -394,6 +394,14 @@ def ngram_jaccard_pairs(
         .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("shared"))
     )
+    return _jaccard_from_shared(shared, sizes, id_col, threshold)
+
+
+def _jaccard_from_shared(shared, sizes, id_col: str, threshold: float) -> DataFrame:
+    """Shared tail of the exact-Jaccard operators: join per-doc sizes
+    onto the (id_a, id_b, shared) candidate counts and keep pairs at or
+    above the threshold. ONE definition so the probe ground truth can
+    never silently diverge from the operator it measures."""
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
@@ -443,15 +451,4 @@ def ngram_jaccard_pairs_probe(
         )
         .agg(F.count_distinct(F.col("l.gram")).alias("shared"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    return (
-        shared.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
-        .withColumn(
-            "jaccard",
-            F.col("shared").cast("double")
-            / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("shared")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_from_shared(shared, sizes, id_col, threshold)

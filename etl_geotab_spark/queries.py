@@ -95,6 +95,7 @@ _ROUND_NEW: list[str] = [
     "recursive_order_chains",
     "boilerplate_ngram_ratio",
     "vocab_coverage",
+    "quality_adaptive_filter",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -4744,9 +4745,15 @@ def q_recursive_order_chains(spark: SparkSession, sf: str) -> DataFrame:
              list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS tk
       FROM documents
     ), g AS (
+      -- mirrors word_shingles(5) INCLUDING its short-doc fallback:
+      -- 0 < tokens < 5 yields one whole-text shingle, not zero grams
       SELECT doc_id, source,
-             unnest(list_distinct([array_to_string(tk[i:i+4], ' ')
-                                   for i in generate_series(1, len(tk) - 4)])) AS gram
+             unnest(list_distinct(
+               CASE WHEN len(tk) >= 5
+                    THEN [array_to_string(tk[i:i+4], ' ')
+                          for i in generate_series(1, len(tk) - 4)]
+                    WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                    ELSE [] END)) AS gram
       FROM toks
     ), src AS (
       SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
@@ -4878,4 +4885,47 @@ def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
         (F.sum("cnt").over(w).cast("double") / F.lit(float(total))).alias(
             "cum_coverage"
         ),
+    )
+
+
+@register(
+    "quality_adaptive_filter",
+    # percent_rank over a UNIQUE (score, doc_id) ordering is
+    # deterministic in both engines: (rank-1)/(n-1) on integers.
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             CASE WHEN len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) > 0
+                  THEN CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                        x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE)
+                     / CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS DOUBLE)
+                  ELSE 0.0 END AS score
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, score,
+             percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS pct
+      FROM s
+    )
+    SELECT doc_id, source, score, pct FROM ranked WHERE pct >= 0.4
+    """,
+)
+def q_quality_adaptive_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 adaptive quality gate: instead of one global threshold, keep
+    each SOURCE's top 60% by quality score (stopword-ratio fluency
+    signal) — per-source percentile gating is how corpus curation
+    handles sources with different score distributions (a fixed cutoff
+    would empty low-scoring-but-valuable sources and keep junk from
+    high-scoring ones).
+
+    Scale shape: one window per source partition (the same partitioning
+    the downstream per-source ops reuse); percent_rank over the unique
+    (score, doc_id) ordering is integer-derived — deterministic across
+    engines."""
+    d = _t(spark, sf, "documents")
+    score = quality_stopword_ratio(F.col("text"))
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    return (
+        d.select("doc_id", "source", score.alias("score"))
+        .withColumn("pct", F.percent_rank().over(w))
+        .where(F.col("pct") >= 0.4)
     )

@@ -324,8 +324,8 @@ class GeotabCredentialCache:
             with open(self._store_path) as f:
                 persisted = json.load(f)
             creds, born_unix = persisted["credentials"], float(persisted["born_unix"])
-        except (ValueError, KeyError, OSError):
-            return  # corrupt store → behave as cold
+        except (ValueError, KeyError, TypeError, OSError):
+            return  # corrupt store (bad JSON or wrong shape) → behave as cold
         age = time.time() - born_unix
         if age >= self._ttl_s:
             return

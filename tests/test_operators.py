@@ -818,3 +818,22 @@ def test_eval_query_side_is_fixed_size_topk(spark, sf_dir):
     ids_a = [r.vec_id for r in side.select("vec_id").collect()]
     ids_b = [r.vec_id for r in side.select("vec_id").collect()]
     assert len(ids_a) == 7 and sorted(ids_a) == sorted(ids_b)
+
+
+def test_colocated_tables_distinct_inputs_get_distinct_storage(spark, tmp_path):
+    """Two different inputs under the SAME side name must not share a
+    bucketed table OR its storage path — the first returned (lazy)
+    handle must still read the first input's rows after the second
+    write (round-4 review: the fingerprint must reach the path, not
+    just the catalog name)."""
+    from etl_geotab_spark.operators.bucketed import colocated_tables
+
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b = spark.createDataFrame([(9, "z")], "k int, v string")
+    base = str(tmp_path / "bkt")
+    first = colocated_tables(spark, "sfX", base, {"side": (a, "k")})["side"]
+    second = colocated_tables(spark, "sfX", base, {"side": (b, "k")})["side"]
+    assert sorted(r.k for r in first.collect()) == [1, 2]
+    assert sorted(r.k for r in second.collect()) == [9]
+    # and re-reading the first handle after the second write still works
+    assert sorted(r.k for r in first.collect()) == [1, 2]
