@@ -132,3 +132,49 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(pairs).collect()
     }
     assert got == want
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10),
+        min_size=2,
+        max_size=10,
+    ),
+    probe_mask=st.lists(st.booleans(), min_size=10, max_size=10),
+)
+def test_probe_jaccard_is_exact_incident_subset(spark, docs, probe_mask):
+    """ngram_jaccard_pairs_probe invariant vs the full operator, for
+    arbitrary corpora: (a) with probe = everything, the pair sets are
+    IDENTICAL (countDistinct direction-normalization is exact); (b) with
+    any probe subset, the result is exactly the full pairs incident to
+    the probe — no extras, no misses."""
+    from etl_geotab_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_probe,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    full = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.3).collect()
+    }
+    all_ids = [i for i, _ in rows]
+    probed_all = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs_probe(
+            df, "text", "doc_id", all_ids, n=3, threshold=0.3
+        ).collect()
+    }
+    assert probed_all == full
+
+    probe = [i for i in all_ids if probe_mask[i % len(probe_mask)]]
+    want = {(a, b, j) for (a, b, j) in full if a in probe or b in probe}
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs_probe(
+            df, "text", "doc_id", probe, n=3, threshold=0.3
+        ).collect()
+    }
+    assert got == want

@@ -339,3 +339,73 @@ def test_debug_flag_routes_through_debug_sink(geotab, capsys):
     out = capsys.readouterr().out
     assert "callsign" in out and "geotab-" in out  # schema + sample logged
     assert rows_debug == rows_quiet  # passthrough: result unchanged
+
+
+def test_streaming_connector_pipeline_to_rest_sink(geotab, tmp_path):
+    """The reference's ENTIRE loop as a stream: connector stream source
+    (scheduled re-pull → one snapshot per micro-batch) → wire→relational
+    adapter → geotab_pipeline join against batch dimension scans →
+    per-batch REST sink POST (task.ts:124-295 under
+    Trigger.AvailableNow instead of Lambda cron). Asserts the sink ack
+    recorded every feature the equivalent batch run produces."""
+    import glob
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from etl_geotab_spark.pipeline.geotab import geotab_pipeline, run_connector_pipeline
+    from etl_geotab_spark.sources.geotab import (
+        _SCHEMAS,
+        device_status_relational,
+        devices_relational,
+        drivers_relational,
+    )
+
+    now = F.lit("2024-01-01T22:00:00Z").cast("timestamp")
+    expected = run_connector_pipeline(
+        geotab, groups=("g1", "g2"), now=now, freshness="24 HOURS"
+    ).count()
+    assert expected > 0
+
+    devices = devices_relational(
+        _read(geotab, "Device", groups="g1,g2", excludeuntrackedassets="true")
+    )
+    drivers = drivers_relational(_read(geotab, "User", groups="g1,g2"))
+    stream = (
+        geotab.readStream.format("geotab")
+        .schema(_SCHEMAS["DeviceStatusInfo"])
+        .option("typename", "DeviceStatusInfo")
+        .option("transport", "fake")
+        .option("sessionid", "session-stream")
+        .option("groups", "g1,g2")
+        .load()
+    )
+    ack_prefix = str(tmp_path / "ack")
+
+    def post_batch(batch_df, batch_id):
+        feats = geotab_pipeline(
+            devices,
+            device_status_relational(batch_df),
+            drivers,
+            now=now,
+            freshness="24 HOURS",
+        )
+        (
+            feats.write.format("geotab")
+            .option("transport", "fake")
+            .option("ackpath", f"{ack_prefix}.{batch_id}.json")
+            .mode("append")
+            .save()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(post_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    acks = sorted(glob.glob(f"{ack_prefix}.*.json"))
+    assert acks, "no sink ack written"
+    posted = sum(_json.load(open(p))["features_posted"] for p in acks)
+    assert posted == expected
