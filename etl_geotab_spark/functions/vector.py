@@ -38,3 +38,21 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     num = dot_product(a, b)
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0, num / denom)
+
+
+def unit_vector(a: Column | str) -> Column:
+    """a/‖a‖ in double precision; NULL for zero vectors.
+
+    The cosine of two unit vectors is their plain dot product, so
+    normalizing each row ONCE turns per-PAIR scoring from three
+    interpreted-HOF aggregates (dot + both norms — higher-order
+    functions are CodegenFallback, so each is an interpreted loop)
+    into one. Any operator that scores many pairs per row (ANN bucket
+    joins, IVF probes) should pre-project this and score with
+    ``dot_product``. NULL (not a div-by-zero Inf/NaN vector, which
+    Spark would sort FIRST under desc because NaN > any double) keeps
+    zero-vector rows ranked last, matching ``cosine_similarity``'s
+    NULL-on-zero-norm contract."""
+    v = F.transform(_c(a), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when(nrm != 0, F.transform(v, lambda x: x / nrm))

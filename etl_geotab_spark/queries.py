@@ -4315,7 +4315,7 @@ def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     check; the VALUES are the point (recall is the judge's evidence
     that the scale path actually finds neighbors)."""
     from etl_geotab_spark.operators.similarity import (
-        cosine_topk_bruteforce,
+        cosine_topk_blas,
         ivf_topk,
         lsh_bucketed_ann,
     )
@@ -4334,7 +4334,11 @@ def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         emb.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(64).repartition(8)
     ).persist()
     k = 10
-    exact = cosine_topk_bruteforce(emb, queries_side, k=k).select(
+    # exact baseline on the BLAS tier (cosine_topk_blas): one vectorized
+    # map stage over the corpus + an O(batches × 64 × k) shuffle —
+    # neighbor sets are identical to the expression tier (pytest), and
+    # the eval stops paying 3 interpreted-HOF aggregates per pair.
+    exact = cosine_topk_blas(emb, queries_side, k=k).select(
         F.col("query_id"), F.col("neighbor_id")
     ).persist()
     n_queries = exact.select("query_id").distinct().count()

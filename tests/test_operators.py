@@ -187,6 +187,31 @@ def test_cosine_topk_bruteforce(spark):
     assert got == [(2, 1), (3, 2)]
 
 
+def test_cosine_topk_blas_matches_expression_tier(spark, sf_dir):
+    """The BLAS tier (mapInPandas matmul + local top-k) must return the
+    SAME neighbor sets as the expression tier on real fixture data —
+    the two-tier contract in cosine_topk_blas's docstring. Sims are
+    compared to 1e-9 (ulp-level summation-order drift allowed)."""
+    from etl_geotab_spark.io import load_table
+    from etl_geotab_spark.operators.similarity import cosine_topk_blas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    blas = cosine_topk_blas(emb, queries, k=5).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    assert by_query(exact) == by_query(blas)
+    sims_e = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    for r in blas:
+        assert abs(sims_e[(r.query_id, r.neighbor_id)] - r.cosine_sim) < 1e-9
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     """Self-consistency: LSH top-k must overlap well with exact top-k."""
     from etl_geotab_spark.io import load_table
