@@ -1,0 +1,91 @@
+"""Distributed heavy hitters (frequent items) — sketch family (§2 A6 ext).
+
+Two-pass candidates+recount, the mergeable-summaries shape:
+
+1. candidates: one Misra-Gries summary (k = ⌈1/s⌉ − 1 counters) per
+   partition, built inside a single mapInPandas pass. MG's guarantee —
+   any item with local share ≥ s survives the summary — plus the
+   averaging argument (an item with GLOBAL share ≥ s has share ≥ s in
+   at least one partition) make the union of per-partition candidate
+   sets a SUPERSET of every global s-heavy item. State is k counters
+   per partition, never the full item-frequency table.
+2. recount: exact counts for the (bounded: ≤ partitions × k) candidate
+   set via a broadcast semi-join + one hash aggregate, then the exact
+   share filter.
+
+The output is therefore EXACT — same rows as a full GROUP BY HAVING —
+which keeps the operator oracle-checkable, while the plan at 100 TB is
+one map-side-summarized scan + one broadcast-pruned aggregate instead
+of a full-vocabulary shuffle. This is how you find stopwords/boiler-
+plate tokens in a pretraining corpus whose long-tail vocabulary is
+itself too large to aggregate cheaply.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def misra_gries_candidates(items: DataFrame, item_col: str, s: float) -> DataFrame:
+    """Distinct candidate items from per-partition Misra-Gries
+    summaries with k = ⌈1/s⌉ − 1 counters.
+
+    Batch-merge form (mergeable summaries): fold each Arrow batch's
+    value_counts into the counter map, then if more than k counters
+    remain subtract the (k+1)-th largest count from all and drop the
+    non-positive — equivalent to item-at-a-time MG, vectorized."""
+    if not (0 < s < 1):
+        raise ValueError(f"share threshold must be in (0,1), got {s}")
+    k = max(1, math.ceil(1.0 / s) - 1)
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: Counter = Counter()
+        for pdf in batches:
+            for item, cnt in pdf[item_col].value_counts().items():
+                counters[item] += int(cnt)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = Counter(
+                    {i: c - cut for i, c in counters.items() if c > cut}
+                )
+        if counters:
+            yield pd.DataFrame({item_col: list(counters.keys())})
+
+    return (
+        items.select(F.col(item_col).cast("string").alias(item_col))
+        .mapInPandas(summarize, f"{item_col} string")
+        .dropDuplicates([item_col])
+    )
+
+
+def heavy_hitters(items: DataFrame, item_col: str, s: float) -> DataFrame:
+    """Exact items with share ≥ s: MG candidate superset → broadcast
+    semi-join prune → exact recount → share filter.
+
+    Returns (item_col, cnt, share) with share rounded to 6 dp. The
+    total-count scalar rides along as a 1-row broadcast cross-join so
+    the plan stays lazy end to end."""
+    typed = items.select(F.col(item_col).cast("string").alias(item_col))
+    cand = misra_gries_candidates(typed, item_col, s)
+    total = typed.agg(F.count(F.lit(1)).alias("_total"))
+    counts = (
+        typed.join(broadcast(cand), on=item_col, how="left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(broadcast(total))
+        .where(F.col("cnt") >= F.lit(s) * F.col("_total"))
+        .select(
+            item_col,
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("_total"), 6).alias("share"),
+        )
+    )

@@ -96,6 +96,11 @@ _ROUND_NEW: list[str] = [
     "boilerplate_ngram_ratio",
     "vocab_coverage",
     "quality_adaptive_filter",
+    "heavy_hitters",
+    "skyline_pareto",
+    "market_share",
+    "weighted_sample_topk",
+    "unigram_logprob",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -4932,4 +4937,228 @@ def q_quality_adaptive_filter(spark: SparkSession, sf: str) -> DataFrame:
         d.select("doc_id", "source", score.alias("score"))
         .withColumn("pct", F.percent_rank().over(w))
         .where(F.col("pct") >= 0.4)
+    )
+
+
+@register(
+    "heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ), filtered AS (
+      SELECT token FROM toks WHERE token <> ''
+    ), tot AS (
+      SELECT count(*) AS _total FROM filtered
+    ), cnts AS (
+      SELECT token, count(*) AS cnt FROM filtered GROUP BY token
+    )
+    SELECT token, cnt, round(CAST(cnt AS DOUBLE) / _total, 6) AS share
+    FROM cnts, tot WHERE cnt >= 0.03 * _total
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """A6-family sketch op: EXACT frequent tokens (share >= 3%) via
+    per-partition Misra-Gries candidate summaries + broadcast-pruned
+    exact recount (operators/frequency.py). The oracle is a plain
+    GROUP BY HAVING because the two-pass plan is exact by construction
+    — the sketch only bounds candidate state (k counters per
+    partition), it never approximates the answer. The stopword /
+    boilerplate-token discovery pass of a corpus pipeline whose full
+    vocabulary is too large to shuffle."""
+    from etl_geotab_spark.operators.frequency import heavy_hitters
+
+    d = _spread(_t(spark, sf, "documents"))
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return heavy_hitters(toks, "token", 0.03)
+
+
+@register(
+    "skyline_pareto",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-04-01'
+    )
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM o o1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o o2
+      WHERE o2.o_totalprice >= o1.o_totalprice
+        AND o2.o_orderdate  <= o1.o_orderdate
+        AND (o2.o_totalprice > o1.o_totalprice
+             OR o2.o_orderdate < o1.o_orderdate)
+    )
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of a quarter's orders — maximize
+    o_totalprice, minimize o_orderdate ("biggest order soonest"):
+    partition-local vectorized skyline then a broadcast anti-join
+    refine over the small candidate union (operators/skyline.py). The
+    oracle is the NOT EXISTS dominance form over the same slice; the
+    distributed plan never runs that O(n^2) scan — local pruning
+    bounds the quadratic stage to frontier candidates only."""
+    from etl_geotab_spark.operators.skyline import skyline_2d
+
+    o = (
+        _t(spark, sf, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    return skyline_2d(_spread(o), "o_totalprice", "o_orderdate")
+
+
+@register(
+    "market_share",
+    """
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS o_year, n.n_name AS nation,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS r
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ), by_nation AS (
+      SELECT o_year, nation, CAST(SUM(r) AS DOUBLE) AS nation_rev
+      FROM rev GROUP BY o_year, nation
+    ), by_year AS (
+      SELECT o_year, CAST(SUM(r) AS DOUBLE) AS year_rev
+      FROM rev GROUP BY o_year
+    )
+    SELECT b.o_year, b.nation, b.nation_rev,
+           round(b.nation_rev / y.year_rev, 6) AS share
+    FROM by_nation b JOIN by_year y ON b.o_year = y.o_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8-shaped nested aggregate: each supplier nation's share
+    of yearly revenue. Two decimal-exact aggregations over ONE joined
+    frame (per (year, nation) and per year) joined back on the tiny
+    year table (broadcast) — the share division happens on the two
+    decimal-backed doubles, so the result is bit-deterministic
+    cross-engine (a plain double SUM would be summation-order-
+    dependent). Dims (supplier, nation) broadcast into the fact scan;
+    the only big shuffle is lineitem ⋈ orders on the order key."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("n_name").alias("nation"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_r"),
+        )
+    )
+    by_nation = rev.groupBy("o_year", "nation").agg(dsum("_r", "nation_rev"))
+    by_year = rev.groupBy("o_year").agg(dsum("_r", "year_rev"))
+    return by_nation.join(broadcast(by_year), "o_year").select(
+        "o_year",
+        "nation",
+        "nation_rev",
+        F.round(F.col("nation_rev") / F.col("year_rev"), 6).alias("share"),
+    )
+
+
+@register(
+    "weighted_sample_topk",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) + 1) / 4294967296.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, round(k, 6) AS sample_key
+    FROM keyed ORDER BY k, doc_id LIMIT 100
+    """,
+)
+def q_weighted_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement in one pass (A-ES /
+    Efraimidis-Spirakis): key_i = -ln(u_i)/w_i with u_i a deterministic
+    md5-derived uniform; the k smallest keys ARE a weighted sample
+    without replacement. Distributed cost: one map stage + a global
+    top-k (TakeOrderedAndProject — per-partition heaps, never a full
+    sort), which is why this beats cumulative-weight schemes that need
+    a global prefix sum. Weight = n_chars: long documents sampled
+    proportionally more — the mixture-weighting primitive of corpus
+    assembly. Deterministic cross-engine: the uniform is integer-
+    derived (md5 prefix), and ln differs across libm implementations
+    by <1 ulp — orders of magnitude below the key gaps at the top-k
+    boundary."""
+    d = _t(spark, sf, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", key.alias("_k"))
+        .orderBy("_k", "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars", F.round("_k", 6).alias("sample_key"))
+    )
+
+
+@register(
+    "unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), filtered AS (
+      SELECT doc_id, token FROM toks WHERE token <> ''
+    ), vocab AS (
+      SELECT token, count(*) AS tf FROM filtered GROUP BY token
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM filtered
+    )
+    SELECT f.doc_id, count(*) AS n_tokens,
+           round(CAST(SUM(CAST(ln(CAST(v.tf AS DOUBLE) / t.n)
+                               AS DECIMAL(18,9))) AS DOUBLE)
+                 / count(*), 6) AS avg_logprob
+    FROM filtered f JOIN vocab v ON f.token = v.token CROSS JOIN tot t
+    GROUP BY f.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 CCNet-style LM quality score: mean unigram log-probability
+    per document under the corpus's own unigram distribution (the
+    cheap stand-in for a perplexity filter). Two passes over the
+    tokenized frame: vocabulary counts (broadcast back onto tokens)
+    then a per-doc aggregate. The per-token ln values are cast to
+    DECIMAL(18,9) before summing — decimal sums are summation-order-
+    independent, so the per-doc score is cross-engine deterministic
+    (a double SUM of ln terms would not be); sub-ulp libm differences
+    vanish at the 9-dp quantization. The corpus-total scalar rides
+    along as a 1-row broadcast."""
+    d = _spread(_t(spark, sf, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    lp = F.log(F.col("tf").cast("double") / F.col("n"))
+    return (
+        toks.join(broadcast(vocab), "token")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(lp.cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
     )

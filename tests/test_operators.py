@@ -862,3 +862,75 @@ def test_colocated_tables_distinct_inputs_get_distinct_storage(spark, tmp_path):
     assert sorted(r.k for r in second.collect()) == [9]
     # and re-reading the first handle after the second write still works
     assert sorted(r.k for r in first.collect()) == [1, 2]
+
+
+# ------------------------------------------------- heavy hitters / skyline
+
+
+def test_misra_gries_superset_and_exact_recount(spark):
+    """MG candidates must be a SUPERSET of every item with share >= s
+    (the two-pass guarantee), and heavy_hitters must equal the plain
+    GROUP BY HAVING answer exactly."""
+    from etl_geotab_spark.operators.frequency import (
+        heavy_hitters,
+        misra_gries_candidates,
+    )
+
+    # skewed stream: 'a' 40%, 'b' 25%, long tail of singletons
+    rows = (
+        [("a",)] * 400 + [("b",)] * 250 + [(f"t{i}",) for i in range(350)]
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    s = 0.2
+    cand = {r.item for r in misra_gries_candidates(df, "item", s).collect()}
+    assert {"a", "b"} <= cand
+    got = {(r.item, r.cnt) for r in heavy_hitters(df, "item", s).collect()}
+    assert got == {("a", 400), ("b", 250)}
+
+
+def test_heavy_hitters_no_false_positives(spark):
+    """Uniform stream with no s-heavy item -> empty result (the
+    recount filter removes every MG survivor)."""
+    from etl_geotab_spark.operators.frequency import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(f"u{i % 50}",) for i in range(1000)], "item string"
+    ).repartition(4)
+    assert heavy_hitters(df, "item", 0.1).count() == 0
+
+
+def test_skyline_2d_matches_naive(spark):
+    """Distributed skyline == naive NOT EXISTS dominance, including
+    duplicate frontier points (neither strictly dominates the other)."""
+    from etl_geotab_spark.operators.skyline import skyline_2d
+
+    pts = [
+        (1, 10.0, 5),
+        (2, 10.0, 5),   # duplicate of 1 -> both on the skyline
+        (3, 12.0, 7),   # frontier (higher max, higher min)
+        (4, 9.0, 5),    # dominated by 1 (same min, lower max)
+        (5, 10.0, 6),   # dominated by 1 (same max, higher min)
+        (6, 15.0, 2),   # dominates everything with min >= 2, max <= 15
+        (7, 3.0, 1),    # frontier (lowest min)
+    ]
+    df = spark.createDataFrame(pts, "id long, vmax double, vmin long").repartition(4)
+    got = {r.id for r in skyline_2d(df, "vmax", "vmin").collect()}
+
+    def dominated(p, q):
+        return (
+            q[1] >= p[1] and q[2] <= p[2] and (q[1] > p[1] or q[2] < p[2])
+        )
+
+    want = {p[0] for p in pts if not any(dominated(p, q) for q in pts)}
+    assert got == want
+
+
+def test_skyline_2d_null_measures_excluded(spark):
+    from etl_geotab_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 1), (2, None, 0), (3, 7.0, None)],
+        "id long, vmax double, vmin long",
+    )
+    got = {r.id for r in skyline_2d(df, "vmax", "vmin").collect()}
+    assert got == {1}

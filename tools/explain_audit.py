@@ -41,6 +41,9 @@ ALLOW_NESTED_LOOP = {
     "bigram_pmi",          # 1-row corpus-totals frame × tokens (scalar broadcast)
     "mad_outliers",        # 1-row median / MAD scalars × orders (scalar broadcast)
     "source_temperature_resample",  # 1-row total/zsum scalars × per-source rows
+    "skyline_pareto",       # dominance anti-join over the tiny candidate frontier
+    "heavy_hitters",        # 1-row total-count scalar × candidate counts
+    "unigram_logprob",      # 1-row corpus-total scalar × tokens
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -56,6 +59,9 @@ EXPECT_CONTAINS = {
     "pricing_summary": [("partial_",)],  # map-side partial agg
     "group_agg_minmax": [("partial_",)],
     "salted_skew_join": [("partial_",)],
+    "market_share": [("partial_",), ("BroadcastHashJoin",)],
+    "weighted_sample_topk": [("TakeOrderedAndProject",)],
+    "heavy_hitters": [("partial_",)],
 }
 
 
