@@ -73,6 +73,9 @@ HEADLINE = [
     "ann_recall_eval",
     "recursive_order_chains",
     "boilerplate_ngram_ratio",
+    "heavy_hitters",
+    "skyline_pareto",
+    "market_share",
 ]
 
 
