@@ -101,6 +101,8 @@ _ROUND_NEW: list[str] = [
     "market_share",
     "weighted_sample_topk",
     "unigram_logprob",
+    "geofence_contains",
+    "time_weighted_avg",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -5161,4 +5163,137 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("avg_logprob"),
         )
+    )
+
+
+# Geofence zones: convex polygons in CCW (lat, lon) vertex order over
+# the synthetic coordinate space shared with grid_spatial_join. A dict
+# so the Spark expression and the oracle SQL are generated from the
+# SAME literals — one source of truth for both engines.
+from etl_geotab_spark.functions.geo import (  # noqa: E402
+    point_in_convex_polygon,
+    polygon_sql_predicate,
+)
+
+_GEOFENCE_ZONES: dict[str, list[tuple[float, float]]] = {
+    "equatorial_tri": [(0.0, 0.0), (0.0, 60.0), (40.0, 60.0)],
+    "southwest_quad": [
+        (-60.0, -150.0),
+        (-60.0, -90.0),
+        (-20.0, -90.0),
+        (-20.0, -150.0),
+    ],
+    "northeast_pent": [
+        (50.0, 100.0),
+        (50.0, 140.0),
+        (65.0, 150.0),
+        (80.0, 120.0),
+        (65.0, 90.0),
+    ],
+}
+
+_GEOFENCE_SQL = """
+    WITH pts AS (
+      SELECT o_orderkey AS id,
+             ((o_orderkey * o_orderkey) % 18000) / 100.0 - 90.0 AS lat,
+             (((o_orderkey + 12345) * (o_orderkey + 67890)) % 36000) / 100.0
+               - 180.0 AS lon
+      FROM orders
+    )
+    SELECT id, lat, lon,
+           CASE {cases} END AS zone
+    FROM pts
+    WHERE {any_zone}
+""".format(
+    cases=" ".join(
+        f"WHEN {polygon_sql_predicate('lat', 'lon', v)} THEN '{z}'"
+        for z, v in _GEOFENCE_ZONES.items()
+    ),
+    any_zone=" OR ".join(
+        polygon_sql_predicate("lat", "lon", v) for v in _GEOFENCE_ZONES.values()
+    ),
+)
+
+
+@register("geofence_contains", _GEOFENCE_SQL)
+def q_geofence_contains(spark: SparkSession, sf: str) -> DataFrame:
+    """Geofencing — the canonical downstream op on the reference's
+    GeoJSON Point features (task.ts:279-282): which vehicles are inside
+    which operational zone. Convex zones unroll to pure cross-product
+    arithmetic (functions/geo.py), so containment is a MAP-ONLY
+    whole-stage-codegen projection — no join, no UDF, and bit-identical
+    across engines (unlike libm-backed haversine predicates). First
+    matching zone wins (zones here are disjoint); at many-zone scale
+    the same expression becomes the verify stage behind a coarse
+    grid-cell candidate join (q_grid_spatial_join's pattern)."""
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    pts = o.select(
+        k.alias("id"),
+        (((k * k) % 18000) / 100.0 - 90.0).alias("lat"),
+        ((((k + 12345) * (k + 67890)) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    lat, lon = F.col("lat"), F.col("lon")
+    zone = F.lit(None).cast("string")
+    for z, verts in reversed(list(_GEOFENCE_ZONES.items())):
+        zone = F.when(point_in_convex_polygon(lat, lon, verts), F.lit(z)).otherwise(
+            zone
+        )
+    return pts.withColumn("zone", zone).where(F.col("zone").isNotNull())
+
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+             ) AS next_us
+      FROM events
+    ), spans AS (
+      SELECT user_id, value, (next_us - t_us) / 1000000.0 AS dt_s
+      FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_spans,
+           round(CAST(SUM(CAST(value * dt_s AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(dt_s AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS tw_avg_value
+    FROM spans GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Telemetry rollup: TIME-WEIGHTED mean value per user — each
+    reading weighted by how long it was in effect (until the next
+    reading), the correct average for irregularly-sampled feeds like
+    the reference's vehicle telemetry (a plain AVG over-weights bursts
+    of rapid updates). One lead() window per user partition + one hash
+    aggregate; both weighted sums go through decimal casts so the
+    division is cross-engine deterministic. Last reading per user has
+    no span and drops out — the standard left-closed convention."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    spans = seq.select(
+        "user_id",
+        "value",
+        ((F.col("next_us") - F.col("t_us")) / F.lit(1000000.0)).alias("dt_s"),
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.round(
+            F.sum((F.col("value") * F.col("dt_s")).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.sum(F.col("dt_s").cast("decimal(18,6)")).cast("double"),
+            6,
+        ).alias("tw_avg_value"),
     )

@@ -217,3 +217,45 @@ def test_winnow_arrow_matches_expression_form(spark):
     }
     # NULL text → [] in both forms (when() guard swallows the null)
     assert expr == arrow
+
+
+def test_point_in_convex_polygon(spark):
+    """Containment truth table on a unit square incl. boundary (inside)
+    and the SQL twin producing the identical predicate semantics."""
+    from etl_geotab_spark.functions.geo import (
+        point_in_convex_polygon,
+        polygon_sql_predicate,
+    )
+
+    square = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]  # CCW (lat,lon)
+    pts = [
+        (1, 5.0, 5.0, True),    # interior
+        (2, 0.0, 5.0, True),    # edge -> inside
+        (3, 10.0, 10.0, True),  # vertex -> inside
+        (4, -0.1, 5.0, False),  # just outside
+        (5, 5.0, 11.0, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo, _ in pts], "id long, lat double, lon double"
+    )
+    got = {
+        r.id: r.inside
+        for r in df.select(
+            "id",
+            point_in_convex_polygon(F.col("lat"), F.col("lon"), square).alias(
+                "inside"
+            ),
+        ).collect()
+    }
+    assert got == {i: want for i, _, _, want in pts}
+
+    import duckdb
+
+    con = duckdb.connect()
+    pred = polygon_sql_predicate("lat", "lon", square)
+    rows = con.execute(
+        "SELECT id, " + pred + " AS inside FROM (VALUES "
+        + ", ".join(f"({i}, {la}, {lo})" for i, la, lo, _ in pts)
+        + ") t(id, lat, lon)"
+    ).fetchall()
+    assert {i: bool(v) for i, v in rows} == got
