@@ -178,3 +178,53 @@ def test_probe_jaccard_is_exact_incident_subset(spark, docs, probe_mask):
         ).collect()
     }
     assert got == want
+
+
+@SLOW
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_skyline_matches_naive_dominance(spark, pts):
+    """Distributed skyline == naive NOT EXISTS dominance for arbitrary
+    integer point sets (duplicates and total-order collisions
+    included)."""
+    from etl_geotab_spark.operators.skyline import skyline_2d
+
+    rows = [(i, float(a), b) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "id long, vmax double, vmin long"
+    ).repartition(4)
+    got = {r.id for r in skyline_2d(df, "vmax", "vmin").collect()}
+
+    def dom(p, q):
+        return q[1] >= p[1] and q[2] <= p[2] and (q[1] > p[1] or q[2] < p[2])
+
+    want = {p[0] for p in rows if not any(dom(p, q) for q in rows)}
+    assert got == want
+
+
+@SLOW
+@given(
+    stream=st.lists(st.integers(0, 9), min_size=1, max_size=200),
+    s_pct=st.sampled_from([10, 25, 40]),
+)
+def test_heavy_hitters_exact_for_any_stream(spark, stream, s_pct):
+    """heavy_hitters == plain GROUP BY HAVING for arbitrary streams and
+    thresholds — the MG candidate pass may over-generate but the
+    recount must make the result exact."""
+    from collections import Counter
+
+    from etl_geotab_spark.operators.frequency import heavy_hitters
+
+    s = s_pct / 100.0
+    df = spark.createDataFrame(
+        [(f"k{v}",) for v in stream], "item string"
+    ).repartition(4)
+    got = {(r.item, r.cnt) for r in heavy_hitters(df, "item", s).collect()}
+    c = Counter(f"k{v}" for v in stream)
+    want = {(k, n) for k, n in c.items() if n >= s * len(stream)}
+    assert got == want
