@@ -452,3 +452,71 @@ def ngram_jaccard_pairs_probe(
         .agg(F.count_distinct(F.col("l.gram")).alias("shared"))
     )
     return _jaccard_from_shared(shared, sizes, id_col, threshold)
+
+
+def ngram_jaccard_cross(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact cross-corpus Jaccard: (incoming_id, corpus_id, jaccard)
+    for every new-batch document within ``threshold`` of an EXISTING
+    corpus document — the incremental-dedup primitive. A production
+    crawl pipeline dedups each incoming batch against the indexed
+    corpus instead of re-pairing the corpus with itself: the join is
+    batch-grams ⋈ corpus-grams, so cost is O(|batch| × gram fan-out) —
+    LINEAR in corpus size where the self-join square would be. In
+    production the corpus gram side is a stored, bucketed gram index
+    (pay the explode once, amortize per batch — io.write_bucketed).
+
+    The ``max_doc_freq`` skew guard measures document frequency on the
+    CORPUS side (the batch cannot know global frequencies) and prunes
+    the hot grams from BOTH sides so Jaccard stays internally
+    consistent. Ids must be disjoint across the two frames (an id on
+    both sides would pair with itself)."""
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), n))
+            ).alias("gram"),
+        )
+
+    g_in = grams_of(incoming)
+    g_c = grams_of(corpus)
+    if max_doc_freq is not None:
+        hot = (
+            g_c.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("gram")
+        )
+        g_in = g_in.join(F.broadcast(hot), on="gram", how="left_anti")
+        g_c = g_c.join(F.broadcast(hot), on="gram", how="left_anti")
+    g_in = g_in.persist()
+    g_c = g_c.persist()
+    sz_in = g_in.groupBy(id_col).agg(F.count("*").alias("n_in"))
+    sz_c = g_c.groupBy(id_col).agg(F.count("*").alias("n_c"))
+    shared = (
+        g_in.alias("l")
+        .join(g_c.alias("r"), on=[F.col("l.gram") == F.col("r.gram")])
+        .groupBy(
+            F.col(f"l.{id_col}").alias("incoming_id"),
+            F.col(f"r.{id_col}").alias("corpus_id"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("n_in") + F.col("n_c") - F.col("shared")
+    ).cast("double")
+    return (
+        shared.join(sz_in, F.col("incoming_id") == sz_in[id_col])
+        .join(sz_c, F.col("corpus_id") == sz_c[id_col])
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("incoming_id", "corpus_id", "jaccard")
+    )

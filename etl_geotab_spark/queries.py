@@ -104,6 +104,7 @@ _ROUND_NEW: list[str] = [
     "geofence_contains",
     "time_weighted_avg",
     "incremental_agg_merge",
+    "cross_corpus_dedup",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -5373,4 +5374,65 @@ def q_incremental_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
             F.col("price_sum").cast("double") / F.col("cnt"), 6
         ).alias("avg_price"),
         "last_order",
+    )
+
+
+@register(
+    "cross_corpus_dedup",
+    """
+    WITH split AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+               AS is_incoming
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, is_incoming,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS tk
+      FROM split
+    ), grams AS (
+      SELECT doc_id, is_incoming,
+             unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+                                   for i in generate_series(1, len(tk) - 2)])) AS gram
+      FROM toks
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), shared AS (
+      SELECT l.doc_id AS incoming_id, r.doc_id AS corpus_id, COUNT(*) AS shared
+      FROM grams l JOIN grams r ON l.gram = r.gram
+      WHERE l.is_incoming AND NOT r.is_incoming
+      GROUP BY 1, 2
+    )
+    SELECT incoming_id, corpus_id,
+           CAST(shared AS DOUBLE)
+             / CAST(si.n_grams + sc.n_grams - shared AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sz si ON incoming_id = si.doc_id
+    JOIN sz sc ON corpus_id = sc.doc_id
+    WHERE CAST(shared AS DOUBLE)
+            / CAST(si.n_grams + sc.n_grams - shared AS DOUBLE) >= 0.4
+    """,
+)
+def q_cross_corpus_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """X1 INCREMENTAL dedup: a new batch (md5-split ~19% of docs —
+    deterministic stand-in for today's crawl) dedups against the
+    EXISTING corpus via operators/dedup.ngram_jaccard_cross — batch
+    grams ⋈ corpus grams, linear in corpus size, instead of the
+    self-join square. This is the op a production pipeline runs every
+    ingest cycle; the self-dedup twin (ngram_jaccard_pairs) runs once
+    at corpus build. df-cap skew guard in the plan (cap above fixture
+    scale → oracle-exact, 100 TB guard still exercised)."""
+    from etl_geotab_spark.operators.dedup import ngram_jaccard_cross
+
+    d = _spread(_t(spark, sf, "documents"))
+    is_in = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2"
+    )
+    return ngram_jaccard_cross(
+        d.where(is_in),
+        d.where(~is_in),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.4,
+        max_doc_freq=1_000_000,
     )

@@ -934,3 +934,29 @@ def test_skyline_2d_null_measures_excluded(spark):
     )
     got = {r.id for r in skyline_2d(df, "vmax", "vmin").collect()}
     assert got == {1}
+
+
+def test_ngram_jaccard_cross_matches_manual(spark):
+    """Cross-corpus Jaccard equals hand-computed values and never pairs
+    incoming docs with each other (the incremental-dedup contract)."""
+    from etl_geotab_spark.operators.dedup import ngram_jaccard_cross
+
+    incoming = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "q1 q2 q3 q4 q5 q6")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(10, "w1 w2 w3 w4 w5 zz"), (11, "w1 w2 w3 w4 w5 w6"),
+         (12, "r1 r2 r3 r4 r5 r6")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.incoming_id, r.corpus_id): r.jaccard
+        for r in ngram_jaccard_cross(
+            incoming, corpus, "text", "doc_id", n=2, threshold=0.3
+        ).collect()
+    }
+    assert out[(1, 11)] == 1.0          # exact dup of a corpus doc
+    assert 0.5 < out[(1, 10)] < 0.7     # 4 shared of 6 union
+    assert all(i == 1 for i, _ in out)  # doc 2 matches nothing
+    assert all(c in (10, 11) for _, c in out)
