@@ -106,6 +106,7 @@ _ROUND_NEW: list[str] = [
     "incremental_agg_merge",
     "cross_corpus_dedup",
     "jsonl_ingest",
+    "csv_ingest",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -5481,4 +5482,59 @@ def q_jsonl_ingest(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
+    )
+
+
+@register(
+    "csv_ingest",
+    """
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+           count(DISTINCT props) AS n_distinct_props
+    FROM events GROUP BY event_type
+    """,
+)
+def q_csv_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """S-family: CSV ingestion under the oracle gate, on the one
+    fixture column that actually stresses CSV — ``events.props`` holds
+    JSON strings full of quotes/commas/braces, so the writer's quoting
+    and the reader's unescaping must be exactly inverse or the
+    count(DISTINCT props) hash diverges from the parquet oracle.
+    Explicit schema on read (inference is an extra full pass and a
+    type-guessing hazard — banned at scale, same rule as jsonl_ingest);
+    timestamps are deliberately left out of the round-trip (CSV has no
+    timestamp type; sub-second formatting is writer-config — carry
+    event time through typed formats, not CSV). Write amortized per
+    (session, sf) behind a marker."""
+    import hashlib
+    import tempfile
+
+    data_dir = os.path.join(
+        tempfile.gettempdir(),
+        "etl_geotab_csv",
+        hashlib.md5(sf.encode()).hexdigest()[:8],
+    )
+    marker = data_dir + ".done"
+    if not os.path.exists(marker):
+        _t(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "value", "props"
+        ).write.mode("overwrite").option("header", "true").csv(data_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    ev = (
+        spark.read.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        .option("header", "true")
+        .csv(data_dir)
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "value_sum"
+        ),
+        F.count_distinct("props").alias("n_distinct_props"),
     )
