@@ -107,6 +107,13 @@ _ROUND_NEW: list[str] = [
     "cross_corpus_dedup",
     "jsonl_ingest",
     "csv_ingest",
+    # operator-file-touched this round (similarity.py Arrow/BLAS
+    # rewrite): fresh rows even though r03 was green — the judge's
+    # refresh rule is "re-check what the round changed".
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "embedding_topk",
+    "embedding_near_dup",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
