@@ -114,6 +114,9 @@ _ROUND_NEW: list[str] = [
     "ivf_ann_topk",
     "embedding_topk",
     "embedding_near_dup",
+    "retention_cohorts",
+    "token_entropy",
+    "triangle_count",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -5545,3 +5548,162 @@ def q_csv_ingest(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.count_distinct("props").alias("n_distinct_props"),
     )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT f.cohort,
+           CAST(a.d - f.cohort AS BIGINT) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product/fleet analytics
+    shape: users bucketed by first-active day (cohort), then counted
+    in every later day they reappear (daily grain because the events
+    fixture spans one month; the shape is grain-independent). Two
+    aggregations over one scan + a join on user_id (both sides already
+    keyed on it, so the cohort join reuses the aggregation exchange).
+    The day offset is integer date arithmetic — identical across
+    engines, unlike engine-specific month-diff builtins."""
+    e = _t(spark, sf, "events")
+    firsts = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort"))
+    activity = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    j = firsts.join(activity, "user_id")
+    offset = F.datediff("d", "cohort").cast("bigint")
+    return j.groupBy("cohort", offset.alias("day_offset")).agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+@register(
+    "token_entropy",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), filtered AS (
+      SELECT source, token FROM toks WHERE token <> ''
+    ), tf AS (
+      SELECT source, token, count(*) AS c FROM filtered GROUP BY source, token
+    ), tot AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n FROM filtered GROUP BY source
+    )
+    SELECT tf.source,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           count(*) AS vocab_size,
+           round(-CAST(SUM(CAST((tf.c / tot.n) * ln(tf.c / tot.n)
+                                AS DECIMAL(18,9))) AS DOUBLE), 6) AS entropy_nats
+    FROM tf JOIN tot ON tf.source = tot.source
+    GROUP BY tf.source, tot.n
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 corpus statistic: Shannon entropy (nats) of each source's
+    unigram distribution — the standard diversity/repetitiveness
+    signal for weighting sources in a pretraining mix (low entropy =
+    templated/boilerplate-heavy source). Same determinism recipe as
+    unigram_logprob: per-term p·ln(p) cast to decimal before the sum,
+    so the aggregate is summation-order independent; per-source totals
+    ride the same groupBy key so no extra shuffle."""
+    d = _spread(_t(spark, sf, "documents"))
+    toks = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        tf.join(broadcast(tot), "source")
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.round(
+                -F.sum((p * F.log(p)).cast("decimal(18,9)")).cast("double"), 6
+            ).alias("entropy_nats"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "vocab_size",
+            "entropy_nats",
+        )
+    )
+
+
+@register(
+    "triangle_count",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ), tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e1.b = e2.a
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), members AS (
+      SELECT a AS part FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT part, count(*) AS n_triangles
+    FROM members GROUP BY part
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph triangle counting over the part co-purchase graph (edges =
+    part pairs sharing an order) — the classic multi-way self-join:
+    with edges oriented a<b, each triangle matches exactly once as
+    (e1.a,e1.b)·(e1.b,e2.b)·(e1.a,e2.b), so no post-dedup is needed.
+    Three shuffle joins on edge endpoints; the oriented-edge trick is
+    what keeps the intermediate (wedge) set to Σ deg²/2 instead of
+    Σ deg² — at real graph scale you additionally orient by degree
+    (low→high) to cap wedge fan-out on hubs. Output: per-part triangle
+    participation (the local clustering numerator)."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            on=[
+                F.col("l1.l_orderkey") == F.col("l2.l_orderkey"),
+                F.col("l1.l_partkey") < F.col("l2.l_partkey"),
+            ],
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    members = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return members.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
