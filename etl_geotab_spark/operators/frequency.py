@@ -2,7 +2,7 @@
 
 Two-pass candidates+recount, the mergeable-summaries shape:
 
-1. candidates: one Misra-Gries summary (k = ⌈1/s⌉ − 1 counters) per
+1. candidates: one Misra-Gries summary (k = ⌈1/s⌉ counters) per
    partition, built inside a single mapInPandas pass. MG's guarantee —
    any item with local share ≥ s survives the summary — plus the
    averaging argument (an item with GLOBAL share ≥ s has share ≥ s in
@@ -35,7 +35,14 @@ from pyspark.sql.functions import broadcast
 
 def misra_gries_candidates(items: DataFrame, item_col: str, s: float) -> DataFrame:
     """Distinct candidate items from per-partition Misra-Gries
-    summaries with k = ⌈1/s⌉ − 1 counters.
+    summaries with k = ⌈1/s⌉ counters.
+
+    k must satisfy k+1 > 1/s STRICTLY: MG's survival bound is
+    "frequency > n/(k+1)", so an item at share EXACTLY s (common when
+    1/s is an integer — e.g. [a,a,b,b] at s=0.5) needs s > 1/(k+1) or
+    it can be fully evicted and the exact recount below never sees it
+    (a false negative against the >= filter). ⌈1/s⌉ gives
+    k+1 ≥ 1/s + 1 > 1/s for every s.
 
     Batch-merge form (mergeable summaries): fold each Arrow batch's
     value_counts into the counter map, then if more than k counters
@@ -43,7 +50,7 @@ def misra_gries_candidates(items: DataFrame, item_col: str, s: float) -> DataFra
     non-positive — equivalent to item-at-a-time MG, vectorized."""
     if not (0 < s < 1):
         raise ValueError(f"share threshold must be in (0,1), got {s}")
-    k = max(1, math.ceil(1.0 / s) - 1)
+    k = max(1, math.ceil(1.0 / s))
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: Counter = Counter()

@@ -93,32 +93,49 @@ def cosine_topk_blas(
 
     vs the expression tier: values can differ in the last ulp
     (vectorized vs sequential summation), so sub-ulp ranking ties may
-    resolve differently; neighbor SETS match on real data
-    (pytest-asserted against ``cosine_topk_bruteforce``). Use THIS tier
-    for evals/serving; use the expression tier when bit-parity with a
-    scalar engine matters (oracle-checked queries)."""
+    resolve differently, but FULL-VALUE ties (duplicate embeddings —
+    common in dedup'd corpora) break identically: the local top-k
+    selection orders by (sim desc, neighbor_id asc), the same contract
+    as the expression tier's window (pytest-asserted). One divergence,
+    by design: a zero-norm QUERY returns no rows here, where the
+    expression tier emits k NULL-sim rows — masking is the honest
+    behavior for an eval baseline. Use THIS tier for evals/serving;
+    use the expression tier when bit-parity with a scalar engine
+    matters (oracle-checked queries)."""
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1).cast("int")).where(F.lit(False))
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qn = np.linalg.norm(qmat, axis=1)
-    qmat = qmat / np.where(qn == 0, 1.0, qn)[:, None]
+    qraw = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_zero = np.linalg.norm(qraw, axis=1) == 0
+    qmat = _unit_rows(qraw)
 
     def local_topk(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            cn = np.linalg.norm(cmat, axis=1)
-            cmat = cmat / np.where(cn == 0, 1.0, cn)[:, None]
-            sims = qmat @ cmat.T  # (n_queries, batch)
+            craw = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cn = np.linalg.norm(craw, axis=1)
+            sims = qmat @ _unit_rows(craw).T  # (n_queries, batch)
             if not include_self:
                 sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
-            sims[:, cn == 0] = -np.inf  # zero vectors rank last
+            sims[:, cn == 0] = -np.inf  # zero corpus vectors rank last
+            sims[q_zero, :] = -np.inf  # zero queries: no neighbors
             kk = min(k, sims.shape[1])
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # (sim desc, id asc) local selection: permute columns into
+            # id order, then a STABLE sort on -sim resolves full-value
+            # ties toward the smaller neighbor_id — same ordering the
+            # global window applies, so boundary ties never drop the
+            # neighbor the final rank would have kept.
+            id_order = np.argsort(c_ids, kind="stable")
+            order = np.argsort(
+                -sims[:, id_order], axis=1, kind="stable"
+            )[:, :kk]
             rows = np.repeat(np.arange(len(q_ids)), kk)
-            cols = part.ravel()
+            cols = id_order[order].ravel()
             keep = np.isfinite(sims[rows, cols])
             yield pd.DataFrame(
                 {
@@ -128,9 +145,7 @@ def cosine_topk_blas(
                 }
             )
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(
-        local_topk, "query_id long, neighbor_id long, cosine_sim double"
-    )
+    cand = corpus.select(id_col, vec_col).mapInPandas(local_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )

@@ -5040,25 +5040,28 @@ def q_skyline_pareto(spark: SparkSession, sf: str) -> DataFrame:
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
     ), by_nation AS (
-      SELECT o_year, nation, CAST(SUM(r) AS DOUBLE) AS nation_rev
+      SELECT o_year, nation,
+             CAST(SUM(r) AS DECIMAL(18,6)) AS nation_rev_dec
       FROM rev GROUP BY o_year, nation
     ), by_year AS (
-      SELECT o_year, CAST(SUM(r) AS DOUBLE) AS year_rev
-      FROM rev GROUP BY o_year
+      SELECT o_year, CAST(SUM(nation_rev_dec) AS DOUBLE) AS year_rev
+      FROM by_nation GROUP BY o_year
     )
-    SELECT b.o_year, b.nation, b.nation_rev,
-           round(b.nation_rev / y.year_rev, 6) AS share
+    SELECT b.o_year, b.nation,
+           CAST(b.nation_rev_dec AS DOUBLE) AS nation_rev,
+           round(CAST(b.nation_rev_dec AS DOUBLE) / y.year_rev, 6) AS share
     FROM by_nation b JOIN by_year y ON b.o_year = y.o_year
     """,
 )
 def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8-shaped nested aggregate: each supplier nation's share
-    of yearly revenue. Two decimal-exact aggregations over ONE joined
-    frame (per (year, nation) and per year) joined back on the tiny
-    year table (broadcast) — the share division happens on the two
-    decimal-backed doubles, so the result is bit-deterministic
-    cross-engine (a plain double SUM would be summation-order-
-    dependent). Dims (supplier, nation) broadcast into the fact scan;
+    of yearly revenue. ONE decimal-exact aggregation over the joined
+    frame; year totals re-aggregate the per-nation decimal sums
+    (associative, bit-identical to summing base rows) so the fact join
+    runs once, then a broadcast join back on the tiny year table. The
+    share division happens on decimal-backed doubles, so the result is
+    bit-deterministic cross-engine (a plain double SUM would be
+    summation-order-dependent). Dims (supplier, nation) broadcast into the fact scan;
     the only big shuffle is lineitem ⋈ orders on the order key."""
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
@@ -5074,13 +5077,24 @@ def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_r"),
         )
     )
-    by_nation = rev.groupBy("o_year", "nation").agg(dsum("_r", "nation_rev"))
-    by_year = rev.groupBy("o_year").agg(dsum("_r", "year_rev"))
+    by_nation = rev.groupBy("o_year", "nation").agg(
+        F.sum(F.col("_r").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("nation_rev_dec")
+    )
+    # year totals RE-AGGREGATE the per-nation decimal sums (decimal
+    # addition is associative, so this is bit-identical to summing the
+    # base rows) — one pass over the fact join instead of two.
+    by_year = by_nation.groupBy("o_year").agg(
+        F.sum("nation_rev_dec").cast("double").alias("year_rev")
+    )
     return by_nation.join(broadcast(by_year), "o_year").select(
         "o_year",
         "nation",
-        "nation_rev",
-        F.round(F.col("nation_rev") / F.col("year_rev"), 6).alias("share"),
+        F.col("nation_rev_dec").cast("double").alias("nation_rev"),
+        F.round(
+            F.col("nation_rev_dec").cast("double") / F.col("year_rev"), 6
+        ).alias("share"),
     )
 
 

@@ -960,3 +960,39 @@ def test_ngram_jaccard_cross_matches_manual(spark):
     assert 0.5 < out[(1, 10)] < 0.7     # 4 shared of 6 union
     assert all(i == 1 for i, _ in out)  # doc 2 matches nothing
     assert all(c in (10, 11) for _, c in out)
+
+
+def test_heavy_hitters_boundary_share(spark):
+    """Items at share EXACTLY s must be returned even when 1/s is an
+    integer — the MG k = ceil(1/s) strictness requirement (k-1 counters
+    can fully evict a boundary item, a false negative vs the >= filter;
+    simulated: [a,a,b,b] at s=0.5 emptied the candidate set with k=1)."""
+    from etl_geotab_spark.operators.frequency import heavy_hitters
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",), ("b",)], "item string")
+    got = {(r.item, r.cnt) for r in heavy_hitters(df, "item", 0.5).collect()}
+    assert got == {("a", 2), ("b", 2)}
+    # round-robined boundary case across partitions
+    df4 = spark.createDataFrame(
+        [(f"k{i % 4}",) for i in range(16)], "item string"
+    ).repartition(4)
+    got4 = {(r.item, r.cnt) for r in heavy_hitters(df4, "item", 0.25).collect()}
+    assert got4 == {(f"k{i}", 4) for i in range(4)}
+
+
+def test_cosine_topk_blas_edge_cases(spark):
+    """Duplicate embeddings at the local top-k boundary break ties by
+    neighbor_id (matching the expression tier); an empty query frame
+    returns an empty result instead of crashing."""
+    from etl_geotab_spark.operators.similarity import cosine_topk_blas
+
+    rows = [(1, [1.0, 0.0])] + [(i, [0.8, 0.2]) for i in range(2, 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_blas(df, df.where(F.col("vec_id") == 1), k=3)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    # six identical candidates tied on sim -> smallest ids win
+    assert got == [(2, 1), (3, 2), (4, 3)]
+
+    empty = cosine_topk_blas(df, df.where(F.col("vec_id") < 0), k=3)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
