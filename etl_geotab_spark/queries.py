@@ -117,6 +117,8 @@ _ROUND_NEW: list[str] = [
     "retention_cohorts",
     "token_entropy",
     "triangle_count",
+    "lateral_top_orders",
+    "seasonal_zscore",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -5776,3 +5778,104 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(tri.select(F.col("w").alias("part")))
     )
     return members.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register(
+    "lateral_top_orders",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey % 10 = 0
+    """,
+)
+def q_lateral_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-surface breadth: correlated LATERAL subquery (top-2 orders
+    per customer) — the per-row-subquery form users reach for before
+    they know the window-function rewrite. Spark decorrelates it into
+    the same join + partitioned rank plan topk_per_group builds by
+    hand (DomainJoin → window under the hood), which is exactly the
+    engine contract: accept the declarative form, run the scalable
+    plan. Customer-key sample keeps the result compact."""
+    _t(spark, sf, "customer").createOrReplaceTempView("_lat_customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM _lat_customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey % 10 = 0
+        """
+    )
+
+
+@register(
+    "seasonal_zscore",
+    """
+    WITH keyed AS (
+      SELECT user_id, value, hour(CAST(ts AS TIMESTAMP)) AS hod,
+             event_id
+      FROM events
+    ), stats AS (
+      SELECT hod,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,12))) AS DOUBLE) AS ss
+      FROM keyed GROUP BY hod
+    ), scored AS (
+      SELECT k.event_id, k.user_id, k.hod, k.value,
+             (k.value - s.s / s.n)
+               / sqrt(greatest(s.ss / s.n - (s.s / s.n) * (s.s / s.n), 1e-12))
+               AS z
+      FROM keyed k JOIN stats s ON k.hod = s.hod
+    )
+    SELECT event_id, user_id, hod, value, round(z, 6) AS z
+    FROM scored WHERE abs(z) > 2.5
+    """,
+)
+def q_seasonal_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Telemetry anomaly detection with a SEASONAL baseline: each
+    reading is z-scored against its hour-of-day population (global
+    z-scoring flags every rush-hour reading; seasonal keys flag
+    deviations from the hour's own norm). One tiny per-hour moment
+    aggregate (24 rows — decimal-exact sum and sum-of-squares, so the
+    derived mean/std are cross-engine deterministic) broadcast back
+    onto the stream; the split-moments form avoids a second pass the
+    textbook (x-μ)² formulation would need. Same shape as
+    zscore_outliers but keyed — the pair shows global vs seasonal
+    baselines as one parameterization."""
+    e = _t(spark, sf, "events")
+    keyed = e.select(
+        "event_id", "user_id", F.hour("ts").alias("hod"), "value"
+    )
+    stats = keyed.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.greatest(
+        F.col("ss") / F.col("n") - mean * mean, F.lit(1e-12)
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    # filter on the UNROUNDED score (like the oracle's scored CTE) —
+    # filtering the rounded value would flip rows whose |z| rounds down
+    # to exactly the threshold.
+    return (
+        keyed.join(broadcast(stats), "hod")
+        .select("event_id", "user_id", "hod", "value", z.alias("_z"))
+        .where(F.abs(F.col("_z")) > 2.5)
+        .select(
+            "event_id",
+            "user_id",
+            "hod",
+            "value",
+            F.round("_z", 6).alias("z"),
+        )
+    )
