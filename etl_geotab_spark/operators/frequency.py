@@ -78,10 +78,27 @@ def heavy_hitters(items: DataFrame, item_col: str, s: float) -> DataFrame:
 
     Returns (item_col, cnt, share) with share rounded to 6 dp. The
     total-count scalar rides along as a 1-row broadcast cross-join so
-    the plan stays lazy end to end."""
-    typed = items.select(F.col(item_col).cast("string").alias(item_col))
+    the plan stays lazy end to end.
+
+    The share comparison runs in DECIMAL: float `cnt >= s*total` gets
+    the ≥ boundary wrong whenever fl(s)·total rounds above the true
+    product (s=0.07, total=100 → 7.000000000000001 silently drops an
+    exactly-7-count item), which would defeat the k=⌈1/s⌉ candidate
+    guarantee. ``s`` is quantized to 12 decimal places — thresholds
+    are human-written decimals, so this is exact for any realistic s.
+
+    NULL items are excluded up front (from the candidates, the counts,
+    AND the share denominator): pandas value_counts and equi-joins both
+    drop NULLs, so a NULL "group" could never be returned anyway —
+    excluding it from the denominator keeps the reported shares
+    consistent (shares of the non-null population). Callers who care
+    about NULL mass should measure it separately."""
+    typed = items.select(F.col(item_col).cast("string").alias(item_col)).where(
+        F.col(item_col).isNotNull()
+    )
     cand = misra_gries_candidates(typed, item_col, s)
     total = typed.agg(F.count(F.lit(1)).alias("_total"))
+    s_dec = F.lit(round(s, 12)).cast("decimal(14,12)")
     counts = (
         typed.join(broadcast(cand), on=item_col, how="left_semi")
         .groupBy(item_col)
@@ -89,7 +106,7 @@ def heavy_hitters(items: DataFrame, item_col: str, s: float) -> DataFrame:
     )
     return (
         counts.crossJoin(broadcast(total))
-        .where(F.col("cnt") >= F.lit(s) * F.col("_total"))
+        .where(F.col("cnt").cast("decimal(20,0)") >= s_dec * F.col("_total"))
         .select(
             item_col,
             "cnt",

@@ -61,7 +61,15 @@ def skyline_2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
     are excluded up front (dominance is undefined for them)."""
     clean = df.where(F.col(max_col).isNotNull() & F.col(min_col).isNotNull())
     schema = clean.schema
-    cand = clean.mapInPandas(_local_skyline(max_col, min_col), schema)
+    # localCheckpoint: the candidate union feeds BOTH join sides, and a
+    # broadcast subtree is not unified with a non-broadcast one by
+    # ReuseExchange — without materialization the full scan + local-
+    # skyline kernel would run twice. The frontier is small by
+    # contract, and checkpoint blocks release on GC (no unpersist
+    # bookkeeping for a lazily-returned result).
+    cand = clean.mapInPandas(
+        _local_skyline(max_col, min_col), schema
+    ).localCheckpoint()
     dom = cand.select(
         F.col(max_col).alias("_dmax"), F.col(min_col).alias("_dmin")
     )

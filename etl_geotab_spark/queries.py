@@ -4971,7 +4971,7 @@ def q_quality_adaptive_filter(spark: SparkSession, sf: str) -> DataFrame:
       SELECT token, count(*) AS cnt FROM filtered GROUP BY token
     )
     SELECT token, cnt, round(CAST(cnt AS DOUBLE) / _total, 6) AS share
-    FROM cnts, tot WHERE cnt >= 0.03 * _total
+    FROM cnts, tot WHERE cnt >= CAST(0.03 AS DECIMAL(14,12)) * _total
     """,
 )
 def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
@@ -5490,10 +5490,14 @@ def q_jsonl_ingest(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib
     import tempfile
 
+    # PID-namespaced like the bucketed tables: the correctness driver,
+    # pytest, and bench may run concurrently, and overwrite-mode writes
+    # under a shared path would race; a fresh process also never trusts
+    # a stale marker from an older fixture generation.
     data_dir = os.path.join(
         tempfile.gettempdir(),
         "etl_geotab_jsonl",
-        hashlib.md5(sf.encode()).hexdigest()[:8],
+        f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
     )
     marker = data_dir + ".done"
     if not os.path.exists(marker):
@@ -5536,10 +5540,14 @@ def q_csv_ingest(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib
     import tempfile
 
+    # PID-namespaced like the bucketed tables: the correctness driver,
+    # pytest, and bench may run concurrently, and overwrite-mode writes
+    # under a shared path would race; a fresh process also never trusts
+    # a stale marker from an older fixture generation.
     data_dir = os.path.join(
         tempfile.gettempdir(),
         "etl_geotab_csv",
-        hashlib.md5(sf.encode()).hexdigest()[:8],
+        f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
     )
     marker = data_dir + ".done"
     if not os.path.exists(marker):

@@ -288,6 +288,7 @@ class GeotabCredentialCache:
         # have died server-side while no process was running).
         self._store_path = store_path
         self._cached: dict | None = None
+        self._identity: tuple[str, str] | None = None  # (userName, database)
         self._born = 0.0
         self.login_count = 0  # observability/testing
         self.probe_count = 0
@@ -311,11 +312,17 @@ class GeotabCredentialCache:
         self.probe_count += 1
         return "error" not in resp
 
-    def _load_store(self) -> None:
-        """Adopt a persisted session from a previous process if it is
-        inside the TTL horizon AND answers the user() probe — the
-        trust-but-verify load the reference does on its ephemeral KV
-        (task.ts:127-143 try / 301-324 validate)."""
+    def _load_store(self, username: str, database: str) -> None:
+        """Adopt a persisted session from a previous process if it was
+        created for the SAME (userName, database), is inside the TTL
+        horizon, AND answers the user() probe — the trust-but-verify
+        load the reference does on its ephemeral KV (task.ts:127-143
+        try / 301-324 validate). The identity check matters because the
+        file outlives any one caller: without it, a store written for
+        user A would hand A's live session to a process asking for
+        user B (the liveness probe cannot catch that — A's session IS
+        alive). Stores without identity fields (older format) are
+        treated as cold."""
         import os
 
         if not self._store_path or not os.path.exists(self._store_path):
@@ -324,6 +331,11 @@ class GeotabCredentialCache:
             with open(self._store_path) as f:
                 persisted = json.load(f)
             creds, born_unix = persisted["credentials"], float(persisted["born_unix"])
+            if (persisted["userName"], persisted["database"]) != (
+                username,
+                database,
+            ):
+                return  # different identity → this store is not ours
         except (ValueError, KeyError, TypeError, OSError):
             return  # corrupt store (bad JSON or wrong shape) → behave as cold
         age = time.time() - born_unix
@@ -334,6 +346,7 @@ class GeotabCredentialCache:
             self._cached = None  # died server-side while we were down
             return
         # carry the REMAINING ttl over (age counts from original login)
+        self._identity = (username, database)
         self._born = time.monotonic() - age
         self.store_hits += 1
 
@@ -347,7 +360,16 @@ class GeotabCredentialCache:
         fd, tmp = tempfile.mkstemp(dir=d, prefix=".geotab-cred-")
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump({"credentials": self._cached, "born_unix": time.time()}, f)
+                user, db = self._identity or ("", "")
+                json.dump(
+                    {
+                        "credentials": self._cached,
+                        "born_unix": time.time(),
+                        "userName": user,
+                        "database": db,
+                    },
+                    f,
+                )
             os.replace(tmp, self._store_path)  # atomic vs concurrent readers
         except OSError:
             try:
@@ -356,12 +378,14 @@ class GeotabCredentialCache:
                 pass
 
     def credentials(self, username: str, password: str, database: str) -> dict:
+        if self._identity is not None and self._identity != (username, database):
+            self._cached = None  # same cache object, different identity
         if self._cached is not None and (time.monotonic() - self._born) < self._ttl_s:
             if not self._probe or self._session_valid():
                 return self._cached
             self._cached = None  # expired server-side → fall through to re-login
         if self._cached is None:
-            self._load_store()
+            self._load_store(username, database)
             if self._cached is not None:
                 return self._cached
         resp = self._transport(
@@ -379,6 +403,7 @@ class GeotabCredentialCache:
             raise RuntimeError(f"Authenticate failed: {resp['error']}")
         self.login_count += 1
         self._cached = resp["result"]["credentials"]
+        self._identity = (username, database)
         self._born = time.monotonic()
         self._write_store()
         return self._cached

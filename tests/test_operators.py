@@ -978,6 +978,14 @@ def test_heavy_hitters_boundary_share(spark):
     ).repartition(4)
     got4 = {(r.item, r.cnt) for r in heavy_hitters(df4, "item", 0.25).collect()}
     assert got4 == {(f"k{i}", 4) for i in range(4)}
+    # float-threshold boundary: fl(0.07)*100 = 7.000000000000001, so a
+    # double comparison would drop the exactly-7-count item — the
+    # decimal threshold must keep it.
+    df7 = spark.createDataFrame(
+        [("hot",)] * 7 + [(f"t{i}",) for i in range(93)], "item string"
+    ).repartition(4)
+    got7 = {(r.item, r.cnt) for r in heavy_hitters(df7, "item", 0.07).collect()}
+    assert got7 == {("hot", 7)}
 
 
 def test_cosine_topk_blas_edge_cases(spark):

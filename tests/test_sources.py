@@ -409,3 +409,24 @@ def test_streaming_connector_pipeline_to_rest_sink(geotab, tmp_path):
     assert acks, "no sink ack written"
     posted = sum(_json.load(open(p))["features_posted"] for p in acks)
     assert posted == expected
+
+
+def test_durable_store_rejects_different_identity(tmp_path):
+    """A persisted session is only adopted by a caller asking for the
+    SAME (userName, database) — user B must get their own login, not
+    user A's still-alive session (the probe can't catch that: A's
+    session IS alive)."""
+    server = _ExpiringTransport()
+    store = str(tmp_path / "cred.json")
+    c1 = GeotabCredentialCache(server, "https://example.test/", store_path=store)
+    a = c1.credentials("userA", "pwA", "dbA")
+    assert c1.login_count == 1
+
+    c2 = GeotabCredentialCache(server, "https://example.test/", store_path=store)
+    b = c2.credentials("userB", "pwB", "dbB")
+    assert c2.login_count == 1 and c2.store_hits == 0
+    assert b != a
+
+    # the same cache OBJECT asked for a different identity re-logins too
+    c2.credentials("userC", "pwC", "dbC")
+    assert c2.login_count == 2
