@@ -119,6 +119,7 @@ _ROUND_NEW: list[str] = [
     "triangle_count",
     "lateral_top_orders",
     "seasonal_zscore",
+    "orc_ingest",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -5886,4 +5887,47 @@ def q_seasonal_zscore(spark: SparkSession, sf: str) -> DataFrame:
             "value",
             F.round("_z", 6).alias("z"),
         )
+    )
+
+
+@register(
+    "orc_ingest",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS price_sum,
+           min(o_orderdate) AS first_order, max(o_orderdate) AS last_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_orc_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """S-family: ORC ingestion under the oracle gate — the third
+    columnar round-trip beside jsonl/csv_ingest, covering the format a
+    Hive-heritage warehouse hands you. Timestamps DO survive this one
+    (ORC has a real timestamp type, unlike CSV), so min/max order
+    dates are part of the hash check. Explicit schema is unnecessary
+    (ORC files carry one), which is itself the contract being tested:
+    the embedded schema must round-trip types exactly. PID-namespaced
+    scratch + marker, same amortization as the other ingest queries."""
+    import hashlib
+    import tempfile
+
+    data_dir = os.path.join(
+        tempfile.gettempdir(),
+        "etl_geotab_orc",
+        f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+    )
+    marker = data_dir + ".done"
+    if not os.path.exists(marker):
+        _t(spark, sf, "orders").write.mode("overwrite").orc(data_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    o = spark.read.orc(data_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("price_sum"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
     )
