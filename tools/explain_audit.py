@@ -62,6 +62,16 @@ EXPECT_CONTAINS = {
     "market_share": [("partial_",), ("BroadcastHashJoin",)],
     "weighted_sample_topk": [("TakeOrderedAndProject",)],
     "heavy_hitters": [("partial_",)],
+    "triangle_count": [("partial_",), ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")],
+    "cross_corpus_dedup": [("partial_",)],
+    "unigram_logprob": [("partial_",), ("BroadcastHashJoin",)],
+    "token_entropy": [("partial_",), ("BroadcastHashJoin",)],
+    "seasonal_zscore": [("partial_",), ("BroadcastHashJoin",)],
+    "retention_cohorts": [("partial_",)],
+    "incremental_agg_merge": [("partial_",)],
+    "jsonl_ingest": [("partial_",)],
+    "csv_ingest": [("partial_",)],
+    "orc_ingest": [("partial_",)],
 }
 
 
