@@ -5501,7 +5501,7 @@ def q_jsonl_ingest(spark: SparkSession, sf: str) -> DataFrame:
         f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
     )
     marker = data_dir + ".done"
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not os.path.isdir(data_dir):
         _t(spark, sf, "documents").write.mode("overwrite").json(data_dir)
         with open(marker, "w") as f:
             f.write("ok")
@@ -5551,7 +5551,7 @@ def q_csv_ingest(spark: SparkSession, sf: str) -> DataFrame:
         f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
     )
     marker = data_dir + ".done"
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not os.path.isdir(data_dir):
         _t(spark, sf, "events").select(
             "event_id", "user_id", "event_type", "value", "props"
         ).write.mode("overwrite").option("header", "true").csv(data_dir)
@@ -5918,7 +5918,7 @@ def q_orc_ingest(spark: SparkSession, sf: str) -> DataFrame:
         f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
     )
     marker = data_dir + ".done"
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not os.path.isdir(data_dir):
         _t(spark, sf, "orders").write.mode("overwrite").orc(data_dir)
         with open(marker, "w") as f:
             f.write("ok")
