@@ -120,6 +120,7 @@ _ROUND_NEW: list[str] = [
     "lateral_top_orders",
     "seasonal_zscore",
     "orc_ingest",
+    "association_rules",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -5930,4 +5931,91 @@ def q_orc_ingest(spark: SparkSession, sf: str) -> DataFrame:
         .alias("price_sum"),
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@register(
+    "association_rules",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey % 5 = 0
+    ), n_orders AS (
+      SELECT count(DISTINCT l_orderkey) AS n FROM baskets
+    ), item_supp AS (
+      SELECT l_partkey, count(*) AS n_item FROM baskets GROUP BY l_partkey
+    ), pair_supp AS (
+      SELECT b1.l_partkey AS a, b2.l_partkey AS b, count(*) AS n_pair
+      FROM baskets b1 JOIN baskets b2
+        ON b1.l_orderkey = b2.l_orderkey AND b1.l_partkey < b2.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT p.a, p.b, p.n_pair,
+           round(CAST(p.n_pair AS DOUBLE) / sa.n_item, 6) AS conf_a_to_b,
+           round(CAST(p.n_pair AS DOUBLE) * t.n / (sa.n_item * sb.n_item), 6)
+             AS lift
+    FROM pair_supp p
+    JOIN item_supp sa ON p.a = sa.l_partkey
+    JOIN item_supp sb ON p.b = sb.l_partkey
+    CROSS JOIN n_orders t
+    """,
+)
+def q_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules over co-purchase baskets:
+    support (pair count), confidence P(b|a), and lift
+    P(ab)/(P(a)P(b)) for part pairs bought together at least twice —
+    the recommendation-mining twin of triangle_count's graph view of
+    the same baskets (and the same 1-in-5 category scope, so the two
+    stay comparable). All three metrics derive from integer counts by
+    single IEEE divisions (round 6) — cross-engine exact. The pair
+    aggregation is the only heavy shuffle; the min-support HAVING
+    prunes it before the two broadcast support joins."""
+    b = (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_partkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = b.agg(F.count_distinct("l_orderkey").alias("n"))
+    item_supp = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    b1, b2 = b.alias("b1"), b.alias("b2")
+    pair_supp = (
+        b1.join(
+            b2,
+            on=[
+                F.col("b1.l_orderkey") == F.col("b2.l_orderkey"),
+                F.col("b1.l_partkey") < F.col("b2.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("b1.l_partkey").alias("a"), F.col("b2.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 2)
+    )
+    sa = item_supp.select(
+        F.col("l_partkey").alias("_ka"), F.col("n_item").alias("_na")
+    )
+    sb = item_supp.select(
+        F.col("l_partkey").alias("_kb"), F.col("n_item").alias("_nb")
+    )
+    return (
+        pair_supp.join(broadcast(sa), F.col("a") == F.col("_ka"))
+        .join(broadcast(sb), F.col("b") == F.col("_kb"))
+        .crossJoin(broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("_na"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n")
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("lift"),
+        )
     )

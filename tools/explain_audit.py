@@ -44,6 +44,7 @@ ALLOW_NESTED_LOOP = {
     "skyline_pareto",       # dominance anti-join over the tiny candidate frontier
     "heavy_hitters",        # 1-row total-count scalar × candidate counts
     "unigram_logprob",      # 1-row corpus-total scalar × tokens
+    "association_rules",    # 1-row basket-count scalar × rule rows
 }
 
 # each entry: list of alternatives-groups; every group must match via
