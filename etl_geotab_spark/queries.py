@@ -121,6 +121,17 @@ _ROUND_NEW: list[str] = [
     "seasonal_zscore",
     "orc_ingest",
     "association_rules",
+    # TPC-H completions (this session) — first-ever rows needed
+    "volume_shipping",
+    "product_type_profit",
+    "important_parts",
+    "customer_order_distribution",
+    "promo_revenue_ratio",
+    "top_supplier_revenue",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "disjunctive_filter_revenue",
+    "idle_rich_customers",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -6017,5 +6028,530 @@ def q_association_rules(spark: SparkSession, sf: str) -> DataFrame:
                 / (F.col("_na") * F.col("_nb")),
                 6,
             ).alias("lift"),
+        )
+    )
+
+
+# ------------------------------------------------- TPC-H completions
+# Round-4 batch: the remaining classic decision-support shapes the
+# fixture schema can express (no partsupp/commitdate columns, so Q2/Q4/
+# Q12/Q16/Q20/Q21 are out of reach; these ten adapt Q7/Q9/Q11/Q13/Q14/
+# Q15/Q17/Q18/Q19/Q22). Each one exercises an optimizer path a
+# complete engine must handle: decorrelation, disjunctive pushdown,
+# groupBy-on-aggregate, scalar-subquery thresholds, anti joins.
+
+
+@register(
+    "volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. Plan: the nation filter is pushed through the dim joins
+    BEFORE the fact join — supplier and customer are each pre-filtered
+    to the two nations (2/25 selectivity) and broadcast, so lineitem ⋈
+    orders is the only shuffle; the disjunctive nation-pair predicate
+    is applied post-join on two tiny broadcast-joined columns. At
+    100 TB customer is fact-sized, but filtered-to-2-nations it is
+    1e-3 of that — still broadcastable."""
+    nat = _t(spark, sf, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        _t(spark, sf, "supplier")
+        .join(
+            broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf, "customer")
+        .join(
+            broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    ords = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(rev, "revenue"))
+    )
+
+
+@register(
+    "product_type_profit",
+    """
+    SELECT n_name AS nation, year(l_shipdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity
+                         AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (partsupp-free): profit per supplier nation per
+    year, cost proxied at 60% of retail price. Plan: part is filtered
+    by the LIKE before joining (column-pruned to 2 cols) and
+    broadcast; supplier→nation collapse into one broadcast build; zero
+    shuffles before the 50-group aggregate. The profit expression is
+    evaluated per-row in identical IEEE order on both engines, then
+    cast to decimal so the SUM is order-independent."""
+    prt = (
+        _t(spark, sf, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supnat = (
+        _t(spark, sf, "supplier")
+        .join(
+            broadcast(_t(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supnat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(dsum(profit, "profit"))
+    )
+
+
+@register(
+    "important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v
+    WHERE val > (SELECT 0.0008 * SUM(val) FROM v)
+    """,
+)
+def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem-valued): parts whose turnover exceeds
+    a fraction of GLOBAL turnover — a scalar-subquery threshold over
+    the same aggregate it filters. Plan: one shuffle builds the
+    per-part aggregate; the global total is a second map-side-partial
+    pass over the SAME aggregated (2k-row) frame, broadcast back as a
+    1-row build side. The threshold comparison stays in decimal so the
+    cutoff is exact cross-engine; only the output casts to double."""
+    v = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("val")
+        )
+    )
+    total = v.agg((F.lit(0.0008) * F.sum("val")).alias("cutoff"))
+    return (
+        v.crossJoin(broadcast(total))
+        .where(F.col("val") > F.col("cutoff"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13: histogram of customers by order count, where the
+    join predicate (priority filter) lives in the LEFT JOIN's ON
+    clause — customers with zero qualifying orders must still appear
+    with c_count=0, so the filter CANNOT be pushed below the join as a
+    WHERE. Plan: the priority filter prunes orders pre-shuffle, the
+    outer join shuffles on custkey, and the two-level aggregate's
+    second groupBy is on ~tens of distinct counts — AQE coalesces it
+    to a handful of partitions."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    ords = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "promo_revenue_ratio",
+    """
+    SELECT round(
+      100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q_promo_revenue_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14: promotional revenue share for one quarter — a
+    conditional aggregate ratio. Plan: the shipdate range is pushed to
+    the parquet scan (row-group min/max skip at scale), part (2 cols)
+    broadcasts, and both sums come out of ONE aggregate pass. Both
+    sums are decimal-exact; the single division and round happen in
+    IEEE double identically on both engines."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    prt = _t(spark, sf, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH r AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN r ON s_suppkey = l_suppkey
+    WHERE rev = (SELECT MAX(rev) FROM r)
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue
+    — a scalar MAX subquery over a CTE referenced twice. Plan: the
+    revenue aggregate materializes once (per-suppkey shuffle); the max
+    is a 1-row re-aggregate of that ~100-row frame broadcast back; the
+    equality filter keeps ties (the spec's reason for not using
+    LIMIT 1). Revenue stays decimal until after the tie comparison so
+    'equal to max' is exact, not an IEEE coincidence."""
+    cut0, cut1 = F.to_timestamp(F.lit("1997-01-01")), F.to_timestamp(
+        F.lit("1997-04-01")
+    )
+    r = (
+        _t(spark, sf, "lineitem")
+        .where((F.col("l_shipdate") >= cut0) & (F.col("l_shipdate") < cut1))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("rev")
+        )
+    )
+    mx = r.agg(F.max("rev").alias("mx"))
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        r.crossJoin(broadcast(mx))
+        .where(F.col("rev") == F.col("mx"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "small_qty_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-half-average-quantity
+    orders of one brand — the canonical correlated-scalar-subquery
+    decorrelation. Plan: the per-part AVG is computed once as a
+    grouped aggregate over lineitem (the decorrelated form — NOT a
+    per-row re-scan), broadcast (2k parts), and the quantity gate is
+    applied post-join. Quantities are integer-valued doubles so the
+    AVG (exact sum / count, one IEEE division) is bit-identical
+    cross-engine; the gated SUM is decimal-exact."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_parts = (
+        _t(spark, sf, "part")
+        .where(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    gated = (
+        li.join(broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            broadcast(part_avg.withColumnRenamed("l_partkey", "_pk")),
+            F.col("l_partkey") == F.col("_pk"),
+        )
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+    )
+    return gated.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+           sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 350
+    ) big ON o_orderkey = l_orderkey
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18: customers who placed very large-volume orders — a
+    HAVING-gated aggregate used as a semi-ish filter that must also
+    OUTPUT the aggregate value. Plan: the per-order quantity sum is
+    the big shuffle, but the HAVING prunes it to a handful of rows
+    BEFORE the joins, so both the orders join and the customer join
+    take the pruned side as a broadcast build — at 100 TB the filter
+    feeds ~1e-5 of orders into the joins. Integer-valued quantity
+    sums are exact in double."""
+    big = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 350)
+    )
+    ords = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        ords.join(broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "disjunctive_filter_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_disjunctive_filter_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR-of-conjunctions predicate
+    spanning both join sides. The optimizer test is disjunction
+    handling: Catalyst factors the part-only disjuncts
+    (brand+size) into a pushable filter on the broadcast side and the
+    lineitem-only bounds (quantity 1..40 hull) toward the scan, while
+    the full residual stays on the join output. One aggregate row."""
+    prt = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(broadcast(prt), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(dsum(rev, "revenue"))
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, grouped by segment. Plan: the scalar average is a 1-row
+    broadcast (decimal-exact sum, single IEEE division so the
+    threshold is bit-identical cross-engine); the NOT EXISTS is a
+    LEFT ANTI join against date-filtered orders (the filter pushes to
+    the scan, shrinking the anti build); segment aggregate is a
+    5-group hash agg. No sort anywhere."""
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    recent = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderdate") >= F.to_timestamp(F.lit("2001-01-01")))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
         )
     )

@@ -45,6 +45,9 @@ ALLOW_NESTED_LOOP = {
     "heavy_hitters",        # 1-row total-count scalar × candidate counts
     "unigram_logprob",      # 1-row corpus-total scalar × tokens
     "association_rules",    # 1-row basket-count scalar × rule rows
+    "important_parts",      # 1-row global-turnover cutoff × per-part aggs
+    "top_supplier_revenue", # 1-row MAX(rev) scalar × per-supplier aggs
+    "idle_rich_customers",  # 1-row avg-balance scalar × customers
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -73,6 +76,17 @@ EXPECT_CONTAINS = {
     "jsonl_ingest": [("partial_",)],
     "csv_ingest": [("partial_",)],
     "orc_ingest": [("partial_",)],
+    # round-4 TPC-H completions
+    "volume_shipping": [("partial_",), ("BroadcastHashJoin",)],
+    "product_type_profit": [("partial_",), ("BroadcastHashJoin",)],
+    "important_parts": [("partial_",)],
+    "customer_order_distribution": [("partial_",)],
+    "promo_revenue_ratio": [("partial_",), ("BroadcastHashJoin",)],
+    "top_supplier_revenue": [("partial_",), ("BroadcastHashJoin",)],
+    "small_qty_revenue": [("partial_",), ("BroadcastHashJoin",)],
+    "large_volume_customers": [("partial_",), ("BroadcastHashJoin",)],
+    "disjunctive_filter_revenue": [("partial_",), ("BroadcastHashJoin",)],
+    "idle_rich_customers": [("partial_",)],
 }
 
 
