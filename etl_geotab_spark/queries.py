@@ -132,6 +132,11 @@ _ROUND_NEW: list[str] = [
     "large_volume_customers",
     "disjunctive_filter_revenue",
     "idle_rich_customers",
+    # scale-path primitives II (this session) — first-ever rows needed
+    "bloom_semi_join",
+    "zorder_cluster",
+    "embedding_quantize",
+    "repeated_spans",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -6554,4 +6559,269 @@ def q_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dsum(F.col("c_acctbal"), "totacctbal"),
         )
+    )
+
+
+# ------------------------------------------- scale-path primitives II
+# Round-4 session batch: runtime-filter join pruning, multi-dim
+# z-order clustering, embedding quantization, and Lee-et-al-style
+# repeated-span detection — each oracle-checked.
+
+
+def _bloom_positions(hash_exprs: int, bits: int) -> list[str]:
+    """k hash → bit-position SQL expressions over column `k` (shared
+    Spark/ANSI dialect): pmod(xxhash64(k, seed_i), bits)."""
+    return [f"pmod(xxhash64(k, {seed}), {bits})" for seed in range(hash_exprs)]
+
+
+@register(
+    "bloom_semi_join",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 480000
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (the InjectRuntimeFilter
+    pattern, built explicitly because `bloom_filter_agg` is not SQL-
+    registered): the selective order-key set (~4%) is hashed into a
+    64 Kbit bitmap whose DISTINCT bit positions are collected — the
+    collect is bounded by the BITMAP size (8 KB), never by data size —
+    and the bitmap is embedded as an array<bigint> literal tested with
+    k=3 shift/mask probes on the lineitem scan BEFORE the shuffle. An
+    exact semi-join then removes false positives, so the result equals
+    the plain semi-join the oracle runs. At 100 TB the bloom probe
+    prunes ~96% of the fact shuffle for the cost of a map-side
+    filter; semantics are unchanged (bloom has no false negatives)."""
+    bits = 1 << 16  # 64 Kbit = 1024 longs
+    keys = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 480000)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    pos_exprs = _bloom_positions(3, bits)
+    positions = (
+        keys.select(
+            F.explode(F.array(*[F.expr(e) for e in pos_exprs])).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = [0] * (bits // 64)
+    for row in positions:
+        p = int(row["pos"])
+        bitmap[p // 64] |= 1 << (p % 64)
+    # signed-long wrap for the Spark literal
+    bitmap = [b - (1 << 64) if b >= (1 << 63) else b for b in bitmap]
+    bloom = F.array(*[F.lit(b) for b in bitmap])
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    ).withColumn("k", F.col("l_orderkey"))
+    probe = None
+    for e in pos_exprs:
+        test = F.expr(
+            f"((element_at(__bloom, cast(({e}) div 64 as int) + 1)"
+            f"  >> pmod({e}, 64)) & 1) = 1"
+        )
+        probe = test if probe is None else (probe & test)
+    pruned = (
+        li.withColumn("__bloom", bloom).where(probe).drop("__bloom", "k")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        pruned.join(
+            broadcast(keys), F.col("l_orderkey") == F.col("k"), "left_semi"
+        )
+        .groupBy("l_returnflag")
+        .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def _zorder_terms(qx: str, qy: str, spark_dialect: bool) -> str:
+    """Interleave 16 bits of quantized dims qx/qy into a 32-bit
+    z-value; identical arithmetic emitted for both engines."""
+    terms = []
+    for i in range(16):
+        if spark_dialect:
+            terms.append(f"shiftleft(shiftright({qx}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({qy}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_ZQ = (
+    "CAST(least(floor((CAST({col} AS DOUBLE) - CAST({mn} AS DOUBLE))"
+    " / (CAST({mx} AS DOUBLE) - CAST({mn} AS DOUBLE)) * 65536.0),"
+    " 65535.0) AS BIGINT)"
+)
+
+
+@register(
+    "zorder_cluster",
+    f"""
+    WITH stats AS (
+      SELECT min(o_custkey) AS cx0, max(o_custkey) AS cx1,
+             min(o_totalprice) AS cy0, max(o_totalprice) AS cy1
+      FROM orders
+    ), q AS (
+      SELECT {_ZQ.format(col='o_custkey', mn='cx0', mx='cx1')} AS qx,
+             {_ZQ.format(col='o_totalprice', mn='cy0', mx='cy1')} AS qy
+      FROM orders, stats
+    ), z AS (
+      SELECT ({_zorder_terms('qx', 'qy', False)}) AS zval FROM q
+    )
+    SELECT zval >> 22 AS zbucket, COUNT(*) AS n_orders,
+           MIN(zval) AS z_min, MAX(zval) AS z_max
+    FROM z GROUP BY zbucket
+    """,
+)
+def q_zorder_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key: quantize two dims to 16 bits
+    each against data min/max, interleave into a 32-bit z-value, and
+    bucket by the top 10 bits — the layout step behind multi-dim data
+    skipping (Delta/Iceberg OPTIMIZE ZORDER BY): rows z-sorted into
+    files give BOTH dims sub-range locality, so min/max file stats
+    prune 2-D range predicates. Plan: min/max scalars are a 1-row
+    broadcast; the bit-interleave is a pure JVM codegen expression
+    (32 shift/mask terms, no UDF); the bucket aggregate is the only
+    shuffle. All arithmetic is IEEE-identical cross-engine."""
+    ords = _t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    stats = ords.agg(
+        F.min("o_custkey").alias("cx0"),
+        F.max("o_custkey").alias("cx1"),
+        F.min("o_totalprice").alias("cy0"),
+        F.max("o_totalprice").alias("cy1"),
+    )
+    qx = _ZQ.format(col="o_custkey", mn="cx0", mx="cx1")
+    qy = _ZQ.format(col="o_totalprice", mn="cy0", mx="cy1")
+    z = (
+        ords.crossJoin(broadcast(stats))
+        .select(F.expr(qx).alias("qx"), F.expr(qy).alias("qy"))
+        .select(F.expr(_zorder_terms("qx", "qy", True)).alias("zval"))
+    )
+    return z.groupBy(
+        F.expr("zval >> 22").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("zval").alias("z_min"),
+        F.max("zval").alias("z_max"),
+    )
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH dim_stats AS (
+      SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+      FROM (
+        SELECT pos, MIN(val) AS mn, MAX(val) AS mx
+        FROM (
+          SELECT unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings
+        ) GROUP BY pos
+      )
+    )
+    SELECT vec_id,
+           list_transform(
+             list_zip(embedding, mins, maxs),
+             s -> CAST(floor((CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+                             / (CAST(s[3] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+                             * 255.0) AS INTEGER)
+           ) AS q8
+    FROM embeddings, dim_stats
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar (per-dimension min/max) int8 quantization of the
+    embedding corpus — the storage/bandwidth step before ANN serving
+    (4x smaller vectors, SIMD-friendly distance). Plan: per-dim
+    min/max is one posexplode + 64-group aggregate collapsed to a
+    1-row array pair broadcast to every row; the quantize itself is a
+    JVM higher-order `transform` (no UDF, no shuffle). floor() not
+    round() so both engines truncate identically; casts to double
+    before arithmetic keep float32 inputs bit-identical."""
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mn))),"
+                " s -> s.mn)"
+            ).alias("mins"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mx))),"
+                " s -> s.mx)"
+            ).alias("maxs"),
+        )
+    )
+    quant = F.expr(
+        "transform(embedding, (x, i) -> cast(floor("
+        " (cast(x as double) - cast(element_at(mins, i + 1) as double))"
+        " / (cast(element_at(maxs, i + 1) as double)"
+        "    - cast(element_at(mins, i + 1) as double)) * 255.0) as int))"
+    )
+    return (
+        emb.crossJoin(broadcast(stats))
+        .select("vec_id", quant.alias("q8"))
+    )
+
+
+@register(
+    "repeated_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ), spans AS (
+      SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 7)) AS i
+      ) g
+    )
+    SELECT gram, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM spans GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document repeated-span detection (the Lee et al.
+    'Deduplicating Training Data' substring primitive, windowed to
+    8-token spans instead of suffix arrays): every doc emits its
+    sliding 8-gram spans; spans seen in ≥2 distinct docs are
+    boilerplate/duplication candidates for span-level removal. Plan:
+    span generation is a JVM higher-order transform + explode (no
+    UDF); the only shuffle is the gram aggregate, where map-side
+    partial aggregation collapses within-doc repeats before the
+    exchange. At 100 TB one would hash the gram to 8 bytes before
+    grouping (xxhash64) to bound shuffle width — kept as raw text
+    here so the oracle can compare the spans themselves."""
+    spans = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 7),"
+        " i -> array_join(slice(split(text, ' '), i, 8), ' '))"
+    )
+    docs = (
+        _t(spark, sf, "documents")
+        .where(F.size(F.split(F.col("text"), " ")) >= 8)
+        .select("doc_id", F.explode(spans).alias("gram"))
+    )
+    return (
+        docs.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
     )

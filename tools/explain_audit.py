@@ -48,6 +48,8 @@ ALLOW_NESTED_LOOP = {
     "important_parts",      # 1-row global-turnover cutoff × per-part aggs
     "top_supplier_revenue", # 1-row MAX(rev) scalar × per-supplier aggs
     "idle_rich_customers",  # 1-row avg-balance scalar × customers
+    "zorder_cluster",       # 1-row min/max quantization bounds × orders
+    "embedding_quantize",   # 1-row per-dim min/max array pair × vectors
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -87,6 +89,10 @@ EXPECT_CONTAINS = {
     "large_volume_customers": [("partial_",), ("BroadcastHashJoin",)],
     "disjunctive_filter_revenue": [("partial_",), ("BroadcastHashJoin",)],
     "idle_rich_customers": [("partial_",)],
+    # scale-path primitives II
+    "bloom_semi_join": [("partial_",), ("BroadcastHashJoin",)],
+    "zorder_cluster": [("partial_",)],
+    "repeated_spans": [("partial_",)],
 }
 
 
