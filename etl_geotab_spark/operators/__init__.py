@@ -21,6 +21,8 @@ from etl_geotab_spark.operators.similarity import (
     lsh_bucketed_ann,
     embedding_near_dup_pairs,
 )
+from etl_geotab_spark.operators.pca import fit_pca, project
+from etl_geotab_spark.operators.pagerank import pagerank
 
 __all__ = [
     "dedup_latest",
@@ -37,4 +39,7 @@ __all__ = [
     "cosine_topk_bruteforce",
     "lsh_bucketed_ann",
     "embedding_near_dup_pairs",
+    "fit_pca",
+    "project",
+    "pagerank",
 ]

@@ -112,6 +112,13 @@ def audit_plans(spark, sf_dir: str, only: set[str] | None = None,
             "streaming_session_window",
         ):
             continue  # streaming plans audited via their own tests
+        if name in ("pca_project", "pagerank_parts"):
+            # iterative/eager operators: building the frame RUNS the
+            # fit/power-iteration; the returned plan is a projection
+            # over localCheckpoint scans with nothing to audit. Their
+            # plan properties (bounded collects, map-side combine) are
+            # asserted structurally in tests/test_pca_pagerank.py.
+            continue
         if name in ("ann_recall_eval", "minhash_recall_eval"):
             # eval harnesses execute eagerly and return literal scalars —
             # explaining them audits a LocalTableScan, not the pipelines.
