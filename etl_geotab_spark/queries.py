@@ -137,6 +137,10 @@ _ROUND_NEW: list[str] = [
     "zorder_cluster",
     "embedding_quantize",
     "repeated_spans",
+    "skew_profile",
+    "corpus_datacard",
+    # rows-only (pytest-gated vs numpy ground truth) — last in the
+    # window so every oracle-able first-ever row lands inside the 50
     "pca_project",
     "pagerank_parts",
 ]
@@ -6893,4 +6897,118 @@ def q_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
         ranks.orderBy(F.desc("rank"), "node")
         .limit(20)
         .select("node", F.round("rank", 8).alias("rank"))
+    )
+
+
+@register(
+    "skew_profile",
+    """
+    WITH counts AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ), summary AS (
+      SELECT COUNT(*) AS k, SUM(n) AS t, MAX(n) AS mx, SUM(n * n) AS ss
+      FROM counts
+    ), topn AS (
+      SELECT SUM(n) AS top_n FROM (
+        SELECT n FROM counts ORDER BY n DESC, key LIMIT 10
+      )
+    )
+    SELECT k AS n_keys, CAST(t AS BIGINT) AS total_rows,
+           mx AS max_rows_per_key,
+           round(CAST(mx AS DOUBLE) * k / t, 6) AS skew_factor,
+           round(CAST(top_n AS DOUBLE) / t, 6) AS top10_share,
+           round(CAST(ss AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
+                 8) AS hhi
+    FROM summary, topn
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement step BEFORE
+    choosing salting/AQE-skew-join (operators/skew.py): per-key
+    cardinality profile reduced to max/avg skew factor, top-10 key
+    share, and the Herfindahl concentration index. Plan: one key
+    aggregate (map-side combined), then two 1-row reductions over the
+    ~k-row count table, and the top-10 is TakeOrderedAndProject. HHI
+    uses Σn² (integer-exact) with a single final division rather than
+    summing per-key float shares — order-independent cross-engine."""
+    counts = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("t"),
+        F.max("n").alias("mx"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    topn = (
+        counts.orderBy(F.desc("n"), "key")
+        .limit(10)
+        .agg(F.sum("n").alias("top_n"))
+    )
+    return (
+        summary.crossJoin(broadcast(topn))
+        .select(
+            F.col("k").alias("n_keys"),
+            F.col("t").cast("bigint").alias("total_rows"),
+            F.col("mx").alias("max_rows_per_key"),
+            F.round(
+                F.col("mx").cast("double") * F.col("k") / F.col("t"), 6
+            ).alias("skew_factor"),
+            F.round(F.col("top_n").cast("double") / F.col("t"), 6).alias(
+                "top10_share"
+            ),
+            F.round(
+                F.col("ss").cast("double")
+                / (F.col("t").cast("double") * F.col("t").cast("double")),
+                8,
+            ).alias("hhi"),
+        )
+    )
+
+
+@register(
+    "corpus_datacard",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT md5(text)) AS n_unique_texts,
+           round(CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+             AS unique_ratio,
+           round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q_corpus_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus datacard — the summary a training-data
+    pipeline publishes with every snapshot: volume (docs/tokens/
+    chars), language spread, and exact-dup rate via digest distinct
+    count. Plan: ONE aggregate pass; token counts are JVM
+    size(split()) expressions; the dup rate groups on md5 digests
+    (never raw text — digest width bounds the distinct-count state at
+    any scale). All metrics are integer-exact with single final
+    divisions."""
+    d = _t(spark, sf, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.count_distinct(F.md5("text")).alias("n_unique_texts"),
+            F.round(
+                F.count_distinct(F.md5("text")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("unique_ratio"),
+            F.round(F.sum(toks).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_tokens"
+            ),
+        )
     )

@@ -50,6 +50,7 @@ ALLOW_NESTED_LOOP = {
     "idle_rich_customers",  # 1-row avg-balance scalar × customers
     "zorder_cluster",       # 1-row min/max quantization bounds × orders
     "embedding_quantize",   # 1-row per-dim min/max array pair × vectors
+    "skew_profile",         # 1-row summary × 1-row top-10 scalar
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -93,6 +94,8 @@ EXPECT_CONTAINS = {
     "bloom_semi_join": [("partial_",), ("BroadcastHashJoin",)],
     "zorder_cluster": [("partial_",)],
     "repeated_spans": [("partial_",)],
+    "skew_profile": [("partial_",), ("TakeOrderedAndProject",)],
+    "corpus_datacard": [("partial_",)],
 }
 
 
