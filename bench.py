@@ -76,6 +76,14 @@ HEADLINE = [
     "heavy_hitters",
     "skyline_pareto",
     "market_share",
+    # round-4 session additions: TPC-H completions + scale primitives
+    "volume_shipping",
+    "customer_order_distribution",
+    "bloom_semi_join",
+    "zorder_cluster",
+    "repeated_spans",
+    "pca_project",
+    "pagerank_parts",
 ]
 
 
