@@ -6574,12 +6574,6 @@ def q_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
 # repeated-span detection — each oracle-checked.
 
 
-def _bloom_positions(hash_exprs: int, bits: int) -> list[str]:
-    """k hash → bit-position SQL expressions over column `k` (shared
-    Spark/ANSI dialect): pmod(xxhash64(k, seed_i), bits)."""
-    return [f"pmod(xxhash64(k, {seed}), {bits})" for seed in range(hash_exprs)]
-
-
 @register(
     "bloom_semi_join",
     """
@@ -6606,40 +6600,18 @@ def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     the plain semi-join the oracle runs. At 100 TB the bloom probe
     prunes ~96% of the fact shuffle for the cost of a map-side
     filter; semantics are unchanged (bloom has no false negatives)."""
-    bits = 1 << 16  # 64 Kbit = 1024 longs
+    from etl_geotab_spark.operators.bloom import bloom_probe, build_bloom
+
     keys = (
         _t(spark, sf, "orders")
         .where(F.col("o_totalprice") > 480000)
         .select(F.col("o_orderkey").alias("k"))
     )
-    pos_exprs = _bloom_positions(3, bits)
-    positions = (
-        keys.select(
-            F.explode(F.array(*[F.expr(e) for e in pos_exprs])).alias("pos")
-        )
-        .distinct()
-        .collect()
-    )
-    bitmap = [0] * (bits // 64)
-    for row in positions:
-        p = int(row["pos"])
-        bitmap[p // 64] |= 1 << (p % 64)
-    # signed-long wrap for the Spark literal
-    bitmap = [b - (1 << 64) if b >= (1 << 63) else b for b in bitmap]
-    bloom = F.array(*[F.lit(b) for b in bitmap])
+    bitmap = build_bloom(keys, "k", bits=1 << 16, num_hashes=3)
     li = _t(spark, sf, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
-    ).withColumn("k", F.col("l_orderkey"))
-    probe = None
-    for e in pos_exprs:
-        test = F.expr(
-            f"((element_at(__bloom, cast(({e}) div 64 as int) + 1)"
-            f"  >> pmod({e}, 64)) & 1) = 1"
-        )
-        probe = test if probe is None else (probe & test)
-    pruned = (
-        li.withColumn("__bloom", bloom).where(probe).drop("__bloom", "k")
     )
+    pruned = bloom_probe(li, "l_orderkey", bitmap, num_hashes=3)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         pruned.join(

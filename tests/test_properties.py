@@ -228,3 +228,75 @@ def test_heavy_hitters_exact_for_any_stream(spark, stream, s_pct):
     c = Counter(f"k{v}" for v in stream)
     want = {(k, n) for k, n in c.items() if n >= s * len(stream)}
     assert got == want
+
+
+@SLOW
+@given(
+    build_keys=st.sets(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=60),
+    probe_keys=st.sets(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=60),
+)
+def test_bloom_probe_has_no_false_negatives(spark, build_keys, probe_keys):
+    """Every build key must survive the probe (bloom soundness); the
+    probe output must be a superset of the true intersection and a
+    subset of the probe set."""
+    from etl_geotab_spark.operators.bloom import bloom_probe, build_bloom
+
+    kdf = spark.createDataFrame([(k,) for k in build_keys], "k long")
+    bitmap = build_bloom(kdf, "k", bits=1 << 12, num_hashes=3)
+    pdf = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    kept = {r["k"] for r in bloom_probe(pdf, "k", bitmap, 3).collect()}
+    truth = build_keys & probe_keys
+    assert truth <= kept <= probe_keys
+
+
+@SLOW
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_zorder_interleave_is_a_bijection(spark, pts):
+    """De-interleaving the Morton code recovers the quantized inputs
+    exactly for arbitrary 16-bit coordinates (so z-sorting loses no
+    information about either dimension)."""
+    from etl_geotab_spark.queries import _zorder_terms
+
+    df = spark.createDataFrame(pts, "qx long, qy long")
+    z = df.select(
+        "qx", "qy", F.expr(_zorder_terms("qx", "qy", True)).alias("zval")
+    )
+    # de-interleave: even bits → x, odd bits → y
+    dx = " | ".join(
+        f"shiftleft(shiftright(zval, {2 * i}) & 1, {i})" for i in range(16)
+    )
+    dy = " | ".join(
+        f"shiftleft(shiftright(zval, {2 * i + 1}) & 1, {i})" for i in range(16)
+    )
+    bad = z.where(
+        (F.expr(dx) != F.col("qx")) | (F.expr(dy) != F.col("qy"))
+    ).count()
+    assert bad == 0
+
+
+def test_embedding_quantize_bounds_and_extremes(spark, sf_dir):
+    """int8 quantization invariants on the fixture corpus: every code
+    in [0, 255]; each dimension's corpus-min maps to 0 and corpus-max
+    to 255 (floor((mx-mn)/(mx-mn)*255) = 255)."""
+    from etl_geotab_spark.queries import _REGISTRY
+
+    df = _REGISTRY["embedding_quantize"][0](spark, sf_dir)
+    ex = df.select(F.posexplode("q8").alias("pos", "q"))
+    lo, hi = ex.agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0 <= lo and hi <= 255
+    per_dim = ex.groupBy("pos").agg(
+        F.min("q").alias("mn"), F.max("q").alias("mx")
+    )
+    bad = per_dim.where(
+        (F.col("mn") != 0) | (F.col("mx") != 255)
+    ).count()
+    assert bad == 0
