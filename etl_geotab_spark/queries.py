@@ -139,6 +139,7 @@ _ROUND_NEW: list[str] = [
     "repeated_spans",
     "skew_profile",
     "corpus_datacard",
+    "distribution_drift",
     # rows-only (pytest-gated vs numpy ground truth) — last in the
     # window so every oracle-able first-ever row lands inside the 50
     "pca_project",
@@ -6982,5 +6983,70 @@ def q_corpus_datacard(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum(toks).cast("double") / F.count(F.lit(1)), 6).alias(
                 "avg_tokens"
             ),
+        )
+    )
+
+
+@register(
+    "distribution_drift",
+    """
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), wk_tot AS (
+      SELECT wk, CAST(SUM(n) AS BIGINT) AS w FROM weekly GROUP BY wk
+    ), gtot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_tot
+      FROM weekly GROUP BY event_type
+    ), grand AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS g FROM weekly
+    )
+    SELECT weekly.wk, MAX(w) AS n_events,
+           round(CAST(SUM(CAST(
+             (CAST(n AS DOUBLE) / CAST(w AS DOUBLE))
+             * ln((CAST(n AS DOUBLE) / CAST(w AS DOUBLE))
+                  / (CAST(n_tot AS DOUBLE) / CAST(g AS DOUBLE)))
+           AS DECIMAL(18,12))) AS DOUBLE), 9) AS kl_divergence
+    FROM weekly
+    JOIN wk_tot ON weekly.wk = wk_tot.wk
+    JOIN gtot ON weekly.event_type = gtot.event_type
+    CROSS JOIN grand
+    GROUP BY weekly.wk
+    """,
+)
+def q_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-drift monitoring: per-week KL divergence of the event-
+    type distribution against the whole-corpus distribution — the
+    alerting primitive behind 'did this week's data shift?' in a
+    continuously-ingesting training pipeline. Plan: ONE base
+    aggregate (week × type, map-side combined); the weekly totals,
+    global per-type totals and grand total are all tiny re-aggregates
+    of that frame, broadcast back. Determinism: each p·ln(p/q) addend
+    is computed in identical IEEE order both engines, cast to
+    DECIMAL(18,12) before the SUM so the per-week reduction is
+    summation-order-independent (the Σf(x) recipe, SCALE.md §11)."""
+    ev = _t(spark, sf, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("wk"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wk_tot = weekly.groupBy("wk").agg(
+        F.sum("n").cast("bigint").alias("w")
+    ).withColumnRenamed("wk", "_wk")
+    glob = weekly.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_tot")
+    ).withColumnRenamed("event_type", "_et")
+    grand = weekly.agg(F.sum("n").cast("bigint").alias("g"))
+    p = F.col("n").cast("double") / F.col("w").cast("double")
+    q = F.col("n_tot").cast("double") / F.col("g").cast("double")
+    addend = (p * F.log(p / q)).cast("decimal(18,12)")
+    return (
+        weekly.join(broadcast(wk_tot), F.col("wk") == F.col("_wk"))
+        .join(broadcast(glob), F.col("event_type") == F.col("_et"))
+        .crossJoin(broadcast(grand))
+        .groupBy("wk")
+        .agg(
+            F.max("w").alias("n_events"),
+            F.round(F.sum(addend).cast("double"), 9).alias("kl_divergence"),
         )
     )

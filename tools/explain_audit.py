@@ -51,6 +51,7 @@ ALLOW_NESTED_LOOP = {
     "zorder_cluster",       # 1-row min/max quantization bounds × orders
     "embedding_quantize",   # 1-row per-dim min/max array pair × vectors
     "skew_profile",         # 1-row summary × 1-row top-10 scalar
+    "distribution_drift",   # 1-row grand-total scalar × weekly cells
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -96,6 +97,7 @@ EXPECT_CONTAINS = {
     "repeated_spans": [("partial_",)],
     "skew_profile": [("partial_",), ("TakeOrderedAndProject",)],
     "corpus_datacard": [("partial_",)],
+    "distribution_drift": [("partial_",), ("BroadcastHashJoin",)],
 }
 
 
