@@ -140,8 +140,12 @@ _ROUND_NEW: list[str] = [
     "skew_profile",
     "corpus_datacard",
     "distribution_drift",
+    "dq_audit",
     # rows-only (pytest-gated vs numpy ground truth) — last in the
-    # window so every oracle-able first-ever row lands inside the 50
+    # window so every oracle-able first-ever row lands inside the 50;
+    # with 51 first-evers this round, pagerank_parts (position 51)
+    # cedes its window slot to the oracle-able dq_audit and stays
+    # covered by tests/test_pca_pagerank.py until round 5
     "pca_project",
     "pagerank_parts",
 ]
@@ -7050,3 +7054,112 @@ def q_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum(addend).cast("double"), 9).alias("kl_divergence"),
         )
     )
+
+
+@register(
+    "dq_audit",
+    """
+    SELECT 'lineitem_null_orderkey' AS check_name,
+           COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS n_violations,
+           COUNT(*) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1),
+           COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           COUNT(*) FILTER (WHERE l_quantity <= 0), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT), COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           COUNT(*), (SELECT COUNT(*) FROM lineitem)
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           COUNT(*), (SELECT COUNT(*) FROM orders)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style data-quality audit: declared constraints → one
+    violation-count row each. Completeness and range checks share ONE
+    scan via conditional aggregation (no per-check passes); the
+    uniqueness check is count-minus-distinct on the key only; FK
+    orphan checks are LEFT ANTI joins against broadcast key sides. At
+    100 TB this is the audit shape that works: k checks cost ~1 scan
+    + one anti-join per FK, never k scans. Integer counts —
+    cross-engine exact by construction."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_discount", "l_quantity"
+    )
+    ords = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    n = F.count(F.lit(1))
+    cnt = lambda cond: F.count(F.when(cond, True))  # noqa: E731
+    li_checks = li.agg(
+        cnt(F.col("l_orderkey").isNull()).alias("null_ok"),
+        cnt(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).alias("disc_rng"),
+        cnt(F.col("l_quantity") <= 0).alias("qty_pos"),
+        n.alias("n_li"),
+    )
+    row = lambda name, v, c: F.struct(  # noqa: E731
+        F.lit(name).alias("check_name"),
+        F.col(v).cast("bigint").alias("n_violations"),
+        F.col(c).cast("bigint").alias("n_checked"),
+    )
+    li_rows = li_checks.select(
+        F.explode(
+            F.array(
+                row("lineitem_null_orderkey", "null_ok", "n_li"),
+                row("lineitem_discount_range", "disc_rng", "n_li"),
+                row("lineitem_qty_positive", "qty_pos", "n_li"),
+            )
+        ).alias("r")
+    ).select("r.*")
+    uniq = ords.agg(
+        (n - F.count_distinct("o_orderkey")).cast("bigint").alias(
+            "n_violations"
+        ),
+        n.cast("bigint").alias("n_checked"),
+    ).select(
+        F.lit("orders_orderkey_unique").alias("check_name"),
+        "n_violations",
+        "n_checked",
+    )
+    li_total = li.count()
+    fk1 = (
+        li.join(
+            broadcast(ords.select("o_orderkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(n.cast("bigint").alias("n_violations"))
+        .select(
+            F.lit("lineitem_fk_orders").alias("check_name"),
+            "n_violations",
+            F.lit(li_total).cast("bigint").alias("n_checked"),
+        )
+    )
+    ords_total = ords.count()
+    fk2 = (
+        ords.join(
+            broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(n.cast("bigint").alias("n_violations"))
+        .select(
+            F.lit("orders_fk_customer").alias("check_name"),
+            "n_violations",
+            F.lit(ords_total).cast("bigint").alias("n_checked"),
+        )
+    )
+    return li_rows.unionByName(uniq).unionByName(fk1).unionByName(fk2)

@@ -98,6 +98,7 @@ EXPECT_CONTAINS = {
     "skew_profile": [("partial_",), ("TakeOrderedAndProject",)],
     "corpus_datacard": [("partial_",)],
     "distribution_drift": [("partial_",), ("BroadcastHashJoin",)],
+    "dq_audit": [("partial_",)],
 }
 
 
