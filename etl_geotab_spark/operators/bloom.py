@@ -36,7 +36,13 @@ def build_bloom(
     keys: DataFrame, key_col: str, bits: int = 1 << 16, num_hashes: int = 3
 ) -> list[int]:
     """Build the bitmap as a list of signed 64-bit words. The only
-    driver transfer is the DISTINCT position set (≤ bits rows)."""
+    driver transfer is the DISTINCT position set (≤ bits rows).
+
+    ``bits`` must be a multiple of 64: the probe side reconstructs the
+    modulus as len(bitmap)*64, so a ragged final word would make build
+    and probe hash into DIFFERENT moduli — silent false negatives."""
+    if bits <= 0 or bits % 64 != 0:
+        raise ValueError(f"bits must be a positive multiple of 64: {bits}")
     positions = (
         keys.select(
             F.explode(

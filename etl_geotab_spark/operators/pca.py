@@ -35,9 +35,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _gram_partials(vec_col: str, dim: int):
+def _gram_partials(vec_col: str):
     """mapInPandas kernel: per batch emit flat-indexed partial sums —
-    idx 0 = count, idx 1..dim = Σx, idx dim+1.. = row-major ΣxxT."""
+    idx 0 = count, idx 1..dim = Σx, idx dim+1.. = row-major ΣxxT.
+    (Everything is derived from the batch shape; NULL vectors are
+    filtered upstream in fit_pca.)"""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -61,12 +63,11 @@ def fit_pca(
     """Fit PCA on the corpus; returns (mean[dim], components[k,dim],
     explained_variance_ratio[k]). One distributed pass + one driver
     eigh of a dim×dim matrix."""
-    dim = len(
-        df.select(vec_col).where(F.col(vec_col).isNotNull()).first()[0]
-    )
+    vecs = df.select(vec_col).where(F.col(vec_col).isNotNull())
+    dim = len(vecs.first()[0])
     rows = (
-        df.select(vec_col)
-        .mapInPandas(_gram_partials(vec_col, dim), schema="idx long, s double")
+        vecs
+        .mapInPandas(_gram_partials(vec_col), schema="idx long, s double")
         .groupBy("idx")
         .agg(F.sum("s").alias("s"))
         .collect()
@@ -108,10 +109,15 @@ def project(
 
     @pandas_udf("array<double>")
     def _proj(vecs: pd.Series) -> pd.Series:
-        x = np.asarray(list(vecs), dtype=np.float64)
-        if x.size == 0:
-            return pd.Series([], dtype=object)
-        p = (x - mu) @ w.T
-        return pd.Series(list(p))
+        # NULL vectors project to NULL (np.asarray would die on None)
+        mask = vecs.notna()
+        out = pd.Series([None] * len(vecs), dtype=object, index=vecs.index)
+        if mask.any():
+            x = np.asarray(list(vecs[mask]), dtype=np.float64)
+            proj = (x - mu) @ w.T
+            out.loc[mask] = pd.Series(
+                list(proj), index=vecs.index[mask], dtype=object
+            )
+        return out
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))

@@ -6217,7 +6217,11 @@ def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("val")
         )
     )
-    total = v.agg((F.lit(0.0008) * F.sum("val")).alias("cutoff"))
+    # decimal literal (not a double lit) so the cutoff product stays
+    # exact decimal arithmetic, matching the oracle's decimal multiply
+    total = v.agg(
+        F.expr("cast(0.0008 as decimal(8,6)) * sum(val)").alias("cutoff")
+    )
     return (
         v.crossJoin(broadcast(total))
         .where(F.col("val") > F.col("cutoff"))
@@ -6397,8 +6401,18 @@ def q_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("p_brand") == "Brand#3")
         .select("p_partkey")
     )
-    part_avg = li.groupBy("l_partkey").agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    # per-part averages only for the brand's parts (semi-join prune
+    # BEFORE the aggregate): per-part avg is unchanged by restricting
+    # the PART set, and the broadcast shrinks by the brand selectivity
+    # — at 100 TB that is a KB-scale build instead of one per part
+    part_avg = (
+        li.join(
+            broadcast(brand_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty"))
     )
     gated = (
         li.join(broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
@@ -7079,11 +7093,15 @@ def q_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
     UNION ALL
     SELECT 'lineitem_fk_orders',
            COUNT(*), (SELECT COUNT(*) FROM lineitem)
-    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+    )
     UNION ALL
     SELECT 'orders_fk_customer',
            COUNT(*), (SELECT COUNT(*) FROM orders)
-    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+    )
     """,
 )
 def q_dq_audit(spark: SparkSession, sf: str) -> DataFrame:
@@ -7134,7 +7152,9 @@ def q_dq_audit(spark: SparkSession, sf: str) -> DataFrame:
         "n_violations",
         "n_checked",
     )
-    li_total = li.count()
+    # totals ride as lazy 1-row broadcasts (no eager driver count()
+    # jobs at frame-construction time — the whole audit stays one plan)
+    li_total = li.agg(n.cast("bigint").alias("n_checked"))
     fk1 = (
         li.join(
             broadcast(ords.select("o_orderkey")),
@@ -7142,13 +7162,14 @@ def q_dq_audit(spark: SparkSession, sf: str) -> DataFrame:
             "left_anti",
         )
         .agg(n.cast("bigint").alias("n_violations"))
+        .crossJoin(broadcast(li_total))
         .select(
             F.lit("lineitem_fk_orders").alias("check_name"),
             "n_violations",
-            F.lit(li_total).cast("bigint").alias("n_checked"),
+            "n_checked",
         )
     )
-    ords_total = ords.count()
+    ords_total = ords.agg(n.cast("bigint").alias("n_checked"))
     fk2 = (
         ords.join(
             broadcast(cust),
@@ -7156,10 +7177,11 @@ def q_dq_audit(spark: SparkSession, sf: str) -> DataFrame:
             "left_anti",
         )
         .agg(n.cast("bigint").alias("n_violations"))
+        .crossJoin(broadcast(ords_total))
         .select(
             F.lit("orders_fk_customer").alias("check_name"),
             "n_violations",
-            F.lit(ords_total).cast("bigint").alias("n_checked"),
+            "n_checked",
         )
     )
     return li_rows.unionByName(uniq).unionByName(fk1).unionByName(fk2)

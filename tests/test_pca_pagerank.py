@@ -59,6 +59,21 @@ class TestPCA:
         got = np.array([out[i] for i in ids])
         assert np.allclose(got, ref, atol=1e-9)
 
+    def test_null_vectors_skipped_and_project_to_null(self, spark):
+        rows = [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0]), (4, [5.0, 6.0])]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        mean, comps, _ = fit_pca(df, "embedding", k=1)
+        # fit ignores the NULL row: mean over the 3 real vectors
+        assert np.allclose(mean, [3.0, 4.0])
+        out = {
+            r["vec_id"]: r["proj"]
+            for r in project(df, mean, comps).collect()
+        }
+        assert out[2] is None
+        assert all(out[i] is not None for i in (1, 3, 4))
+
     def test_variance_concentrates(self, spark, sf_dir):
         df = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
