@@ -141,11 +141,12 @@ _ROUND_NEW: list[str] = [
     "corpus_datacard",
     "distribution_drift",
     "dq_audit",
-    # rows-only (pytest-gated vs numpy ground truth) — last in the
-    # window so every oracle-able first-ever row lands inside the 50;
-    # with 51 first-evers this round, pagerank_parts (position 51)
-    # cedes its window slot to the oracle-able dq_audit and stays
-    # covered by tests/test_pca_pagerank.py until round 5
+    "join_cardinality_estimate",
+    # past the 50-cutoff from here: the round's 50 oracle-able
+    # first-evers fill the window exactly; these two rows-only
+    # queries are pytest-gated vs numpy ground truth (a driver
+    # rows-only row adds least) and take round-5 window slots —
+    # both locally green via tools/check_oracle.py regardless
     "pca_project",
     "pagerank_parts",
 ]
@@ -7185,3 +7186,46 @@ def q_dq_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return li_rows.unionByName(uniq).unionByName(fk1).unionByName(fk2)
+
+
+@register(
+    "join_cardinality_estimate",
+    """
+    WITH a AS (
+      SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ), b AS (
+      SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1
+    )
+    SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS exact_join_rows,
+           COUNT(*) AS n_shared_keys,
+           MAX(a.n * b.n) AS max_key_contribution
+    FROM a JOIN b ON a.k = b.k
+    """,
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-join cardinality analysis — the planner-style Σ(nₐ·n_b)
+    histogram product that EXACTLY predicts equi-join output size and
+    identifies the dominating key (the companion to skew_profile: run
+    both before committing to a join strategy at 100 TB). Plan: two
+    key aggregates (map-side combined) whose outputs are key-count
+    tables orders of magnitude smaller than the facts, joined on the
+    key, reduced to one row. Integer arithmetic throughout."""
+    a = (
+        _t(spark, sf, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    b = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_orderkey").alias("kb"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    prod = F.col("na") * F.col("nb")
+    return (
+        a.join(b, F.col("k") == F.col("kb"))
+        .agg(
+            F.sum(prod).cast("bigint").alias("exact_join_rows"),
+            F.count(F.lit(1)).alias("n_shared_keys"),
+            F.max(prod).alias("max_key_contribution"),
+        )
+    )

@@ -99,6 +99,7 @@ EXPECT_CONTAINS = {
     "corpus_datacard": [("partial_",)],
     "distribution_drift": [("partial_",), ("BroadcastHashJoin",)],
     "dq_audit": [("partial_",)],
+    "join_cardinality_estimate": [("partial_",)],
 }
 
 
