@@ -52,6 +52,7 @@ ALLOW_NESTED_LOOP = {
     "embedding_quantize",   # 1-row per-dim min/max array pair × vectors
     "skew_profile",         # 1-row summary × 1-row top-10 scalar
     "distribution_drift",   # 1-row grand-total scalar × weekly cells
+    "dq_audit",             # 1-row lazy total × 1-row violation count
 }
 
 # each entry: list of alternatives-groups; every group must match via
