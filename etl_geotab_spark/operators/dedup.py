@@ -345,6 +345,30 @@ def simhash_near_dup_pairs(
 # ------------------------------------------------------- n-gram Jaccard
 
 
+def _hashed_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram) table with grams as xxhash64 BIGINTs, not strings.
+
+    The gram VALUE never reaches any operator output — grams are only
+    equi-join keys and count inputs — so hashing at explode time is
+    semantics-preserving while shrinking every downstream persist and
+    shuffle ~5x (8-byte fixed keys vs ~40-byte UTF-8 n-grams). This is
+    the same engineering trade MinHash makes explicitly; 64-bit
+    collisions over even a 10^9-gram corpus (~2.7e-2 birthday odds for
+    one colliding PAIR of grams, which then still has to co-occur in
+    the same join neighborhood to matter) are noise next to the
+    shuffle-width win at 100 TB. The sf0.01 oracle runs on exact
+    strings and stays value-equal — fixture gram counts are ~10^5, so
+    collision probability there is ~1e-9."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g))
+            )
+        ).alias("gram"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -373,11 +397,10 @@ def ngram_jaccard_pairs(
     dedup-pipeline trade. None disables the cut (exact, oracle-equal).
     """
     # persist: the gram table feeds the self-join (twice) AND the
-    # per-doc size aggregate — 3 consumers of one expensive projection
-    grams = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("gram"),
-    )
+    # per-doc size aggregate — 3 consumers of one expensive projection;
+    # grams are xxhash64 BIGINTs (_hashed_grams) so the persisted table
+    # is 16 bytes/row and the self-join shuffles fixed-width keys
+    grams = _hashed_grams(df, text_col, id_col, n)
     if max_doc_freq is not None:
         hot = (
             grams.groupBy("gram")
@@ -436,10 +459,7 @@ def ngram_jaccard_pairs_probe(
     uses countDistinct. ``probe_ids`` is a driver-side list because it
     is bounded by construction (the same contract as IVF probe ids).
     """
-    grams = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("gram"),
-    ).persist()
+    grams = _hashed_grams(df, text_col, id_col, n).persist()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     l = grams.where(F.col(id_col).isin(probe_ids)).alias("l")
     r = grams.alias("r")
@@ -478,16 +498,8 @@ def ngram_jaccard_cross(
     the hot grams from BOTH sides so Jaccard stays internally
     consistent. Ids must be disjoint across the two frames (an id on
     both sides would pair with itself)."""
-    def grams_of(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(word_shingles(F.col(text_col), n))
-            ).alias("gram"),
-        )
-
-    g_in = grams_of(incoming)
-    g_c = grams_of(corpus)
+    g_in = _hashed_grams(incoming, text_col, id_col, n)
+    g_c = _hashed_grams(corpus, text_col, id_col, n)
     if max_doc_freq is not None:
         hot = (
             g_c.groupBy("gram")

@@ -4851,10 +4851,19 @@ def q_boilerplate_ngram_ratio(spark: SparkSession, sf: str) -> DataFrame:
     integer-exact (5*df >= n_docs) so both engines agree without float
     edge cases."""
     d = _t(spark, sf, "documents")
+    # grams are xxhash64 BIGINTs, not strings: the gram value never
+    # reaches the output (only df-counts and the boiler membership
+    # join), so hashing at explode time shrinks the persisted gram
+    # table and the (source, gram) agg shuffle ~5x — see
+    # operators/dedup._hashed_grams for the collision-odds analysis.
     grams = d.select(
         "doc_id",
         "source",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), 5))).alias("gram"),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles(F.col("text"), 5), lambda g: F.xxhash64(g))
+            )
+        ).alias("gram"),
     ).persist()
     src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
     gdf = grams.groupBy("source", "gram").agg(F.count("*").alias("df"))

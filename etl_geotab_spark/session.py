@@ -54,6 +54,15 @@ def get_spark(
         # Python DataSource pushdown (the Geotab connector, sources/)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Long-lived sessions compile one whole-stage-codegen class set
+        # PER QUERY SHAPE; the JVM default 240MB reserved code cache
+        # fills after ~100 distinct query plans, silently flushing/
+        # disabling JIT — measured on this suite as nondeterministic
+        # 3-10x slowdowns of pure-JVM queries late in a 160-query run
+        # (cross_corpus_dedup 47s contaminated vs 4s fresh; 7s with
+        # this flag). Any production driver/executor serving many
+        # distinct plans wants the same headroom.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
