@@ -7238,3 +7238,207 @@ def q_join_cardinality_estimate(spark: SparkSession, sf: str) -> DataFrame:
             F.max(prod).alias("max_key_contribution"),
         )
     )
+
+
+# ==================================== batch: round-4 session additions II
+
+
+@register(
+    "semdedup_buckets",
+    # Deterministic sign-bucket SemDeDup: bucket on the sign pattern of
+    # the first 4 dims, drop any vector with a LOWER-id same-bucket
+    # neighbor at cosine >= 0.4. Cosine uses the SAME sequential
+    # list_sum formula as embedding_near_dup (bit-parity tier).
+    """
+    WITH b AS (
+      SELECT vec_id,
+        (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 8 ELSE 0 END
+       + CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 4 ELSE 0 END
+       + CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+       + CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 1 ELSE 0 END
+        ) AS bucket,
+        embedding
+      FROM embeddings
+    )
+    SELECT x.vec_id, CAST(x.bucket AS INT) AS bucket,
+           NOT EXISTS (
+             SELECT 1 FROM b y
+             WHERE y.bucket = x.bucket AND y.vec_id < x.vec_id
+               AND list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) >= 0.4
+           ) AS keep
+    FROM b x
+    """,
+)
+def q_semdedup_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """X1/X2 SemDeDup (Abbas et al. 2023): cluster the embedding space,
+    then drop documents whose cosine similarity to a lower-id document
+    in the SAME cluster crosses the threshold — semantic dedup beyond
+    lexical n-gram reach. This oracle-checkable variant buckets by the
+    sign pattern of the first 4 dimensions (a deterministic 16-cell
+    partition of the sphere — exactly a 4-plane hyperplane-LSH band
+    with axis-aligned planes); the production path swaps the bucket
+    column for operators.kmeans cluster ids with identical downstream
+    plan shape. The one-pass lower-id drop rule (no iterative greedy)
+    is the same non-transitivity trade the paper makes.
+
+    Plan shape: bucket is a scan-level expression (no shuffle); the
+    within-bucket self-join is an equi-join on bucket whose fan-out is
+    Σ|bucket|² — bounded by the cluster granularity, never all-pairs
+    (at 100 TB: thousands of k-means cells keep cells ~10³-10⁴ docs);
+    the cosine verify reuses exact_cosine_pairs' sequential-expression
+    tier, so emitted pairs are bit-identical to the scalar oracle."""
+    from etl_geotab_spark.operators.similarity import exact_cosine_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    bucket = sum(
+        F.when(
+            F.element_at("embedding", i + 1).cast("double") > 0, F.lit(1 << (3 - i))
+        ).otherwise(F.lit(0))
+        for i in range(4)
+    ).cast("int")
+    b = emb.select("vec_id", bucket.alias("bucket"), "embedding")
+    left = b.select(F.col("vec_id").alias("id_a"), F.col("bucket").alias("bk_a"))
+    right = b.select(F.col("vec_id").alias("id_b"), F.col("bucket").alias("bk_b"))
+    cand = left.join(
+        right, (F.col("bk_a") == F.col("bk_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    dropped = (
+        exact_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4, candidates=cand)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        b.select("vec_id", "bucket")
+        .join(dropped, "vec_id", "left")
+        .select("vec_id", "bucket", F.col("_drop").isNull().alias("keep"))
+    )
+
+
+@register(
+    "k_anonymity",
+    """
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+      FROM customer GROUP BY 1, 2
+    ), gen AS (
+      SELECT n.n_regionkey, c.c_mktsegment, COUNT(*) AS gen_class_size
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT cls.c_nationkey, cls.c_mktsegment,
+           CAST(cls.class_size AS BIGINT) AS class_size,
+           cls.class_size >= 5 AS k_anon,
+           CAST(n.n_regionkey AS BIGINT) AS region_key,
+           CAST(gen.gen_class_size AS BIGINT) AS gen_class_size,
+           gen.gen_class_size >= 5 AS gen_k_anon
+    FROM cls
+    JOIN nation n ON cls.c_nationkey = n.n_nationkey
+    JOIN gen ON gen.n_regionkey = n.n_regionkey
+           AND gen.c_mktsegment = cls.c_mktsegment
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """X3/privacy: k-anonymity audit over the quasi-identifier pair
+    (nation, market segment) with one generalization level (nation →
+    region) — the release gate a privacy-aware training-data pipeline
+    runs before publishing user-adjacent records (companion to
+    pii_redact, which scrubs direct identifiers; this measures
+    re-identification risk from the indirect ones). Each equivalence
+    class reports its size, whether it meets k=5, and whether the
+    coarser (region, segment) class would — i.e. whether generalizing
+    one level repairs the violation.
+
+    Plan shape: two hash aggregates over the same scan (both map-side
+    partial), dimension joins broadcast; class tables are
+    |QI-cardinality| rows — thousands at any corpus scale, so the gen
+    join is always broadcast-able."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    gen = (
+        cust.join(broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("_rk"), F.col("c_mktsegment").alias("_seg")
+        )
+        .agg(F.count(F.lit(1)).alias("gen_class_size"))
+    )
+    return (
+        cls.join(broadcast(nat), cls.c_nationkey == nat.n_nationkey)
+        .join(
+            broadcast(gen),
+            (F.col("n_regionkey") == F.col("_rk"))
+            & (F.col("c_mktsegment") == F.col("_seg")),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            (F.col("class_size") >= 5).alias("k_anon"),
+            F.col("n_regionkey").cast("bigint").alias("region_key"),
+            "gen_class_size",
+            (F.col("gen_class_size") >= 5).alias("gen_k_anon"),
+        )
+    )
+
+
+@register(
+    "readability_scores",
+    # Flesch reading ease with the vowel-cluster syllable heuristic;
+    # word split mirrors tokenize() (lower+trim, \s+, drop empties).
+    """
+    WITH m AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> x != '')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+           ELSE NULL END AS flesch
+    FROM m
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 readability scoring (Flesch reading ease, vowel-cluster
+    syllable heuristic) — a standard document-quality feature next to
+    text_quality's punctuation/stopword ratios; pipelines bucket
+    training mixes by grade level with exactly this score. All three
+    inputs are scan-level regexp expressions (whole-stage codegen, no
+    shuffle at all — the plan is a single map over documents), and the
+    formula is fixed-order double arithmetic so both engines agree to
+    the rounded 6 dp."""
+    d = _t(spark, sf, "documents")
+    n_words = F.size(tokenize(F.col("text")))
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sentences.cast("double"))
+        - F.lit(84.6) * (n_syllables.cast("double") / n_words.cast("double")),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sentences.cast("bigint").alias("n_sentences"),
+        n_syllables.cast("bigint").alias("n_syllables"),
+        F.when(n_words > 0, flesch).alias("flesch"),
+    )

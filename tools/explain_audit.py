@@ -101,6 +101,11 @@ EXPECT_CONTAINS = {
     "distribution_drift": [("partial_",), ("BroadcastHashJoin",)],
     "dq_audit": [("partial_",)],
     "join_cardinality_estimate": [("partial_",)],
+    # round-4 session additions II
+    "semdedup_buckets": [
+        ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"),
+    ],
+    "k_anonymity": [("partial_",), ("BroadcastHashJoin",)],
 }
 
 
