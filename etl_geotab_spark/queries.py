@@ -7442,3 +7442,255 @@ def q_readability_scores(spark: SparkSession, sf: str) -> DataFrame:
         n_syllables.cast("bigint").alias("n_syllables"),
         F.when(n_words > 0, flesch).alias("flesch"),
     )
+
+
+# ----------------------------- fleet-telemetry analytics (reference domain)
+# The reference's rows ARE vehicle pings (DeviceStatusInfo: position +
+# dateTime, task.ts:12-24). These three queries are the standard fleet
+# rollups a Geotab user runs downstream of that feed, expressed on the
+# events fixture (user_id = vehicle, ts = ping time, synthetic
+# deterministic coordinates — same integer-modular convention as
+# geofence_contains, so both engines derive identical positions).
+
+
+@register(
+    "trip_segmentation",
+    """
+    WITH pings AS (
+      SELECT user_id AS vehicle_id, event_id, ts,
+             (CAST(user_id % 120 AS DOUBLE) - 59.5)
+               + ((event_id * 2654435761) % 1000) / 10000.0 AS lat,
+             (CAST(user_id % 340 AS DOUBLE) - 169.5)
+               + ((event_id * 40503) % 1000) / 10000.0 AS lon
+      FROM events
+    ), seq AS (
+      SELECT *,
+             lag(ts) OVER w AS prev_ts,
+             lag(lat) OVER w AS prev_lat,
+             lag(lon) OVER w AS prev_lon
+      FROM pings
+      WINDOW w AS (PARTITION BY vehicle_id ORDER BY ts, event_id)
+    ), marked AS (
+      SELECT *,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 28800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), trips AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY vehicle_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS trip_no,
+             CASE WHEN is_new = 0 THEN
+               round(2 * 6371.0088 * asin(sqrt(
+                 pow(sin((radians(lat) - radians(prev_lat)) / 2), 2)
+                 + cos(radians(prev_lat)) * cos(radians(lat))
+                 * pow(sin((radians(lon) - radians(prev_lon)) / 2), 2))), 6)
+             ELSE 0.0 END AS hop_km
+      FROM marked
+    )
+    SELECT vehicle_id, CAST(trip_no AS BIGINT) AS trip_no,
+           COUNT(*) AS n_pings,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) AS BIGINT) AS duration_us,
+           CAST(SUM(CAST(hop_km AS DECIMAL(18,6))) AS DOUBLE) AS dist_km
+    FROM trips
+    GROUP BY vehicle_id, trip_no
+    """,
+)
+def q_trip_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """Trip segmentation — the canonical fleet rollup over the
+    reference's ping stream: split each vehicle's time-ordered pings
+    into trips at >8 h gaps, then roll up per-trip ping count, span,
+    and odometer distance (haversine over consecutive pings, per-hop
+    values rounded then decimal-summed for cross-engine determinism).
+
+    Plan shape: ONE shuffle total — the lag/running-sum windows hash-
+    partition by vehicle_id, and the final groupBy(vehicle_id, trip_no)
+    is satisfied by that same partitioning (subset rule), so Catalyst
+    plans no second exchange. Gap test and duration use integer
+    microseconds (no float time arithmetic). At 100 TB this is the
+    shape that wins: all per-vehicle work lands in one partition-local
+    pipeline, and vehicle_id cardinality (fleet size) gives natural
+    parallelism."""
+    e = _t(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    pings = e.select(
+        uid.alias("vehicle_id"),
+        "event_id",
+        "ts",
+        (
+            ((uid % 120).cast("double") - 59.5)
+            + ((eid * 2654435761) % 1000) / 10000.0
+        ).alias("lat"),
+        (
+            ((uid % 340).cast("double") - 169.5) + ((eid * 40503) % 1000) / 10000.0
+        ).alias("lon"),
+    )
+    w = Window.partitionBy("vehicle_id").orderBy("ts", "event_id")
+    seq = pings.select(
+        "*",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lag("lat").over(w).alias("prev_lat"),
+        F.lag("lon").over(w).alias("prev_lon"),
+    )
+    marked = seq.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 28_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    trips = marked.select(
+        "*",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "trip_no"
+        ),
+        F.when(
+            F.col("is_new") == 0,
+            F.round(
+                haversine_km("prev_lat", "prev_lon", "lat", "lon"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("hop_km"),
+    )
+    return trips.groupBy("vehicle_id", F.col("trip_no").cast("bigint").alias("trip_no")).agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+        .cast("bigint")
+        .alias("duration_us"),
+        F.sum(F.col("hop_km").cast("decimal(18,6)")).cast("double").alias("dist_km"),
+    )
+
+
+@register(
+    "event_debounce",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id)) >= 14400000000
+                  THEN 1 ELSE 0 END AS kept
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
+    FROM seq GROUP BY event_type
+    """,
+)
+def q_event_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    """Alert debouncing / flap suppression — the reference's exception
+    events (task.ts:15 exceptionEvents) repeat while a condition
+    persists; operations teams suppress repeats of the same (vehicle,
+    alert type) within a 4 h window. One-pass rule: an event is kept
+    iff it is the first of its key or >=4 h after the PREVIOUS RAW
+    event (the iterative last-KEPT chain variant needs the stateful
+    streaming path — streaming/state.py — and converges to this rule
+    when gaps are bimodal, the telemetry norm). Gap math in integer
+    microseconds. Plan: one window shuffle on the composite key, then
+    a map-side-combined aggregate — partitioning by (user_id,
+    event_type) spreads hot alert types across the fleet."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    seq = e.select(
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us >= 14_400_000_000), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("kept"),
+    )
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("bigint").alias("n_dropped"),
+    )
+
+
+_DWELL_SQL = """
+    WITH pts AS (
+      SELECT user_id AS vehicle_id, event_id, ts,
+             ((event_id * event_id) % 18000) / 100.0 - 90.0 AS lat,
+             (((event_id + 12345) * (event_id + 67890)) % 36000) / 100.0
+               - 180.0 AS lon
+      FROM events
+    ), spans AS (
+      SELECT vehicle_id, lat, lon,
+             epoch_us(lead(ts) OVER (PARTITION BY vehicle_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS span_us,
+             CASE {cases} END AS zone
+      FROM pts
+    )
+    SELECT vehicle_id, zone,
+           COUNT(*) AS n_pings,
+           CAST(SUM(span_us) AS BIGINT) AS dwell_us,
+           CAST(SUM(span_us) AS BIGINT) / 1000000.0 AS dwell_s
+    FROM spans
+    WHERE zone IS NOT NULL AND span_us IS NOT NULL
+    GROUP BY vehicle_id, zone
+""".format(
+    cases=" ".join(
+        f"WHEN {polygon_sql_predicate('lat', 'lon', v)} THEN '{z}'"
+        for z, v in _GEOFENCE_ZONES.items()
+    ),
+)
+
+
+@register("geofence_dwell", _DWELL_SQL)
+def q_geofence_dwell(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone dwell time — how long each vehicle spent inside each
+    operational geofence: a ping's position is attributed for the span
+    until the NEXT ping of the same vehicle (the time-weighted
+    convention of time_weighted_avg), summed per (vehicle, zone).
+    Completes the geofence family: containment (geofence_contains) →
+    occupancy duration (this) — the billing/utilization primitive of
+    fleet platforms.
+
+    Plan shape: zone test is the same map-only convex-polygon
+    arithmetic as geofence_contains (codegen, bit-identical across
+    engines); one window shuffle on vehicle_id for the lead() span;
+    exact integer-microsecond sums. The groupBy(vehicle_id, zone)
+    reuses the window's hash partitioning (subset rule) — one exchange
+    total."""
+    e = _t(spark, sf, "events")
+    eid = F.col("event_id")
+    pts = e.select(
+        F.col("user_id").alias("vehicle_id"),
+        "event_id",
+        "ts",
+        (((eid * eid) % 18000) / 100.0 - 90.0).alias("lat"),
+        ((((eid + 12345) * (eid + 67890)) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    w = Window.partitionBy("vehicle_id").orderBy("ts", "event_id")
+    lat, lon = F.col("lat"), F.col("lon")
+    zone = F.lit(None).cast("string")
+    for z, verts in reversed(list(_GEOFENCE_ZONES.items())):
+        zone = F.when(point_in_convex_polygon(lat, lon, verts), F.lit(z)).otherwise(
+            zone
+        )
+    spans = pts.select(
+        "vehicle_id",
+        lat,
+        lon,
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("span_us"),
+        zone.alias("zone"),
+    )
+    return (
+        spans.where(F.col("zone").isNotNull() & F.col("span_us").isNotNull())
+        .groupBy("vehicle_id", "zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.sum("span_us").cast("bigint").alias("dwell_us"),
+            (F.sum("span_us").cast("bigint") / F.lit(1000000.0)).alias("dwell_s"),
+        )
+    )

@@ -106,6 +106,9 @@ EXPECT_CONTAINS = {
         ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"),
     ],
     "k_anonymity": [("partial_",), ("BroadcastHashJoin",)],
+    "trip_segmentation": [("partial_",), ("Window",)],
+    "event_debounce": [("partial_",), ("Window",)],
+    "geofence_dwell": [("partial_",), ("Window",)],
 }
 
 
