@@ -108,9 +108,12 @@ _ROUND_NEW: list[str] = [
     "jsonl_ingest",
     "csv_ingest",
     # operator-file-touched this round (similarity.py Arrow/BLAS
-    # rewrite): fresh rows even though r03 was green — the judge's
-    # refresh rule is "re-check what the round changed".
-    "lsh_ann_topk",
+    # rewrite; dedup.py int64 gram keys): fresh rows even though r03
+    # was green — the judge's refresh rule is "re-check what the round
+    # changed". ngram_jaccard_pairs takes the window slot of
+    # lsh_ann_topk (rows-only, quality pytest-gated — a driver row
+    # adds least; moved past the cutoff with pca/pagerank).
+    "ngram_jaccard_pairs",
     "ivf_ann_topk",
     "embedding_topk",
     "embedding_near_dup",
@@ -149,6 +152,7 @@ _ROUND_NEW: list[str] = [
     # both locally green via tools/check_oracle.py regardless
     "pca_project",
     "pagerank_parts",
+    "lsh_ann_topk",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -7693,4 +7697,82 @@ def q_geofence_dwell(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("span_us").cast("bigint").alias("dwell_us"),
             (F.sum("span_us").cast("bigint") / F.lit(1000000.0)).alias("dwell_s"),
         )
+    )
+
+
+@register(
+    "cdc_apply",
+    # Changelog derived deterministically from orders: every key emits
+    # version-1 INSERT; keys %7==0 add a version-2 UPDATE (price*1.10);
+    # keys %13==0 add a version-3 DELETE. Latest version wins; D rows
+    # vanish from the materialized state.
+    """
+    WITH changes AS (
+      SELECT o_orderkey AS key, 1 AS version, 'I' AS op,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             CAST(o_totalprice AS DECIMAL(18,6)) * CAST(1.10 AS DECIMAL(18,6))
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL
+      FROM orders WHERE o_orderkey % 13 = 0
+    ), latest AS (
+      SELECT key,
+             max_by(op, version) AS op,
+             max_by(price, version) AS price,
+             MAX(version) AS version
+      FROM changes GROUP BY key
+    )
+    SELECT key, CAST(version AS INT) AS version,
+           CAST(price AS DOUBLE) AS price
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changelog materialization — the table-format-free core of
+    MERGE-from-changelog (Debezium/DMS-style feeds): apply an
+    insert/update/delete stream to produce current state, latest
+    version per key winning and deletes tombstoning the key.
+
+    Plan shape: union of the change slices is scan-parallel (no join);
+    ONE max_by hash aggregate on the key (map-side combined) resolves
+    latest-op and latest-payload together; the tombstone filter is a
+    post-aggregate predicate. This is the same one-shuffle shape as
+    upsert_orders (operators/merge.upsert) — at 100 TB the changelog
+    shuffles once on the key regardless of how many ops stack per key,
+    and no window sort is ever needed. Decimal price arithmetic keeps
+    both engines value-equal."""
+    o = _t(spark, sf, "orders")
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,6)")
+    ins = o.select(
+        key.alias("key"),
+        F.lit(1).alias("version"),
+        F.lit("I").alias("op"),
+        price.alias("price"),
+    )
+    upd = o.where(key % 7 == 0).select(
+        key.alias("key"),
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        (price * F.lit("1.10").cast("decimal(18,6)")).alias("price"),
+    )
+    dels = o.where(key % 13 == 0).select(
+        key.alias("key"),
+        F.lit(3).alias("version"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("decimal(18,6)").alias("price"),
+    )
+    changes = ins.unionByName(upd.select(*ins.columns)).unionByName(
+        dels.select(*ins.columns)
+    )
+    latest = changes.groupBy("key").agg(
+        F.max_by("op", "version").alias("op"),
+        F.max_by("price", "version").alias("price"),
+        F.max("version").cast("int").alias("version"),
+    )
+    return latest.where(F.col("op") != "D").select(
+        "key", "version", F.col("price").cast("double").alias("price")
     )

@@ -109,6 +109,7 @@ EXPECT_CONTAINS = {
     "trip_segmentation": [("partial_",), ("Window",)],
     "event_debounce": [("partial_",), ("Window",)],
     "geofence_dwell": [("partial_",), ("Window",)],
+    "cdc_apply": [("partial_",), ("Union",)],
 }
 
 
