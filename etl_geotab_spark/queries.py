@@ -7776,3 +7776,160 @@ def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     return latest.where(F.col("op") != "D").select(
         "key", "version", F.col("price").cast("double").alias("price")
     )
+
+
+# --------------------------------------- mergeable sketches (exact-oracle)
+# Bloom (bloom_semi_join), Misra-Gries (heavy_hitters), and these two
+# complete the bounded-state sketch family. Hashes are md5-derived
+# 32-bit integers (the repo's deterministic-uniform convention), so
+# BOTH engines build bit-identical sketches and the oracle checks the
+# sketch VALUES, not just their error bounds.
+
+
+@register(
+    "kmv_distinct",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM hashed
+    )
+    SELECT event_type,
+           CAST(MAX(n_exact) AS BIGINT) AS n_exact,
+           round(CASE WHEN MAX(n_exact) >= 32
+                      THEN 31.0 * 4294967296.0 / MAX(CASE WHEN rn = 32 THEN h END)
+                      ELSE CAST(MAX(n_exact) AS DOUBLE) END, 6) AS kmv_estimate
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 KMV (bottom-k) distinct-count sketch, k=32: keep the k
+    smallest hash values per group; estimate = (k-1)·2³²/h₍ₖ₎ once the
+    sketch fills, exact below k. The sketch STATE is mergeable (bottom-k
+    of a union = bottom-k of the per-partition bottom-k's), which is
+    what makes it the distributed/streamable alternative to exact
+    count-distinct: k values per group cross the wire, never the key
+    set — the same state-bound argument as heavy_hitters' Misra-Gries
+    tier. Unlike approx_count_distinct's HLL (engine-internal,
+    rows-only checkable), the md5-derived hash makes the ESTIMATE
+    itself cross-engine deterministic, so it sits under the value-hash
+    oracle. Plan: distinct → one window per group key (k-th order
+    statistic) → final aggregate; at scale the distinct's partial
+    aggregation dedups map-side first."""
+    e = _t(spark, sf, "events")
+    hashed = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_exact"),
+    )
+    kth = F.max(F.when(F.col("rn") == 32, F.col("h")))
+    n = F.max("n_exact")
+    return ranked.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_exact"),
+        F.round(
+            F.when(n >= 32, F.lit(31.0) * F.lit(4294967296.0) / kth).otherwise(
+                n.cast("double")
+            ),
+            6,
+        ).alias("kmv_estimate"),
+    )
+
+
+@register(
+    "count_min_freq",
+    """
+    WITH rows_j AS (
+      SELECT j FROM (VALUES (0), (1), (2), (3)) t(j)
+    ), counters AS (
+      SELECT j,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                 CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 64 AS bucket,
+             COUNT(*) AS cnt
+      FROM events, rows_j GROUP BY 1, 2
+    ), keys AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1
+    ), probed AS (
+      SELECT k.user_id, k.exact_count, c.cnt
+      FROM keys k, rows_j j
+      JOIN counters c
+        ON c.j = j.j
+       AND c.bucket = CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+                                          CAST(k.user_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 64
+    )
+    SELECT user_id,
+           CAST(MAX(exact_count) AS BIGINT) AS exact_count,
+           CAST(MIN(cnt) AS BIGINT) AS cms_estimate,
+           CAST(MIN(cnt) - MAX(exact_count) AS BIGINT) AS overestimate
+    FROM probed GROUP BY user_id
+    """,
+)
+def q_count_min_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 Count-Min sketch, d=4 rows × w=64 buckets: every event
+    increments one counter per hash row; a key's frequency estimate is
+    the MIN of its d counters — never an underestimate, over only on
+    collisions. The counter grid is d·w integers of state per
+    (partition, then merged by simple addition) — the canonical
+    bounded-memory frequency structure when the key universe is
+    unbounded (heavy_hitters' Misra-Gries bounds the CANDIDATE set;
+    CMS bounds the per-key ESTIMATE). md5-derived bucket hashes make
+    the grid bit-identical across engines, so the oracle checks
+    estimates exactly; the query emits estimate vs exact per key to
+    surface the collision overestimates. Plan: the 4× row explode is
+    map-side; both aggregates partial-combine; the probe joins a
+    |keys|×4 frame against the 256-cell counter grid (broadcast)."""
+    e = _t(spark, sf, "events")
+    js = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+    bucket = lambda jcol, key: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", jcol.cast("string"), key.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    expanded = e.select("user_id", js)
+    counters = (
+        expanded.select("j", bucket(F.col("j"), F.col("user_id")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = keys.select("user_id", "exact_count", js).select(
+        "user_id",
+        "exact_count",
+        "j",
+        bucket(F.col("j"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        probes.join(broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.max("exact_count").cast("bigint").alias("exact_count"),
+            F.min("cnt").cast("bigint").alias("cms_estimate"),
+            (F.min("cnt") - F.max("exact_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )

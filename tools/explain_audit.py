@@ -110,6 +110,8 @@ EXPECT_CONTAINS = {
     "event_debounce": [("partial_",), ("Window",)],
     "geofence_dwell": [("partial_",), ("Window",)],
     "cdc_apply": [("partial_",), ("Union",)],
+    "kmv_distinct": [("partial_",), ("Window",)],
+    "count_min_freq": [("partial_",), ("BroadcastHashJoin",)],
 }
 
 
