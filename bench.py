@@ -84,6 +84,11 @@ HEADLINE = [
     "repeated_spans",
     "pca_project",
     "pagerank_parts",
+    # round-4b session additions
+    "semdedup_buckets",
+    "trip_segmentation",
+    "cdc_apply",
+    "kmv_distinct",
 ]
 
 

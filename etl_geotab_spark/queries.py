@@ -7933,3 +7933,108 @@ def q_count_min_freq(spark: SparkSession, sf: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ), cnt AS (
+      SELECT src, dst, COUNT(*) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT src, SUM(n) AS n_src FROM cnt GROUP BY 1
+    )
+    SELECT cnt.src, cnt.dst, CAST(cnt.n AS BIGINT) AS n,
+           round(CAST(cnt.n AS DOUBLE) / CAST(tot.n_src AS DOUBLE), 6) AS p
+    FROM cnt JOIN tot ON cnt.src = tot.src
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over each vehicle's event
+    stream — P(next event type | current), the behavioral-model
+    primitive behind predictive maintenance and session simulation.
+    Plan: one window shuffle on user_id for lead(), then a transition
+    count whose key space is |types|² (tiny at any corpus scale), a
+    broadcast row-total join, and row-normalized probabilities. The
+    per-vehicle sequencing parallelizes on fleet size exactly like
+    trip_segmentation."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return cnt.join(broadcast(tot), "src").select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("n_src").cast("double"), 6).alias(
+            "p"
+        ),
+    )
+
+
+@register(
+    "table_stats",
+    """
+    SELECT 'orders' AS tbl, 'o_totalprice' AS col,
+           COUNT(*) AS n_rows, COUNT(o_totalprice) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS ndv,
+           round(MIN(o_totalprice), 6) AS min_d, round(MAX(o_totalprice), 6) AS max_d
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'o_custkey', COUNT(*), COUNT(o_custkey),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           round(CAST(MIN(o_custkey) AS DOUBLE), 6), round(CAST(MAX(o_custkey) AS DOUBLE), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'l_quantity', COUNT(*), COUNT(l_quantity),
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+           round(MIN(l_quantity), 6), round(MAX(l_quantity), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'l_partkey', COUNT(*), COUNT(l_partkey),
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+           round(CAST(MIN(l_partkey) AS DOUBLE), 6), round(CAST(MAX(l_partkey) AS DOUBLE), 6)
+    FROM lineitem
+    """,
+)
+def q_table_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style statistics collection — row count, null count,
+    NDV, min/max per (table, column) — the input a cost-based
+    optimizer (and this repo's own join_cardinality_estimate /
+    skew_profile diagnostics) feeds on. One aggregate pass PER TABLE
+    computes all its column stats together (never one scan per
+    column); the exact NDVs here swap for approx_count_distinct at
+    100 TB — the plan shape (grouped-aggregate-free full-scan
+    aggregate, map-side combined) is identical. Stats rows union into
+    the catalog-shaped (tbl, col, stats) long format."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+
+    def stats(df, tbl, col, is_int):
+        c = F.col(col)
+        cd = c.cast("double")
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("n_nonnull"),
+            F.count_distinct(c).cast("bigint").alias("ndv"),
+            F.round(F.min(cd), 6).alias("min_d"),
+            F.round(F.max(cd), 6).alias("max_d"),
+        )
+
+    return (
+        stats(o, "orders", "o_totalprice", False)
+        .unionByName(stats(o, "orders", "o_custkey", True))
+        .unionByName(stats(li, "lineitem", "l_quantity", False))
+        .unionByName(stats(li, "lineitem", "l_partkey", True))
+    )

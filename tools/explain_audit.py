@@ -112,6 +112,8 @@ EXPECT_CONTAINS = {
     "cdc_apply": [("partial_",), ("Union",)],
     "kmv_distinct": [("partial_",), ("Window",)],
     "count_min_freq": [("partial_",), ("BroadcastHashJoin",)],
+    "event_transitions": [("partial_",), ("Window",), ("BroadcastHashJoin",)],
+    "table_stats": [("partial_",), ("Union",)],
 }
 
 
