@@ -114,7 +114,10 @@ _ROUND_NEW: list[str] = [
     # lsh_ann_topk (rows-only, quality pytest-gated — a driver row
     # adds least; moved past the cutoff with pca/pagerank).
     "ngram_jaccard_pairs",
-    "ivf_ann_topk",
+    # first-ever oracle row for the STREAMING connector source (same
+    # VALUES-CTE oracle as the batch twin); takes ivf_ann_topk's slot
+    # (rows-only, recall pytest-gated — moved past the cutoff).
+    "geotab_stream_pipeline",
     "embedding_topk",
     "embedding_near_dup",
     "retention_cohorts",
@@ -153,6 +156,7 @@ _ROUND_NEW: list[str] = [
     "pca_project",
     "pagerank_parts",
     "lsh_ann_topk",
+    "ivf_ann_topk",
 ]
 # r02-checked, operators touched in round 3 → refresh first (VERDICT #4)
 _R02_REFRESH_PRIORITY: list[str] = [
@@ -8038,3 +8042,91 @@ def q_table_stats(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(stats(li, "lineitem", "l_quantity", False))
         .unionByName(stats(li, "lineitem", "l_partkey", True))
     )
+
+
+@register("geotab_stream_pipeline", _connector_oracle())
+def q_geotab_stream_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """T3-as-source + S1-S5: the reference's scheduled re-pull run as a
+    STREAM — the Geotab Python DataSource's SimpleDataSourceStreamReader
+    (sources/geotab.py GeotabStreamReader: one fleet snapshot per poll,
+    poll-counter offsets for exactly-once replay) drained with
+    Trigger.AvailableNow, each micro-batch pushed through the SAME
+    geotab_pipeline join against batch dimension scans, features
+    accumulated via foreachBatch. One poll ⇒ the result equals the
+    batch connector dataflow, which is what lets the STREAMING source
+    sit under the same VALUES-CTE value-hash oracle as
+    geotab_connector_pipeline (task.ts:107 scheduled invocation
+    semantics, task.ts:124-295 dataflow)."""
+    import tempfile
+
+    from etl_geotab_spark.pipeline.geotab import geotab_pipeline
+    from etl_geotab_spark.sources.geotab import (
+        _SCHEMAS,
+        device_status_relational,
+        devices_relational,
+        drivers_relational,
+        register_geotab_source,
+    )
+
+    register_geotab_source(spark)
+    now = F.lit("2024-01-01T22:00:00Z").cast("timestamp")
+    groups = "g1,g2,g3,g4"
+
+    def read_dim(entity: str, **opts):
+        r = (
+            spark.read.format("geotab")
+            .schema(_SCHEMAS[entity])
+            .option("typename", entity)
+            .option("transport", "fake")
+            .option("sessionid", "session-stream-bench")
+            .option("groups", groups)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    devices = devices_relational(read_dim("Device", excludeuntrackedassets="true"))
+    drivers = drivers_relational(read_dim("User"))
+
+    stream = (
+        spark.readStream.format("geotab")
+        .schema(_SCHEMAS["DeviceStatusInfo"])
+        .option("typename", "DeviceStatusInfo")
+        .option("transport", "fake")
+        .option("sessionid", "session-stream-bench")
+        .option("groups", groups)
+        .load()
+    )
+
+    collected: list = []
+    schema_holder: list = []
+
+    def drain(batch_df, _batch_id):
+        feats = geotab_pipeline(
+            devices,
+            device_status_relational(batch_df),
+            drivers,
+            now=now,
+            freshness="24 HOURS",
+        )
+        # same harness-boundary serialization as the batch twin
+        out = feats.withColumn("groups", F.to_json("groups")).withColumn(
+            "geometry",
+            F.format_string(
+                '{"type":"Point","coordinates":[%.3f,%.3f]}',
+                F.col("geometry.coordinates")[0],
+                F.col("geometry.coordinates")[1],
+            ),
+        )
+        if not schema_holder:
+            schema_holder.append(out.schema)
+        collected.extend(out.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(drain)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="geotab_stream_q_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(collected, schema_holder[0])
