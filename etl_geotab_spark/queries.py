@@ -8130,3 +8130,91 @@ def q_geotab_stream_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.createDataFrame(collected, schema_holder[0])
+
+
+@register(
+    "snapshot_diff",
+    # New snapshot derived deterministically from orders: keys %11==0
+    # deleted, %7==0 repriced (+2.5%), keys+2e8 for %999==1 added.
+    """
+    WITH base AS (
+      SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,6)) AS price
+      FROM orders
+    ), snap AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(18,6)) * CAST(1.025 AS DECIMAL(18,6))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,6)) END AS price
+      FROM orders WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT o_orderkey + 200000000,
+             CAST(o_totalprice AS DECIMAL(18,6))
+      FROM orders WHERE o_orderkey % 999 = 1
+    ), classified AS (
+      SELECT CASE WHEN b.key IS NULL THEN 'added'
+                  WHEN s.key IS NULL THEN 'removed'
+                  WHEN b.price <> s.price THEN 'modified'
+                  ELSE 'unchanged' END AS status,
+             CASE WHEN b.key IS NOT NULL AND s.key IS NOT NULL
+                  THEN abs(s.price - b.price)
+                  ELSE CAST(0 AS DECIMAL(18,6)) END AS delta
+      FROM base b FULL OUTER JOIN snap s ON b.key = s.key
+    )
+    SELECT status, COUNT(*) AS n_keys,
+           CAST(SUM(delta) AS DOUBLE) AS total_price_delta
+    FROM classified GROUP BY status
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff — classify every key across two table versions as
+    added / removed / modified / unchanged with one FULL OUTER join
+    (the one outer-join flavor the rest of the suite doesn't exercise),
+    then aggregate counts and the exact (decimal) price drift. This is
+    the reconciliation primitive behind dataset versioning and
+    replication audits — the inverse of cdc_apply: CDC applies a
+    changelog, diff RECOVERS one from two states.
+
+    Plan shape: both sides shuffle once on the key (at 100 TB: bucket
+    both snapshot writes on the key — io.write_bucketed — and the diff
+    becomes a zero-shuffle sort-merge); classification and delta are
+    post-join expressions; the final aggregate is 4 rows."""
+    o = _t(spark, sf, "orders")
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,6)")
+    base = o.select(key.alias("key"), price.alias("price"))
+    snap = (
+        o.where(key % 11 != 0)
+        .select(
+            key.alias("key"),
+            F.when(
+                key % 7 == 0, price * F.lit("1.025").cast("decimal(18,6)")
+            )
+            .otherwise(price)
+            .alias("price"),
+        )
+        .unionByName(
+            o.where(key % 999 == 1).select(
+                (key + 200000000).alias("key"), price.alias("price")
+            )
+        )
+    )
+    b, s = base.alias("b"), snap.alias("s")
+    joined = b.join(s, F.col("b.key") == F.col("s.key"), "full_outer")
+    status = (
+        F.when(F.col("b.key").isNull(), F.lit("added"))
+        .when(F.col("s.key").isNull(), F.lit("removed"))
+        .when(F.col("b.price") != F.col("s.price"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.when(
+        F.col("b.key").isNotNull() & F.col("s.key").isNotNull(),
+        F.abs(F.col("s.price") - F.col("b.price")),
+    ).otherwise(F.lit("0").cast("decimal(18,6)"))
+    return (
+        joined.select(status.alias("status"), delta.alias("delta"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("delta").cast("double").alias("total_price_delta"),
+        )
+    )

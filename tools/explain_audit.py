@@ -114,6 +114,10 @@ EXPECT_CONTAINS = {
     "count_min_freq": [("partial_",), ("BroadcastHashJoin",)],
     "event_transitions": [("partial_",), ("Window",), ("BroadcastHashJoin",)],
     "table_stats": [("partial_",), ("Union",)],
+    "snapshot_diff": [
+        ("partial_",),
+        ("SortMergeJoin FullOuter", "ShuffledHashJoin FullOuter"),
+    ],
 }
 
 
