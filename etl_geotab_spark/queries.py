@@ -8218,3 +8218,40 @@ def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("delta").cast("double").alias("total_price_delta"),
         )
     )
+
+
+@register(
+    "rolling_p95",
+    """
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.95) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS p95_20,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS med_20
+    FROM events
+    """,
+)
+def q_rolling_p95(spark: SparkSession, sf: str) -> DataFrame:
+    """W3 rolling EXACT percentiles — per-entity p95/median over a
+    20-row trailing frame, the latency/telemetry SLO monitor shape
+    (alert when rolling p95 drifts). Spark's percentile() is an
+    aggregate, and aggregates evaluate over window frames, so this
+    stays a single window operator — no self-join, no UDF; both
+    engines use the same linear-interpolation definition
+    (percentile ≡ quantile_cont). Bounded ROWS frames keep per-row
+    cost O(frame); the partition key (entity) gives the distribution
+    axis, exactly like trip_segmentation."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.95)").over(w), 6).alias("p95_20"),
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med_20"),
+    )
