@@ -8255,3 +8255,68 @@ def q_rolling_p95(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.95)").over(w), 6).alias("p95_20"),
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med_20"),
     )
+
+
+@register(
+    "nested_assembly",
+    """
+    WITH lines AS (
+      SELECT l_orderkey,
+             list_sort(list({'l_linenumber': l_linenumber,
+                             'l_quantity': l_quantity,
+                             'l_extendedprice': l_extendedprice})) AS ls
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           CAST(len(l.ls) AS INT) AS n_lines,
+           round(l.ls[1].l_quantity, 6) AS first_line_qty,
+           round(l.ls[len(l.ls)].l_extendedprice, 6) AS last_line_price,
+           CAST(list_sum(list_transform(l.ls,
+                x -> CAST(x.l_quantity AS DECIMAL(18,6)))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lines l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def q_nested_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """Document assembly — the flat→nested transform behind JSON/API
+    export and training-document construction: each order's lineitems
+    collect into a SORTED array<struct> (sort_array on the struct sorts
+    by fields in order, linenumber first → deterministic line order,
+    which is what makes nested data oracle-able at all), and the
+    nested value is then CONSUMED in place with higher-order functions
+    (element_at for first/last, aggregate for a decimal-exact total) —
+    no re-explode. One groupBy shuffle builds the documents; the order
+    join broadcasts or SMJs per AQE.
+
+    Scale note: collect_list is bounded by the real document size
+    (lines per order ≈ 7 max in TPC-H-shaped data; training documents
+    ≈ chunk counts) — nesting is safe exactly when the parent key's
+    fan-out is application-bounded, and this operator documents that
+    contract."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    lines = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            )
+        ).alias("ls")
+    )
+    ls = F.col("ls")
+    total = F.aggregate(
+        ls,
+        F.lit("0").cast("decimal(18,6)"),
+        # re-narrow per step: decimal + widens to (19,6), and the HOF
+        # accumulator type must stay fixed
+        lambda acc, x: (acc + x["l_quantity"].cast("decimal(18,6)")).cast(
+            "decimal(18,6)"
+        ),
+    )
+    return o.join(lines, o.o_orderkey == lines.l_orderkey).select(
+        "o_orderkey",
+        F.size(ls).alias("n_lines"),
+        F.round(F.element_at(ls, 1)["l_quantity"], 6).alias("first_line_qty"),
+        F.round(F.element_at(ls, -1)["l_extendedprice"], 6).alias(
+            "last_line_price"
+        ),
+        total.cast("double").alias("total_qty"),
+    )

@@ -119,6 +119,10 @@ EXPECT_CONTAINS = {
         ("SortMergeJoin FullOuter", "ShuffledHashJoin FullOuter"),
     ],
     "rolling_p95": [("Window",)],
+    "nested_assembly": [
+        ("partial_", "ObjectHashAggregate", "SortAggregate"),
+        ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"),
+    ],
 }
 
 
