@@ -8320,3 +8320,176 @@ def q_nested_assembly(spark: SparkSession, sf: str) -> DataFrame:
         ),
         total.cast("double").alias("total_qty"),
     )
+
+
+@register(
+    "rollup_cascade",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    ), weekly AS (
+      SELECT event_type, date_trunc('week', d) AS p, SUM(n) AS n, SUM(v) AS v
+      FROM daily GROUP BY 1, 2
+    ), monthly AS (
+      SELECT event_type, date_trunc('month', d) AS p, SUM(n) AS n, SUM(v) AS v
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT 'day' AS grain, event_type, CAST(d AS TIMESTAMP) AS period,
+           CAST(n AS BIGINT) AS n, CAST(v AS DOUBLE) AS total_value
+    FROM daily
+    UNION ALL
+    SELECT 'week', event_type, CAST(p AS TIMESTAMP), CAST(n AS BIGINT), CAST(v AS DOUBLE)
+    FROM weekly
+    UNION ALL
+    SELECT 'month', event_type, CAST(p AS TIMESTAMP), CAST(n AS BIGINT), CAST(v AS DOUBLE)
+    FROM monthly
+    """,
+)
+def q_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-granularity rollup cascade — day → week → month where the
+    COARSER grains aggregate the day-level PARTIALS, not the fact
+    table: the warehouse pattern that turns three fact scans into one
+    (the day table is orders of magnitude smaller than events, so the
+    week/month re-aggregations are nearly free, and count/sum partials
+    merge losslessly — the same mergeable-state law as
+    incremental_agg_merge). Decimal sums keep the cascade drift-free:
+    summing day partials MUST equal summing raw rows, which a double
+    sum cannot promise under reassociation. The day frame is cached
+    for its three consumers; at 100 TB it would be a materialized
+    daily table maintained incrementally."""
+    e = _t(spark, sf, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("d")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        )
+        .persist()
+    )
+
+    def grain(df, name, period):
+        return df.select(
+            F.lit(name).alias("grain"),
+            "event_type",
+            period.cast("timestamp").alias("period"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("v").cast("double").alias("total_value"),
+        )
+
+    weekly = daily.groupBy(
+        "event_type", F.date_trunc("week", "d").alias("p")
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    monthly = daily.groupBy(
+        "event_type", F.date_trunc("month", "d").alias("p")
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    return (
+        grain(daily, "day", F.col("d"))
+        .unionByName(grain(weekly.withColumnRenamed("p", "d"), "week", F.col("d")))
+        .unionByName(grain(monthly.withColumnRenamed("p", "d"), "month", F.col("d")))
+    )
+
+
+@register(
+    "retention_purge",
+    # Deletion list: users whose md5 nibble is 'f' (~1/16 of users) —
+    # the deterministic stand-in for a GDPR erasure request batch.
+    """
+    WITH purge AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = 'f'
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purged,
+           CAST(SUM(CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained
+    FROM events e LEFT JOIN purge p ON e.user_id = p.user_id
+    GROUP BY e.event_type
+    """,
+)
+def q_retention_purge(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy family III (with pii_redact and k_anonymity): erasure-
+    request accounting — classify every event as purged/retained
+    against a deletion list and report per-type counts, the audit
+    artifact a GDPR/CCPA pipeline emits alongside the actual delete
+    (which at 100 TB is the same plan shaped as an ANTI join writing
+    the retained partition set). The deletion list is always small
+    relative to the fact table → broadcast; the fact side never
+    shuffles for the classification."""
+    e = _t(spark, sf, "events")
+    purge = (
+        e.select("user_id")
+        .distinct()
+        .where(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "f")
+        .withColumn("_p", F.lit(1))
+    )
+    return (
+        e.join(broadcast(purge), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("_p").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purged"),
+            F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retained"),
+        )
+    )
+
+
+@register(
+    "late_data_audit",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) <
+                       MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY event_id
+                                               ROWS UNBOUNDED PRECEDING)
+                        - 600000000
+                  THEN 1 ELSE 0 END AS late
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(late) AS BIGINT) AS n_late,
+           round(CAST(SUM(late) AS DOUBLE) / COUNT(*), 6) AS late_rate
+    FROM seq GROUP BY event_type
+    """,
+)
+def q_late_data_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-lateness accounting computed in BATCH: an event is
+    late iff its event time trails the running max event time of its
+    arrival stream (event_id = arrival order, per ingestion key) by
+    more than the 10-minute watermark delay — exactly the row set
+    Structured Streaming's withWatermark would drop. Running this as a
+    batch audit is how a pipeline CHOOSES its watermark: sweep the
+    delay, read the drop rate. Integer-microsecond comparison; one
+    window shuffle on the ingestion key, then a map-side-combined
+    aggregate."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_max = F.max(F.unix_micros("ts")).over(w)
+    seq = e.select(
+        "event_type",
+        F.when(F.unix_micros("ts") < run_max - 600_000_000, 1)
+        .otherwise(0)
+        .alias("late"),
+    )
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("late").cast("bigint").alias("n_late"),
+        F.round(F.sum("late").cast("double") / F.count(F.lit(1)), 6).alias(
+            "late_rate"
+        ),
+    )

@@ -123,6 +123,9 @@ EXPECT_CONTAINS = {
         ("partial_", "ObjectHashAggregate", "SortAggregate"),
         ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"),
     ],
+    "rollup_cascade": [("partial_",), ("Union",)],
+    "retention_purge": [("partial_",), ("BroadcastHashJoin",)],
+    "late_data_audit": [("partial_",), ("Window",)],
 }
 
 
