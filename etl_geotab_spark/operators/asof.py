@@ -55,17 +55,21 @@ def asof_join(
     join form at 100 TB: 1 shuffle vs 3, and no candidate-set blowup
     when many right rows precede each left row.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
 
     # Sort order within (key, ts): for backward, right rows sort before
     # left so an equal-ts right row is visible (<= is inclusive); for
     # forward, after. Among equal-ts right rows the LAST (backward) /
     # FIRST (forward) in tiebreak order wins — matching
-    # max_by/min_by((ts, *tiebreaks)) semantics.
+    # max_by/min_by((ts, *tiebreaks)) semantics. 'nearest' uses the
+    # backward layout: an equal-ts right row is reached through the
+    # backward candidate with gap 0, which always wins the compare.
     tb = list(tiebreak_cols or [])
-    is_left = F.lit(1) if direction == "backward" else F.lit(0)
-    is_right = F.lit(0) if direction == "backward" else F.lit(1)
+    is_left = F.lit(1) if direction in ("backward", "nearest") else F.lit(0)
+    is_right = F.lit(0) if direction in ("backward", "nearest") else F.lit(1)
 
     payload = F.struct(
         F.col(right_ts).alias("_ts"),
@@ -107,6 +111,16 @@ def asof_join(
     order = [F.col("_asof_ts"), F.col("_asof_side")] + [
         F.col(f"_tb_{c}") for c in tb
     ]
+    # NULL key or NULL left ts never matches (join semantics; also keeps
+    # the forward/following frame from leaking a match into null-ts
+    # rows, which sort first).
+    guard = F.col("_asof_key").isNotNull() & F.col("_asof_ts").isNotNull()
+
+    if direction == "nearest":
+        return _nearest(
+            both, left, right, order, guard, tolerance, right_prefix
+        )
+
     if direction == "backward":
         w = (
             Window.partitionBy("_asof_key")
@@ -134,14 +148,90 @@ def asof_join(
             else F.lit(True)
         )
 
-    # NULL key or NULL left ts never matches (join semantics; also keeps
-    # the forward/following frame from leaking a match into null-ts
-    # rows, which sort first).
-    guard = F.col("_asof_key").isNotNull() & F.col("_asof_ts").isNotNull()
     out = (
         both.withColumn("_best", F.when(guard, picked))
         .where(F.col("_asof_is_left"))
         .withColumn("_best", F.when(in_tol, F.col("_best")))
+    )
+    payload_cols = [
+        F.col(f"_best.{right_prefix}{c}").alias(f"{right_prefix}{c}")
+        for c in right.columns
+    ]
+    return out.select(*[F.col(c) for c in left.columns], *payload_cols)
+
+
+def _nearest(
+    both: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    order: list,
+    guard,
+    tolerance: str | None,
+    right_prefix: str,
+) -> DataFrame:
+    """direction='nearest': compute BOTH the backward and the forward
+    candidate in the same single shuffle+sort (two frames over one
+    window ordering), then pick the temporally closer one — backward
+    wins ties, matching pandas.merge_asof(direction='nearest').
+    ``tolerance`` filters each candidate BEFORE the pick, so a
+    too-far-but-nearer candidate cannot shadow an in-tolerance one on
+    the other side. Still exactly one shuffle — the nearest variant
+    costs no more than backward alone."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    w_back = (
+        Window.partitionBy("_asof_key")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("_asof_key")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = (
+        both.withColumn(
+            "_back",
+            F.when(guard, F.last("_asof_payload", ignorenulls=True).over(w_back)),
+        )
+        .withColumn(
+            "_fwd",
+            F.when(guard, F.first("_asof_payload", ignorenulls=True).over(w_fwd)),
+        )
+        .where(F.col("_asof_is_left"))
+    )
+    if tolerance:
+        out = out.withColumn(
+            "_back",
+            F.when(
+                F.col("_back._ts")
+                >= F.col("_asof_ts") - F.expr(f"INTERVAL {tolerance}"),
+                F.col("_back"),
+            ),
+        ).withColumn(
+            "_fwd",
+            F.when(
+                F.col("_fwd._ts")
+                <= F.col("_asof_ts") + F.expr(f"INTERVAL {tolerance}"),
+                F.col("_fwd"),
+            ),
+        )
+
+    ts_type = both.schema["_asof_ts"].dataType
+    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        def num(c):
+            return F.unix_micros(c)
+    else:
+        def num(c):
+            return c.cast("double")
+
+    gap_back = num(F.col("_asof_ts")) - num(F.col("_back._ts"))
+    gap_fwd = num(F.col("_fwd._ts")) - num(F.col("_asof_ts"))
+    choose_back = F.col("_back").isNotNull() & (
+        F.col("_fwd").isNull() | (gap_back <= gap_fwd)
+    )
+    out = out.withColumn(
+        "_best", F.when(choose_back, F.col("_back")).otherwise(F.col("_fwd"))
     )
     payload_cols = [
         F.col(f"_best.{right_prefix}{c}").alias(f"{right_prefix}{c}")

@@ -8493,3 +8493,416 @@ def q_late_data_audit(spark: SparkSession, sf: str) -> DataFrame:
             "late_rate"
         ),
     )
+
+
+@register(
+    "asof_nearest_clicks",
+    # Union-merge nearest as-of: both directions from ONE window sort.
+    # Window order (ts, side, click-id) mirrors the operator's
+    # (_asof_ts, _asof_side, _tb_event_id) exactly; side=0 for right
+    # (click) rows so an equal-ts click is reached via the backward
+    # frame with gap 0, which always wins the nearest compare.
+    """
+    WITH u AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+             CASE WHEN event_type = 'click'
+                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS c_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_id, side,
+             last_value(c_id IGNORE NULLS) OVER wb AS b_id,
+             last_value(c_ts IGNORE NULLS) OVER wb AS b_ts,
+             first_value(c_id IGNORE NULLS) OVER wf AS f_id,
+             first_value(c_ts IGNORE NULLS) OVER wf AS f_ts
+      FROM u
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side, c_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts, side, c_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id,
+           CASE WHEN b_ts IS NOT NULL
+                     AND (f_ts IS NULL
+                          OR epoch_us(ts) - b_ts <= f_ts - epoch_us(ts))
+                THEN b_id ELSE f_id END AS click_id,
+           CASE WHEN b_ts IS NOT NULL
+                     AND (f_ts IS NULL
+                          OR epoch_us(ts) - b_ts <= f_ts - epoch_us(ts))
+                THEN b_ts - epoch_us(ts)
+                ELSE f_ts - epoch_us(ts) END AS gap_us
+    FROM w WHERE side = 1
+    """,
+)
+def q_asof_nearest_clicks(spark: SparkSession, sf: str) -> DataFrame:
+    """J7 nearest variant: each purchase attaches its temporally
+    NEAREST click by the same user, either direction — the
+    pandas.merge_asof(direction='nearest') semantics, distributed.
+    The operator computes the backward and forward candidate in the
+    SAME single shuffle+sort (two frames over one window ordering) and
+    picks the closer, backward winning ties — so 'nearest' costs
+    exactly what 'backward' costs: one shuffle on the key, no join, no
+    candidate blowup. gap_us is signed (negative = click before
+    purchase), integer microseconds — exact cross-engine."""
+    e = _t(spark, sf, "events")
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    r = asof_join(
+        purch,
+        clicks,
+        "user_id",
+        "user_id",
+        "ts",
+        "ts",
+        direction="nearest",
+        right_prefix="c_",
+        tiebreak_cols=["event_id"],
+    )
+    return r.select(
+        "event_id",
+        F.col("c_event_id").alias("click_id"),
+        (F.unix_micros("c_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+             CASE WHEN event_type = 'click'
+                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS c_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT ts, side,
+             last_value(c_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, c_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_ts
+      FROM u
+    ), p AS (
+      SELECT epoch_us(ts) - b_ts AS gap_us FROM w WHERE side = 1
+    ), b AS (
+      SELECT CASE WHEN gap_us IS NULL OR gap_us > 604800000000 THEN 'organic'
+                  WHEN gap_us <= 3600000000 THEN 'lt_1h'
+                  WHEN gap_us <= 86400000000 THEN 'lt_24h'
+                  ELSE 'lt_7d' END AS bucket,
+             CASE WHEN gap_us <= 604800000000 THEN gap_us END AS g
+      FROM p
+    )
+    SELECT bucket, count(*) AS n_purchases,
+           round(CAST(SUM(CAST(g AS DECIMAL(28,0))) AS DOUBLE)
+                 / count(g) / 3600000000.0, 6) AS avg_gap_hours
+    FROM b GROUP BY bucket
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Marketing attribution, last-touch model: every purchase is
+    attributed to the most recent prior click by the same user within
+    a 7-day lookback — the as-of BACKWARD join with tolerance, i.e.
+    the same operator as asof_nearest_clicks exercised through its
+    tolerance path under the value-hash oracle. Report = conversion
+    count and mean click→purchase latency per recency bucket. The
+    whole model is one shuffle on user_id (union-merge window), never
+    a range join; the decimal gap sum makes the mean exact before its
+    single double division."""
+    e = _t(spark, sf, "events")
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    r = asof_join(
+        purch,
+        clicks,
+        "user_id",
+        "user_id",
+        "ts",
+        "ts",
+        tolerance="7 days",
+        direction="backward",
+        right_prefix="c_",
+        tiebreak_cols=["event_id"],
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("c_ts")
+    bucketed = r.select(
+        F.when(F.col("c_ts").isNull(), "organic")
+        .when(gap <= 3_600_000_000, "lt_1h")
+        .when(gap <= 86_400_000_000, "lt_24h")
+        .otherwise("lt_7d")
+        .alias("bucket"),
+        F.when(F.col("c_ts").isNotNull(), gap).alias("g"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(
+            F.sum(F.col("g").cast("decimal(28,0)")).cast("double")
+            / F.count("g")
+            / 3_600_000_000.0,
+            6,
+        ).alias("avg_gap_hours"),
+    )
+
+
+@register(
+    "interval_merge",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e
+      FROM events
+    ), f AS (
+      SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_e
+      FROM x
+    ), g AS (
+      SELECT *, SUM(CASE WHEN prev_e IS NULL OR s > prev_e
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS island
+      FROM f
+    ), i AS (
+      SELECT user_id, island, min(s) AS i_s, max(e) AS i_e,
+             count(*) AS n_ev
+      FROM g GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_islands,
+           CAST(SUM(i_e - i_s) AS BIGINT) AS covered_us,
+           CAST(MAX(i_e - i_s) AS BIGINT) AS max_island_us,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events
+    FROM i GROUP BY user_id
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands interval union: each event opens a 5-minute
+    activity interval [ts, ts+300s); overlapping-or-touching intervals
+    per user merge into islands, and the report is per-user island
+    count, total covered time, and longest island — the classic
+    coverage/uptime operator (SLA windows, sensor liveness, session
+    coverage). Plan: one shuffle on user_id, then two window passes
+    over the SAME sort (running max of interval end with a 1-row lag →
+    island flag → running sum = island id) and two hash aggregates —
+    the textbook O(n log n) sweep, never an interval self-join.
+    Integer-microsecond arithmetic end to end."""
+    e = _t(spark, sf, "events")
+    s = F.unix_micros("ts")
+    x = e.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + 300_000_000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = x.withColumn("prev_e", F.max("e").over(w_prev))
+    g = f.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    islands = g.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_s"),
+        F.max("e").alias("i_e"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("i_e") - F.col("i_s")).cast("bigint").alias("covered_us"),
+        F.max(F.col("i_e") - F.col("i_s")).cast("bigint").alias("max_island_us"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "bm25_search",
+    # Arithmetic shape is mirrored EXACTLY (same literals, same
+    # association) so both engines run the identical double dataflow;
+    # ln() is the only libm call and sits under round(6).
+    """
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS dl,
+             len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+               AS tf_spark,
+             len(list_filter(string_split(text, ' '), x -> x = 'join'))
+               AS tf_join,
+             len(list_filter(string_split(text, ' '), x -> x = 'window'))
+               AS tf_window
+      FROM documents
+    ), tot AS (
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avgdl,
+             SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+             SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+             SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+      FROM base
+    )
+    SELECT doc_id, dl,
+           round(
+             ln(((CAST(n AS DOUBLE) - CAST(df_spark AS DOUBLE)) + 0.5)
+                / (CAST(df_spark AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf_spark AS DOUBLE) * 2.2)
+               / (CAST(tf_spark AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+           + ln(((CAST(n AS DOUBLE) - CAST(df_join AS DOUBLE)) + 0.5)
+                / (CAST(df_join AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf_join AS DOUBLE) * 2.2)
+               / (CAST(tf_join AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+           + ln(((CAST(n AS DOUBLE) - CAST(df_window AS DOUBLE)) + 0.5)
+                / (CAST(df_window AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf_window AS DOUBLE) * 2.2)
+               / (CAST(tf_window AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 6)
+             AS bm25
+    FROM base, tot
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query
+    over the corpus — the ranking function behind full-text search and
+    retrieval-based decontamination, one step past tfidf_top_terms
+    (adds document-length normalization and saturating tf). Plan: one
+    projection scan computes per-doc tf/dl with JVM higher-order
+    functions (no explode — term frequencies come from filter(words)
+    inside the row), a 1-row corpus-stats frame broadcasts back
+    (declared scalar cross), and the global top-10 is
+    TakeOrderedAndProject — never a full sort. At 100 TB the stats
+    frame is still 1 row and the scan stays map-only."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    terms = ["spark", "join", "window"]
+    def tf_of(t: str):
+        # one-arg lambda: a two-arg lambda would be read as
+        # (element, index) by F.filter and shadow the term
+        return F.size(F.filter(words, lambda x: x == F.lit(t)))
+
+    base = d.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[tf_of(t).alias(f"tf_{t}") for t in terms],
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    j = base.crossJoin(broadcast(tot))
+
+    def score(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        df = F.col(f"df_{t}").cast("double")
+        nd = F.col("n").cast("double")
+        idf = F.log(((nd - df) + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+        denom = tf + F.lit(1.2) * (
+            F.lit(0.25)
+            + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return idf * (tf * F.lit(2.2)) / denom
+
+    total = score("spark") + score("join") + score("window")
+    return (
+        j.select("doc_id", "dl", F.round(total, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "schema_evolution",
+    # The md5-nibble split reproduces which rows were written before
+    # the event_type column existed; mergeSchema null-fills them.
+    """
+    SELECT CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7')
+                THEN '__pre_evolution__' ELSE event_type END AS etype,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+           min(event_id) AS min_event, max(event_id) AS max_event,
+           CAST(1 AS BIGINT) AS n_batches
+    FROM events GROUP BY 1
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """S-family: schema evolution under the oracle gate. Real lakes
+    accrete columns: batch=1 was written BEFORE event_type existed
+    (3 columns), batch=2 after (4 columns). Reading the parent with
+    mergeSchema=true reconciles the two footers into one schema and
+    null-fills the missing column — the rows then aggregate per
+    observed type with pre-evolution rows grouped under a sentinel.
+    Partition discovery (batch=N directories) is exercised by the
+    n_batches distinct-count. Explicit basePath so the read is stable
+    no matter which subdirectory globs first. Write amortized per
+    (session, sf) behind a marker, PID-namespaced against concurrent
+    harnesses. At scale mergeSchema's footer reconciliation is a
+    driver-side listing cost — data files are never rewritten, which
+    is the point of the pattern."""
+    import hashlib
+    import tempfile
+
+    data_dir = os.path.join(
+        tempfile.gettempdir(),
+        "etl_geotab_schevo",
+        f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+    )
+    marker = data_dir + ".done"
+    if not os.path.exists(marker) or not os.path.isdir(data_dir):
+        e = _t(spark, sf, "events")
+        pre = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin(
+            *list("01234567")
+        )
+        e.where(pre).select("event_id", "user_id", "value").write.mode(
+            "overwrite"
+        ).parquet(data_dir + "/batch=1")
+        e.where(~pre).select(
+            "event_id", "user_id", "value", "event_type"
+        ).write.mode("overwrite").parquet(data_dir + "/batch=2")
+        with open(marker, "w") as f:
+            f.write("ok")
+    ev = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", data_dir)
+        .parquet(data_dir)
+    )
+    return ev.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("__pre_evolution__")).alias(
+            "etype"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "value_sum"
+        ),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+        F.count_distinct("batch").alias("n_batches"),
+    )

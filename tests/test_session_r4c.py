@@ -1,0 +1,167 @@
+"""Invariant tests for the round-4c additions: nearest as-of,
+last-touch attribution, interval merge (gaps-and-islands), BM25
+retrieval, and parquet schema evolution. The oracle gate checks value
+equality vs DuckDB at sf0.01; these assert the STRUCTURAL guarantees
+the oracles cannot express (nearest-pick optimality, island coverage
+arithmetic, BM25 monotonicity, merged-schema null-fill) on the
+sf0.001 smoke fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_geotab_spark.io import load_table
+from etl_geotab_spark.operators.asof import asof_join
+from etl_geotab_spark.queries import _REGISTRY
+
+
+def _q(name, spark, sf_dir):
+    return _REGISTRY[name][0](spark, sf_dir)
+
+
+def test_asof_nearest_is_optimal(spark, sf_dir):
+    """For every purchase, NO click by the same user is strictly
+    nearer than the one the operator picked (brute-force check on the
+    smoke fixture)."""
+    rows = _q("asof_nearest_clicks", spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "events")
+    clicks = {}
+    for r in (
+        e.where(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    ):
+        clicks.setdefault(r.user_id, []).append(r.us)
+    purchases = {
+        r.event_id: (r.user_id, r.us)
+        for r in e.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    for r in rows:
+        user, p_us = purchases[r.event_id]
+        cs = clicks.get(user, [])
+        if r.click_id is None:
+            assert not cs
+            continue
+        best = min(abs(c - p_us) for c in cs)
+        assert abs(r.gap_us) == best
+
+
+def test_asof_nearest_tolerance_filters_both_sides(spark):
+    """A nearer-but-out-of-tolerance candidate must not shadow an
+    in-tolerance one on the other side; when no candidate is within
+    tolerance the match is null."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "id INT, ts STRING"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    # right: 59 min before (in tolerance), 10 min after (nearer but
+    # we'll shrink tolerance below it in the second case)
+    right = spark.createDataFrame(
+        [(100, "2024-01-01 09:01:00"), (200, "2024-01-01 10:10:00")],
+        "rid INT, ts STRING",
+    ).select("rid", F.col("ts").cast("timestamp").alias("ts"))
+    left = left.withColumn("k", F.lit(1))
+    right = right.withColumn("k", F.lit(1))
+
+    near = asof_join(
+        left, right, "k", "k", "ts", "ts", direction="nearest",
+        right_prefix="r_", tiebreak_cols=["rid"],
+    ).collect()[0]
+    assert near.r_rid == 200  # 10 min beats 59 min
+
+    # tolerance 5 min: forward candidate (10 min) is out, backward
+    # (59 min) is also out -> null
+    none = asof_join(
+        left, right, "k", "k", "ts", "ts", direction="nearest",
+        tolerance="5 minutes", right_prefix="r_", tiebreak_cols=["rid"],
+    ).collect()[0]
+    assert none.r_rid is None
+
+    # tolerance 65 minutes: forward 10-min candidate within tolerance
+    # still wins; backward also within but farther
+    both = asof_join(
+        left, right, "k", "k", "ts", "ts", direction="nearest",
+        tolerance="65 minutes", right_prefix="r_", tiebreak_cols=["rid"],
+    ).collect()[0]
+    assert both.r_rid == 200
+
+
+def test_attribution_buckets_partition_purchases(spark, sf_dir):
+    """Bucket counts sum to the total purchase count; every bucket's
+    mean gap respects its boundaries (hours)."""
+    rows = _q("attribution_last_touch", spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "events")
+    n_purch = e.where(F.col("event_type") == "purchase").count()
+    assert sum(r.n_purchases for r in rows) == n_purch
+    bounds = {"lt_1h": (0, 1), "lt_24h": (0, 24), "lt_7d": (0, 168)}
+    for r in rows:
+        if r.bucket == "organic":
+            assert r.avg_gap_hours is None
+        else:
+            lo, hi = bounds[r.bucket]
+            assert lo <= r.avg_gap_hours <= hi
+
+
+def test_interval_merge_coverage_arithmetic(spark, sf_dir):
+    """Coverage is bounded by [island span of one event, n_events *
+    interval length]; islands never overlap so covered_us <=
+    (max - min ts) + 300s; every user's events are accounted for."""
+    rows = _q("interval_merge", spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "events")
+    spans = {
+        r.user_id: r
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        )
+        .collect()
+    }
+    assert {r.user_id for r in rows} == set(spans)
+    for r in rows:
+        s = spans[r.user_id]
+        assert r.n_events == s.n
+        assert 300_000_000 <= r.covered_us <= s.n * 300_000_000
+        assert r.covered_us <= (s.hi - s.lo) + 300_000_000
+        assert r.max_island_us <= r.covered_us
+        assert 1 <= r.n_islands <= s.n
+
+
+def test_bm25_scores_rank_matching_docs_first(spark, sf_dir):
+    """Top-10 is sorted descending, scores are finite, and every
+    returned doc actually contains at least one query term (a doc with
+    zero matching terms scores exactly 0 and can only appear if fewer
+    than 10 docs match)."""
+    rows = _q("bm25_search", spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    if scores[0] > 0:
+        for r in rows:
+            if r.bm25 > 0:
+                words = set(docs[r.doc_id].split(" "))
+                assert words & {"spark", "join", "window"}
+
+
+def test_schema_evolution_null_fills_pre_rows(spark, sf_dir):
+    """mergeSchema: pre-evolution rows surface under the sentinel
+    group, post-evolution rows keep their event_type, and the two row
+    populations partition the events table."""
+    rows = _q("schema_evolution", spark, sf_dir).collect()
+    by_type = {r.etype: r for r in rows}
+    assert "__pre_evolution__" in by_type
+    e = load_table(spark, sf_dir, "events")
+    assert sum(r.n for r in rows) == e.count()
+    assert all(r.n_batches == 1 for r in rows)

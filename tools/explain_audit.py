@@ -53,6 +53,7 @@ ALLOW_NESTED_LOOP = {
     "skew_profile",         # 1-row summary × 1-row top-10 scalar
     "distribution_drift",   # 1-row grand-total scalar × weekly cells
     "dq_audit",             # 1-row lazy total × 1-row violation count
+    "bm25_search",          # 1-row corpus-stats scalar × per-doc tf rows
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -126,6 +127,12 @@ EXPECT_CONTAINS = {
     "rollup_cascade": [("partial_",), ("Union",)],
     "retention_purge": [("partial_",), ("BroadcastHashJoin",)],
     "late_data_audit": [("partial_",), ("Window",)],
+    # round-4 session additions III
+    "asof_nearest_clicks": [("Window",), ("Union",)],
+    "attribution_last_touch": [("partial_",), ("Window",), ("Union",)],
+    "interval_merge": [("partial_",), ("Window",)],
+    "bm25_search": [("partial_",), ("TakeOrderedAndProject",)],
+    "schema_evolution": [("partial_",)],
 }
 
 
