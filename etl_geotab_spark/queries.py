@@ -8906,3 +8906,262 @@ def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         F.max("event_id").alias("max_event"),
         F.count_distinct("batch").alias("n_batches"),
     )
+
+
+@register(
+    "entity_resolution",
+    # Oracle: recursive-CTE transitive closure over the SAME blocked
+    # Levenshtein pair set (the dedup_clusters oracle pattern applied
+    # to the fuzzy_match_customers edge source).
+    """
+    WITH RECURSIVE blocked AS (
+      SELECT c_custkey, c_name, substr(c_name, 10, 8) AS blk FROM customer
+    ), pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ), comp AS (
+      SELECT src AS c_custkey, least(src, min(dst)) AS entity_id
+      FROM reach GROUP BY src
+    ), resolved AS (
+      SELECT c.c_custkey, coalesce(p.entity_id, c.c_custkey) AS entity_id
+      FROM customer c LEFT JOIN comp p ON c.c_custkey = p.c_custkey
+    )
+    SELECT c_custkey, entity_id,
+           c_custkey = entity_id AS is_canonical,
+           CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+    FROM resolved
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end entity resolution: blocking (shared name substring)
+    → exact Levenshtein verify (≤1 edit) → connected components →
+    every record resolved to a canonical entity id with its cluster
+    size. This composes fuzzy_match_customers' candidate stage with
+    the SAME clusters operator corpus dedup uses (operators/
+    clusters.py) — pairs alone don't resolve entities, the transitive
+    closure does (A~B, B~C ⇒ one entity even when A,C differ by 2
+    edits). Plan: blocked self-join bounds pair volume, min-label
+    propagation runs one shuffle per round with lineage truncation,
+    and the membership count is a window over the small resolved
+    frame. At 100 TB you OR several complementary blocks into the
+    same verify + CC stages."""
+    from etl_geotab_spark.operators.clusters import dedup_clusters
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    blocked = cust.withColumn("blk", F.substring("c_name", 10, 8))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.c_custkey") < F.col("b.c_custkey"),
+            ],
+        )
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+        )
+    )
+    resolved = dedup_clusters(cust, pairs, "c_custkey").select(
+        "c_custkey",
+        F.col("component").alias("entity_id"),
+        F.col("is_canonical"),
+    )
+    w = Window.partitionBy("entity_id")
+    return resolved.select(
+        "c_custkey",
+        "entity_id",
+        "is_canonical",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+    )
+
+
+@register(
+    "decile_lift",
+    # Deciles ordered on the EXACT decimal spend (never the double
+    # projection) with custkey tiebreak — ntile boundaries then agree
+    # across engines bit-for-bit.
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+      FROM orders GROUP BY o_custkey
+    ), tiled AS (
+      SELECT o_custkey, s,
+             ntile(10) OVER (ORDER BY s DESC, o_custkey) AS decile
+      FROM spend
+    ), agg AS (
+      SELECT decile, count(*) AS n_customers, SUM(s) AS spend_dec
+      FROM tiled GROUP BY decile
+    )
+    SELECT decile, CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(spend_dec AS DOUBLE) AS spend,
+           round(CAST(spend_dec AS DOUBLE)
+                 / CAST(SUM(spend_dec) OVER () AS DOUBLE), 6) AS share,
+           round(CAST(SUM(spend_dec) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE)
+                 / CAST(SUM(spend_dec) OVER () AS DOUBLE), 6) AS cum_share
+    FROM agg
+    """,
+)
+def q_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile lift / cumulative-gain curve — the model-evaluation
+    report behind every churn/propensity score: rank customers by a
+    score (here: exact total spend), cut into 10 equal-population
+    deciles, and report each decile's share and cumulative share of
+    the total. Plan shape matters: the per-customer aggregate shuffles
+    once; the GLOBAL ntile sorts only the aggregated per-customer
+    frame (customers, not orders — already 10-100x smaller); the final
+    windows run over exactly 10 rows. At 100 TB the per-customer frame
+    can still be billions — then the decile cut moves to
+    approx-percentile cutpoints and this exact report becomes the
+    calibration check on a sample. Decimal spend end to end; doubles
+    only in the final ratios."""
+    o = _t(spark, sf, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s")
+    )
+    tiled = spend.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("s"), F.col("o_custkey"))),
+    )
+    agg = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("s").alias("spend_dec"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("spend_dec").over(w_all).cast("double")
+    return agg.select(
+        "decile",
+        "n_customers",
+        F.col("spend_dec").cast("double").alias("spend"),
+        F.round(F.col("spend_dec").cast("double") / total, 6).alias("share"),
+        F.round(F.sum("spend_dec").over(w_cum).cast("double") / total, 6).alias(
+            "cum_share"
+        ),
+    )
+
+
+@register(
+    "ab_test_zscore",
+    # Two-proportion z-test with the pooled-variance denominator;
+    # arithmetic shape mirrored exactly, sqrt under round(6).
+    """
+    WITH conv AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS variant,
+             conv
+      FROM conv
+    ), s AS (
+      SELECT SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS conv_a,
+             SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS conv_b
+      FROM v
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           round(CASE WHEN CAST(conv_a + conv_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE) > 0.0
+                       AND CAST(conv_a + conv_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE) < 1.0
+                 THEN (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                      / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                              / CAST(n_a + n_b AS DOUBLE))
+                             * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                      / CAST(n_a + n_b AS DOUBLE))
+                             * (1.0 / CAST(n_a AS DOUBLE)
+                                + 1.0 / CAST(n_b AS DOUBLE)))
+                 END, 6) AS z_score
+    FROM s
+    """,
+)
+def q_ab_test_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Experimentation analysis: deterministic hash-bucket assignment
+    (md5 nibble → variant A/B — the same stable splitter the
+    train/val/test query uses) and a two-proportion z-test on
+    user-level purchase conversion. The entire experiment readout is
+    two map-side-combined aggregates (per-user conversion flag, then
+    one 1-row conditional rollup) — no joins, no windows; at 100 TB
+    the same plan reads the assignment from the hash instead of a
+    membership table, which is exactly why hash-based bucketing is the
+    scale-correct experiment design. Counts stay integers until the
+    final rate/z doubles."""
+    e = _t(spark, sf, "events")
+    conv = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    v = conv.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *list("01234567")
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "conv",
+    )
+    s = v.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    c_a = F.col("conv_a").cast("double")
+    c_b = F.col("conv_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    # degenerate experiment (everyone or no one converted): pooled
+    # variance is 0 and z is undefined — NULL, not a division error
+    z = F.when(
+        (pool > F.lit(0.0)) & (pool < F.lit(1.0)),
+        (c_a / n_a - c_b / n_b)
+        / F.sqrt(
+            pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
+        ),
+    )
+    return s.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(c_a / n_a, 6).alias("rate_a"),
+        F.round(c_b / n_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )

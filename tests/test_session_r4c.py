@@ -165,3 +165,74 @@ def test_schema_evolution_null_fills_pre_rows(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     assert sum(r.n for r in rows) == e.count()
     assert all(r.n_batches == 1 for r in rows)
+
+
+def test_entity_resolution_is_transitive_closure(spark, sf_dir):
+    """Entity ids are closed under the pair relation: both ends of
+    every verified pair share an entity; entity id = min member;
+    n_members agrees with the actual member count."""
+    rows = _q("entity_resolution", spark, sf_dir).collect()
+    assert rows
+    ent = {r.c_custkey: r.entity_id for r in rows}
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    blocked = cust.withColumn("blk", F.substring("c_name", 10, 8))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.c_custkey") < F.col("b.c_custkey"),
+            ],
+        )
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+        )
+        .collect()
+    )
+    for p in pairs:
+        assert ent[p.id_a] == ent[p.id_b]
+    members: dict[int, list[int]] = {}
+    for k, e in ent.items():
+        members.setdefault(e, []).append(k)
+    for r in rows:
+        assert r.entity_id == min(members[r.entity_id])
+        assert r.n_members == len(members[r.entity_id])
+        assert r.is_canonical == (r.c_custkey == r.entity_id)
+
+
+def test_decile_lift_partitions_and_monotone(spark, sf_dir):
+    """Deciles 1..10 partition the scored customers near-evenly,
+    shares sum to ~1, cum_share is monotone ending at 1, and decile 1
+    (highest spenders) has the largest share."""
+    rows = sorted(
+        _q("decile_lift", spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    counts = [r.n_customers for r in rows]
+    assert max(counts) - min(counts) <= 1
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    cums = [r.cum_share for r in rows]
+    assert cums == sorted(cums)
+    assert abs(cums[-1] - 1.0) < 1e-6
+    assert rows[0].share == max(r.share for r in rows)
+
+
+def test_ab_test_accounting(spark, sf_dir):
+    """Variant populations partition the users; conversions never
+    exceed populations; z is null exactly when the pooled rate is
+    degenerate (0 or 1)."""
+    r = _q("ab_test_zscore", spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert r.n_a + r.n_b == n_users
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    pool = (r.conv_a + r.conv_b) / (r.n_a + r.n_b)
+    if 0.0 < pool < 1.0:
+        assert r.z_score is not None
+    else:
+        assert r.z_score is None

@@ -133,6 +133,12 @@ EXPECT_CONTAINS = {
     "interval_merge": [("partial_",), ("Window",)],
     "bm25_search": [("partial_",), ("TakeOrderedAndProject",)],
     "schema_evolution": [("partial_",)],
+    "entity_resolution": [
+        ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"),
+        ("Window",),
+    ],
+    "decile_lift": [("partial_",), ("Window",)],
+    "ab_test_zscore": [("partial_",)],
 }
 
 
