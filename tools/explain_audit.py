@@ -54,6 +54,7 @@ ALLOW_NESTED_LOOP = {
     "distribution_drift",   # 1-row grand-total scalar × weekly cells
     "dq_audit",             # 1-row lazy total × 1-row violation count
     "bm25_search",          # 1-row corpus-stats scalar × per-doc tf rows
+    "logodds_terms",        # 1-row corpus-totals scalar × per-term counts
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -139,6 +140,9 @@ EXPECT_CONTAINS = {
     ],
     "decile_lift": [("partial_",), ("Window",)],
     "ab_test_zscore": [("partial_",)],
+    "chi_square_independence": [("partial_",), ("Window",)],
+    "logodds_terms": [("partial_",), ("TakeOrderedAndProject",)],
+    "zonemap_pruning_eval": [("partial_",), ("Window",), ("Union",)],
 }
 
 
