@@ -9441,3 +9441,268 @@ def q_zonemap_pruning_eval(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("prune_ratio"),
     )
+
+
+@register(
+    "null_safe_join",
+    """
+    WITH c AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS k,
+             c_custkey
+      FROM customer
+    ), s AS (
+      SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS k,
+             s_suppkey
+      FROM supplier
+    )
+    SELECT c.k AS nation_key, count(*) AS n_pairs,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           count(DISTINCT s.s_suppkey) AS n_suppliers
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY c.k
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J-family: NULL-safe equi-join (<=> / IS NOT DISTINCT FROM) —
+    the join flavor every 'match on possibly-missing key' integration
+    needs (a plain = silently drops the NULL partition). Delinquent
+    accounts (negative balance) get a NULL key on BOTH sides; the
+    null-safe join matches them into one group instead of losing
+    them. Still a HASH join — null-safe equality is hashable (null
+    hashes to a bucket like any value), so the plan is identical to a
+    normal equi-join, which is exactly why <=> beats the
+    OR-both-null rewrite (that one degenerates to nested-loop)."""
+    c = _t(spark, sf, "customer").select(
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("ck"),
+        "c_custkey",
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.when(F.col("s_acctbal") < 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("sk"),
+        "s_suppkey",
+    )
+    return (
+        c.join(s, c["ck"].eqNullSafe(s["sk"]))
+        .groupBy(F.col("ck").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "set_ops_multiset",
+    """
+    SELECT 'common' AS tag, o_orderpriority FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'f_excess' AS tag, o_orderpriority FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q_set_ops_multiset(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 multiset set operations: INTERSECT ALL / EXCEPT ALL —
+    bag semantics (per-value multiplicities min() and saturating
+    difference), which the DISTINCT flavors in set_ops cannot
+    express. This is how you reconcile row POPULATIONS (did status F
+    ship the same priority mix as status O, and what's the excess?)
+    rather than value sets. Spark plans both as a single aggregate
+    computing per-side counts then generating rows — one shuffle, no
+    join."""
+    o = _t(spark, sf, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    common = f.intersectAll(op).select(
+        F.lit("common").alias("tag"), "o_orderpriority"
+    )
+    excess = f.exceptAll(op).select(
+        F.lit("f_excess").alias("tag"), "o_orderpriority"
+    )
+    return common.unionByName(excess)
+
+
+@register(
+    "partitioned_write_prune",
+    """
+    SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def q_partitioned_write_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """S-family: hive-style partitioned WRITE + partition-PRUNED read
+    under the oracle gate. Events are written partitionBy(event_type)
+    once per (session, sf); the query then reads ONE partition
+    (event_type='click') — the scan's PartitionFilters prune the
+    other four directories without opening a single footer (asserted
+    in the plan audit). This is the layout decision zonemap_pruning_
+    eval measures, applied at write time: at 100 TB, partition
+    pruning is the difference between scanning 20 TB and 4 TB before
+    the first row group is even read. Timestamps ride through parquet
+    unchanged, so the day-grain aggregate hash-matches the fixture
+    oracle."""
+    import hashlib
+    import tempfile
+
+    data_dir = os.path.join(
+        tempfile.gettempdir(),
+        "etl_geotab_partwrite",
+        f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+    )
+    marker = data_dir + ".done"
+    if not os.path.exists(marker) or not os.path.isdir(data_dir):
+        _t(spark, sf, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(data_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    ev = spark.read.option("basePath", data_dir).parquet(data_dir)
+    return (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "linear_interpolate",
+    # Union-merge form again (the asof/nearest machinery): ONE
+    # shuffle+sort per user carries both the previous and the next
+    # observation to every grid point; integer-µs bounds arithmetic,
+    # one double division per point under round(6).
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value,
+             event_id, 0 AS side
+      FROM events WHERE value IS NOT NULL
+    ), bounds AS (
+      SELECT user_id,
+             min(t) - (min(t) % 21600000000) AS lo,
+             max(t) - (max(t) % 21600000000) AS hi
+      FROM ev GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 21600000000)) AS t,
+             CAST(NULL AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS event_id,
+             1 AS side
+      FROM bounds
+    ), u AS (
+      SELECT * FROM ev UNION ALL SELECT * FROM grid
+    ), w AS (
+      SELECT user_id, t, side,
+             last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+               OVER wp AS pt,
+             last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+               OVER wp AS pv,
+             first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+               OVER wn AS nt,
+             first_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+               OVER wn AS nv
+      FROM u
+      WINDOW wp AS (PARTITION BY user_id ORDER BY t, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY t, side, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, t AS grid_us,
+           round(CASE WHEN pt IS NULL THEN nv
+                      WHEN nt IS NULL THEN pv
+                      ELSE pv + (nv - pv)
+                           * (CAST(t - pt AS DOUBLE)
+                              / CAST(nt - pt AS DOUBLE)) END, 6) AS v_interp
+    FROM w WHERE side = 1
+    """,
+)
+def q_linear_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Telemetry regularization: resample each user's irregular value
+    series onto a 6-hour grid with LINEAR interpolation between the
+    surrounding observations (gap_fill_forward's big sibling — ffill
+    is a step function; sensors/pricing want the line). Grid bounds
+    snap to the step via integer-µs modulo (no float division near
+    boundaries). The previous and next observation reach every grid
+    point through ONE union + window sort per user — the same
+    union-merge trick as the as-of family, so the whole resample is
+    a single shuffle regardless of grid density; edge points clamp to
+    the nearest observation. At 100 TB the grid explode is map-side
+    and sized by (span/step) per key, never by row count."""
+    e = _t(spark, sf, "events")
+    step = 21_600_000_000
+    ev = e.where(F.col("value").isNotNull()).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "value",
+        "event_id",
+        F.lit(0).alias("side"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        (F.min("t") - (F.min("t") % step)).alias("lo"),
+        (F.max("t") - (F.max("t") % step)).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(step))
+        ).alias("t"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(1).alias("side"),
+    )
+    u = ev.unionByName(grid)
+    order = [F.col("t"), F.col("side"), F.col("event_id")]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("side") == 0, F.col("t"))
+    obs_v = F.when(F.col("side") == 0, F.col("value"))
+    w = u.select(
+        "user_id",
+        "t",
+        "side",
+        F.last(obs_t, ignorenulls=True).over(wp).alias("pt"),
+        F.last(obs_v, ignorenulls=True).over(wp).alias("pv"),
+        F.first(obs_t, ignorenulls=True).over(wn).alias("nt"),
+        F.first(obs_v, ignorenulls=True).over(wn).alias("nv"),
+    )
+    interp = (
+        F.when(F.col("pt").isNull(), F.col("nv"))
+        .when(F.col("nt").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("t") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            )
+        )
+    )
+    return (
+        w.where(F.col("side") == 1)
+        .select(
+            "user_id",
+            F.col("t").alias("grid_us"),
+            F.round(interp, 6).alias("v_interp"),
+        )
+    )

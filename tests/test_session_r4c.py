@@ -287,3 +287,79 @@ def test_zonemap_clustered_prunes_more(spark, sf_dir):
     ).count()
     for r in rows.values():
         assert r.rows_scanned >= matching
+
+
+def test_null_safe_join_keeps_null_group(spark, sf_dir):
+    """The NULL-key group exists (delinquent x delinquent) and its
+    pair count is the product of the two null-side populations."""
+    rows = _q("null_safe_join", spark, sf_dir).collect()
+    null_rows = [r for r in rows if r.nation_key is None]
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n_c = c.where(F.col("c_acctbal") < 0).count()
+    n_s = s.where(F.col("s_acctbal") < 0).count()
+    if n_c and n_s:
+        assert len(null_rows) == 1
+        assert null_rows[0].n_pairs == n_c * n_s
+        assert null_rows[0].n_customers == n_c
+        assert null_rows[0].n_suppliers == n_s
+    else:
+        assert not null_rows
+
+
+def test_multiset_ops_multiplicity_law(spark, sf_dir):
+    """Bag algebra: common(v) = min(nF(v), nO(v)) and
+    f_excess(v) = max(0, nF(v) - nO(v)) for every priority v."""
+    from collections import Counter
+
+    rows = _q("set_ops_multiset", spark, sf_dir).collect()
+    got_common = Counter(
+        r.o_orderpriority for r in rows if r.tag == "common"
+    )
+    got_excess = Counter(
+        r.o_orderpriority for r in rows if r.tag == "f_excess"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    nf = Counter(
+        r.o_orderpriority
+        for r in o.where(F.col("o_orderstatus") == "F").collect()
+    )
+    no = Counter(
+        r.o_orderpriority
+        for r in o.where(F.col("o_orderstatus") == "O").collect()
+    )
+    for v in set(nf) | set(no):
+        assert got_common.get(v, 0) == min(nf.get(v, 0), no.get(v, 0))
+        assert got_excess.get(v, 0) == max(0, nf.get(v, 0) - no.get(v, 0))
+
+
+def test_linear_interpolate_exact_at_observations_and_bounded(spark, sf_dir):
+    """Interpolated values are bounded by the surrounding
+    observations; a grid point landing exactly on an observation
+    reproduces it; grid spacing is exactly 6 h per user."""
+    rows = _q("linear_interpolate", spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "events")
+    obs: dict[int, list] = {}
+    for r in (
+        e.where(F.col("value").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("t"), "value")
+        .collect()
+    ):
+        obs.setdefault(r.user_id, []).append((r.t, r.value))
+    step = 21_600_000_000
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.grid_us)
+    for u, ts in per_user.items():
+        ts = sorted(ts)
+        assert all(b - a == step for a, b in zip(ts, ts[1:]))
+    for r in rows[:500]:
+        series = sorted(obs[r.user_id])
+        prev = [o for o in series if o[0] <= r.grid_us]
+        nxt = [o for o in series if o[0] > r.grid_us]
+        if prev and prev[-1][0] == r.grid_us:
+            assert abs(r.v_interp - round(prev[-1][1], 6)) <= 1e-6
+        if prev and nxt:
+            lo_v, hi_v = sorted((prev[-1][1], nxt[0][1]))
+            assert lo_v - 1e-6 <= r.v_interp <= hi_v + 1e-6

@@ -143,6 +143,20 @@ EXPECT_CONTAINS = {
     "chi_square_independence": [("partial_",), ("Window",)],
     "logodds_terms": [("partial_",), ("TakeOrderedAndProject",)],
     "zonemap_pruning_eval": [("partial_",), ("Window",), ("Union",)],
+    # null-safe equality must still plan as a HASH join, never the
+    # OR-both-null nested-loop rewrite
+    "null_safe_join": [
+        ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"),
+        ("partial_",),
+    ],
+    "set_ops_multiset": [("partial_",), ("Union",)],
+    # the pruned read must carry the partition predicate, not a
+    # post-scan Filter
+    "partitioned_write_prune": [
+        ("PartitionFilters: [isnotnull(event_type",),
+        ("partial_",),
+    ],
+    "linear_interpolate": [("partial_",), ("Window",), ("Union",)],
 }
 
 
