@@ -9706,3 +9706,124 @@ def q_linear_interpolate(spark: SparkSession, sf: str) -> DataFrame:
             F.round(interp, 6).alias("v_interp"),
         )
     )
+
+
+@register(
+    "streaming_sliding_window",
+    # 30-min windows sliding every 10 min ⇒ each event lands in
+    # exactly 3 windows; the batch oracle materializes the 3 copies.
+    """
+    SELECT ws AS window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT unnest([
+               time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)),
+               time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+                 - INTERVAL 10 MINUTE,
+               time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+                 - INTERVAL 20 MINUTE
+             ]) AS ws,
+             value
+      FROM events
+    ) GROUP BY ws
+    """,
+)
+def q_streaming_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """T4 sliding windows on a REAL streaming run: readStream →
+    watermark → 30-min/10-min-slide windowed agg → AvailableNow drain
+    to a memory sink (completing the streaming window family beside
+    tumbling and session). Sliding state fans each event into
+    length/slide = 3 window panes — the state-size multiplier a
+    pipeline pays for overlap, priced here explicitly. Full-fixture
+    drain ⇒ equals the batch answer, so the VALUE-HASH oracle applies
+    to the streaming path."""
+    from etl_geotab_spark.streaming import (
+        run_to_memory_table,
+        stream_events,
+        windowed_counts,
+    )
+
+    return run_to_memory_table(
+        windowed_counts(stream_events(spark, sf), "30 minutes", slide="10 minutes")
+    )
+
+
+@register(
+    "compaction_plan",
+    # Contiguous greedy packing: bin = (bytes cumsum before this file)
+    # DIV target — deterministic, windows only, and the same plan a
+    # lakehouse OPTIMIZE job runs over its file manifest.
+    """
+    WITH files AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             count(*) * 100 AS est_bytes
+      FROM events GROUP BY 1, 2
+    ), packed AS (
+      SELECT event_type, d, est_bytes,
+             coalesce(SUM(est_bytes) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) // 64000 AS bin_id
+      FROM files
+    )
+    SELECT event_type, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(SUM(est_bytes) AS BIGINT) AS bin_bytes,
+           CAST((SUM(est_bytes) * 1000000) // 64000 AS BIGINT) AS fill_ppm
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Lakehouse maintenance: small-file compaction planning. The
+    file manifest (here: per (event_type, day) estimated bytes) is
+    greedily packed into ~64 KB output bins by a running-bytes cumsum
+    — one window per partition key, no driver loop — and the report
+    is the bin layout an OPTIMIZE job would execute. Day order keeps
+    each bin time-contiguous (preserving time-range pruning after
+    compaction — why you don't bin-pack by size-decreasing here). At
+    100 TB the manifest is file-level metadata, millions of rows not
+    billions; the plan is identical. Integer-division bin assignment
+    is exact on both engines."""
+    e = _t(spark, sf, "events")
+    files = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg((F.count(F.lit(1)) * 100).alias("est_bytes"))
+    w_before = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # integer DIV, not floor(double /): keeps bin assignment in the
+    # long domain — exact at any manifest size
+    packed = files.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("est_bytes").over(w_before), F.lit(0)),
+    ).withColumn("bin_id", F.expr("cum_before DIV 64000"))
+    return packed.groupBy("event_type", F.col("bin_id").cast("bigint").alias("bin_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("est_bytes").cast("bigint").alias("bin_bytes"),
+        # integer parts-per-million, not a rounded double ratio:
+        # bytes*1e6/64000 lands on exact .5 boundaries where the
+        # engines' rounding modes disagree
+        F.expr("(sum(est_bytes) * 1000000) DIV 64000")
+        .cast("bigint")
+        .alias("fill_ppm"),
+    )
+
+
+@register("bpe_learn_merges", None)  # iterative argmax loop → rows-only;
+# pytest gates it against the classic dict-based BPE trainer
+def q_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 vocabulary induction: learn the first 6 BPE merge rules from
+    the corpus (operators/bpe.py — Sennrich-style pair counting over
+    the word-FREQUENCY table, never the corpus). Each iteration is one
+    map-side-combined pair aggregate + a 1-row argmax pull + a JVM
+    higher-order fold fusing the pair — no Python UDF anywhere. The
+    word-freq table is the scale pivot: trillions of corpus tokens
+    reduce to millions of distinct words before any iteration starts.
+    Deterministic tiebreak (count desc, pair lexicographic); pytest
+    checks the full merge table against a pure-Python reference
+    trainer."""
+    from etl_geotab_spark.operators.bpe import learn_bpe_merges
+
+    d = _t(spark, sf, "documents")
+    return learn_bpe_merges(d, "text", num_merges=6)

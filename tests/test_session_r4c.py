@@ -363,3 +363,24 @@ def test_linear_interpolate_exact_at_observations_and_bounded(spark, sf_dir):
         if prev and nxt:
             lo_v, hi_v = sorted((prev[-1][1], nxt[0][1]))
             assert lo_v - 1e-6 <= r.v_interp <= hi_v + 1e-6
+
+
+def test_bpe_matches_reference_trainer(spark, sf_dir):
+    """The distributed trainer's merge table equals the classic
+    dict-based BPE reference on the same corpus, rule for rule."""
+    from collections import Counter
+
+    from etl_geotab_spark.operators.bpe import pure_python_bpe
+
+    rows = sorted(
+        _q("bpe_learn_merges", spark, sf_dir).collect(),
+        key=lambda r: r.step,
+    )
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    freqs = Counter(
+        w for r in docs for w in r.text.split(" ") if w
+    )
+    expected = pure_python_bpe(dict(freqs), num_merges=6)
+    got = [(r.step, r.left, r.right, r.merged, r.pair_count) for r in rows]
+    assert got == expected

@@ -157,6 +157,7 @@ EXPECT_CONTAINS = {
         ("partial_",),
     ],
     "linear_interpolate": [("partial_",), ("Window",), ("Union",)],
+    "compaction_plan": [("partial_",), ("Window",)],
 }
 
 
