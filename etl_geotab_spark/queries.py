@@ -9827,3 +9827,137 @@ def q_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _t(spark, sf, "documents")
     return learn_bpe_merges(d, "text", num_merges=6)
+
+
+@register("logreg_train", None)  # iterative float optimization →
+# rows-only; pytest gates weights against a numpy reference run
+def q_logreg_train(spark: SparkSession, sf: str) -> DataFrame:
+    """X2/ML: data-parallel logistic regression (operators/logreg.py)
+    on the embeddings table — y = label parity, X = the 64-dim
+    vector. Five full-batch GD rounds; each round ships the MODEL to
+    executors (Arrow mapInPandas), reduces only (partitions × dim)
+    partial-gradient rows, and updates 65 numbers on the driver —
+    gradient traffic is O(model), never O(data), which is the whole
+    scale story of data-parallel training. Completes the ML family
+    beside kmeans (unsupervised), pca (spectral), and linear_fit
+    (closed-form)."""
+    from etl_geotab_spark.operators.logreg import train_logreg
+
+    emb = _t(spark, sf, "embeddings").select(
+        "embedding", (F.col("label") % 2).alias("y")
+    )
+    return train_logreg(emb, "embedding", "y", dim=64, iterations=5, lr=0.1)
+
+
+@register(
+    "kaplan_meier",
+    # exp(Σ ln(1 - e/r)) replaces the running product (no product
+    # aggregate in Spark); the shape is mirrored exactly and the two
+    # libm calls sit under round(6).
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS tp
+      FROM events GROUP BY user_id
+    ), durs AS (
+      SELECT CASE WHEN tp IS NULL THEN CAST(NULL AS BIGINT)
+                  ELSE (tp - t0) // 3600000000 END AS t
+      FROM per_user
+    ), marked AS (
+      SELECT CASE WHEN t IS NULL THEN 73 ELSE least(t, 73) END AS d,
+             CASE WHEN t IS NOT NULL AND t <= 72 THEN 1 ELSE 0 END AS ev
+      FROM durs
+    ), daily AS (
+      SELECT d, SUM(ev) AS n_events, SUM(1 - ev) AS n_censored,
+             COUNT(*) AS n_term
+      FROM marked GROUP BY d
+    ), risk AS (
+      SELECT d, n_events, n_censored,
+             SUM(n_term) OVER ()
+               - coalesce(SUM(n_term) OVER (ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS at_risk
+      FROM daily
+    )
+    SELECT d, CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           round(exp(SUM(CASE WHEN n_events > 0
+                              THEN ln(1.0 - CAST(n_events AS DOUBLE)
+                                            / CAST(at_risk AS DOUBLE))
+                              ELSE 0.0 END)
+                     OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS survival
+    FROM risk
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Survival analysis: Kaplan-Meier time-to-conversion curve —
+    T = hours from a user's first event to their first purchase,
+    administratively right-censored at 72 h (no purchase by then ⇒
+    the user leaves the risk set without counting as converted — the
+    statistically honest version of a naive conversion-rate ratio).
+    Plan: one per-user aggregate (the only data-sized pass), then
+    windows over the ≤74-row hourly frame; durations stay in integer
+    µs with integer-DIV hour bucketing; the running product rides on
+    exp(Σ ln(·)) since Spark has no product aggregate. At 100 TB the
+    curve frame is still bounded by the censoring horizon."""
+    e = _t(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("tp"),
+    )
+    durs = per_user.select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr("(tp - t0) DIV 3600000000"),
+        ).alias("t")
+    )
+    marked = durs.select(
+        F.when(F.col("t").isNull(), 73)
+        .otherwise(F.least(F.col("t"), F.lit(73)))
+        .alias("d"),
+        F.when(F.col("t").isNotNull() & (F.col("t") <= 72), 1)
+        .otherwise(0)
+        .alias("ev"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    daily = marked.groupBy("d").agg(
+        F.sum("ev").alias("n_events"),
+        F.sum(F.lit(1) - F.col("ev")).alias("n_censored"),
+        F.count(F.lit(1)).alias("n_term"),
+    )
+    w_before = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = daily.withColumn(
+        "at_risk",
+        F.sum("n_term").over(w_all)
+        - F.coalesce(F.sum("n_term").over(w_before), F.lit(0)),
+    )
+    ln_term = F.when(
+        F.col("n_events") > 0,
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events").cast("double")
+            / F.col("at_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    return risk.select(
+        "d",
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        F.round(F.exp(F.sum(ln_term).over(w_cum)), 6).alias("survival"),
+    )

@@ -384,3 +384,50 @@ def test_bpe_matches_reference_trainer(spark, sf_dir):
     expected = pure_python_bpe(dict(freqs), num_merges=6)
     got = [(r.step, r.left, r.right, r.merged, r.pair_count) for r in rows]
     assert got == expected
+
+
+def test_logreg_matches_numpy_reference(spark, sf_dir):
+    """Distributed GD weights equal a numpy reference run to ~1e-4
+    (partial-sum association is the only allowed difference); the
+    trained model must beat chance on its own training data."""
+    import numpy as np
+
+    from etl_geotab_spark.operators.logreg import numpy_logreg
+
+    rows = _q("logreg_train", spark, sf_dir).collect()
+    assert len(rows) == 65
+    w = np.zeros(65)
+    for r in rows:
+        w[r.feature_idx] = r.weight
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    X = np.vstack([r.embedding for r in emb]).astype(np.float64)
+    y = np.array([r.label % 2 for r in emb], dtype=np.float64)
+    w_ref = numpy_logreg(X, y, iterations=5, lr=0.1)
+    assert np.allclose(w, w_ref, atol=1e-4)
+    preds = (1.0 / (1.0 + np.exp(-(X @ w[:64] + w[64]))) > 0.5).astype(float)
+    acc = (preds == y).mean()
+    assert acc >= 0.5
+
+
+def test_kaplan_meier_estimator_laws(spark, sf_dir):
+    """Risk sets telescope (at_risk drops by the previous day's
+    terminations), survival is monotone nonincreasing from ≤1, and
+    the population reconciles: Σ(events+censored) = user count."""
+    rows = sorted(
+        _q("kaplan_meier", spark, sf_dir).collect(), key=lambda r: r.d
+    )
+    assert rows
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n_events + r.n_censored for r in rows) == n_users
+    assert rows[0].at_risk == n_users
+    prev = None
+    surv_prev = 1.0 + 1e-9
+    for r in rows:
+        if prev is not None:
+            assert r.at_risk == prev.at_risk - (
+                prev.n_events + prev.n_censored
+            )
+        assert r.survival <= surv_prev + 1e-9
+        surv_prev = r.survival
+        prev = r

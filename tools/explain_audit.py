@@ -158,6 +158,7 @@ EXPECT_CONTAINS = {
     ],
     "linear_interpolate": [("partial_",), ("Window",), ("Union",)],
     "compaction_plan": [("partial_",), ("Window",)],
+    "kaplan_meier": [("partial_",), ("Window",)],
 }
 
 
