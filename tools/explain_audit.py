@@ -159,6 +159,9 @@ EXPECT_CONTAINS = {
     "linear_interpolate": [("partial_",), ("Window",), ("Union",)],
     "compaction_plan": [("partial_",), ("Window",)],
     "kaplan_meier": [("partial_",), ("Window",)],
+    "scd2_point_in_time": [("partial_",), ("Window",), ("Union",)],
+    "spearman_correlation": [("partial_",), ("Window",)],
+    "corrupt_record_audit": [("partial_",)],
 }
 
 
