@@ -89,6 +89,13 @@ HEADLINE = [
     "trip_segmentation",
     "cdc_apply",
     "kmv_distinct",
+    # round-4c session additions: as-of/nearest + ER + ML + streaming
+    "asof_nearest_clicks",
+    "entity_resolution",
+    "linear_interpolate",
+    "bm25_search",
+    "logreg_train",
+    "streaming_sliding_window",
 ]
 
 
