@@ -10180,3 +10180,140 @@ def q_corrupt_record_audit(spark: SparkSession, sf: str) -> DataFrame:
             F.count_distinct("k").alias("n_distinct_k"),
         )
     )
+
+
+@register(
+    "contrastive_pairs",
+    # Same mirrored-cosine machinery as embedding_topk; hard positive
+    # = best same-label neighbor, hard negative = best cross-label
+    # neighbor, picked by the identical (sim DESC, id) rank rule.
+    """
+    WITH a AS (
+      SELECT vec_id AS a_id, embedding AS a_emb, label AS a_label
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), scored AS (
+      SELECT a.a_id, c.vec_id AS n_id,
+             c.label = a.a_label AS same_label,
+             list_sum(list_transform(list_zip(a.a_emb, c.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.a_emb,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS sim
+      FROM a, embeddings c WHERE c.vec_id != a.a_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY a_id, same_label ORDER BY sim DESC, n_id) AS rn
+      FROM scored
+    )
+    SELECT a_id,
+           MAX(CASE WHEN same_label THEN n_id END) AS pos_id,
+           round(MAX(CASE WHEN same_label THEN sim END), 6) AS pos_sim,
+           MAX(CASE WHEN NOT same_label THEN n_id END) AS neg_id,
+           round(MAX(CASE WHEN NOT same_label THEN sim END), 6) AS neg_sim
+    FROM ranked WHERE rn = 1
+    GROUP BY a_id
+    """,
+)
+def q_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor, the hardest
+    POSITIVE (most-similar same-label vector) and hardest NEGATIVE
+    (most-similar different-label vector) — the pair selection behind
+    triplet/InfoNCE embedding training, where 'hard' negatives (close
+    but wrong) carry the gradient signal. Plan: anchors broadcast
+    (bounded sample), corpus streams once, one JVM cosine expression,
+    one window rank per (anchor, side) — at scale the candidate
+    stream swaps to the LSH/IVF index with the identical pick logic.
+    Exact-tier arithmetic (mirrored shape) keeps it oracle-checkable
+    unlike the ANN tiers."""
+    emb = _t(spark, sf, "embeddings")
+    a = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("label").alias("a_label"),
+    )
+    j = emb.alias("c").join(
+        broadcast(a), F.col("c.vec_id") != F.col("a_id")
+    )
+    sim = cosine_similarity(F.col("a_emb"), F.col("c.embedding"))
+    scored = j.select(
+        "a_id",
+        F.col("c.vec_id").alias("n_id"),
+        (F.col("c.label") == F.col("a_label")).alias("same_label"),
+        sim.alias("sim"),
+    )
+    w = Window.partitionBy("a_id", "same_label").orderBy(
+        F.desc("sim"), "n_id"
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return ranked.groupBy("a_id").agg(
+        F.max(F.when(F.col("same_label"), F.col("n_id"))).alias("pos_id"),
+        F.round(
+            F.max(F.when(F.col("same_label"), F.col("sim"))), 6
+        ).alias("pos_sim"),
+        F.max(F.when(~F.col("same_label"), F.col("n_id"))).alias("neg_id"),
+        F.round(
+            F.max(F.when(~F.col("same_label"), F.col("sim"))), 6
+        ).alias("neg_sim"),
+    )
+
+
+@register(
+    "training_batch_assembly",
+    # Vocabulary ids are md5-derived (the repo's cross-engine hash
+    # pattern), so the padded id arrays are bit-identical and the CSV
+    # serialization hash-checks whole batches.
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_tokens,
+           CAST(greatest(0, 64 - len(words)) AS INT) AS n_pad,
+           array_to_string(
+             list_concat(
+               list_transform(words[1:64],
+                 tk -> CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT)
+                       % 32000),
+               [CAST(0 AS BIGINT) for i in range(greatest(0, 64 - len(words)))]
+             ), ',') AS ids_csv,
+           CAST(list_sum(
+             list_transform(words[1:64],
+               tk -> CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT)
+                     % 32000)) AS BIGINT) AS id_checksum
+    FROM t
+    """,
+)
+def q_training_batch_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """The training-data pipeline's LAST mile: documents → fixed-length
+    token-id rows (truncate/pad to 64, deterministic hash vocabulary,
+    pad id 0) — the tensor-shaped batch a training loop consumes,
+    assembled entirely with JVM higher-order functions (no explode, no
+    UDF: slice → transform → concat → array_repeat). The padded array
+    serializes to CSV so whole batches sit under the value-hash
+    oracle; id_checksum gives the cheap per-row integrity probe a
+    downstream loader re-verifies. Composes with chunk_documents
+    (long docs → chunks) and pack_sequences (chunks → packed
+    sequences) into the full documents→tensors dataflow; map-only at
+    any scale."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    tok_id = lambda tk: (  # noqa: E731
+        F.conv(F.substring(F.md5(tk), 1, 8), 16, 10).cast("long") % 32000
+    )
+    ids = F.transform(F.slice(words, 1, 64), tok_id)
+    n_pad = F.greatest(F.lit(0), F.lit(64) - F.size(words))
+    padded = F.concat(ids, F.array_repeat(F.lit(0).cast("long"), n_pad))
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        n_pad.alias("n_pad"),
+        F.array_join(F.transform(padded, lambda x: x.cast("string")), ",")
+        .alias("ids_csv"),
+        F.aggregate(
+            ids, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("id_checksum"),
+    )

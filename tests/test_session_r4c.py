@@ -497,3 +497,52 @@ def test_corrupt_audit_counts_match_damage_rule(spark, sf_dir):
         assert r.n_total == exp_total[t]
         assert r.n_corrupt == exp_corrupt[t]
         assert r.k_sum == exp_sum[t]
+
+
+def test_contrastive_pairs_hardness(spark, sf_dir):
+    """Brute-force: pos is the max-cosine same-label neighbor and neg
+    the max-cosine cross-label neighbor for every anchor."""
+    import numpy as np
+
+    rows = _q("contrastive_pairs", spark, sf_dir).collect()
+    assert rows
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    V = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in emb}
+    for r in rows:
+        av, al = V[r.a_id]
+        best = {True: (None, -2.0), False: (None, -2.0)}
+        for nid, (nv, nl) in V.items():
+            if nid == r.a_id:
+                continue
+            s = float(av @ nv / (np.linalg.norm(av) * np.linalg.norm(nv)))
+            key = nl == al
+            # mirror the (sim DESC, id ASC) pick
+            if s > best[key][1] + 1e-12 or (
+                abs(s - best[key][1]) <= 1e-12 and (best[key][0] is None or nid < best[key][0])
+            ):
+                best[key] = (nid, s)
+        if r.pos_id is not None:
+            assert r.pos_id == best[True][0]
+        if r.neg_id is not None:
+            assert r.neg_id == best[False][0]
+        if r.pos_sim is not None and r.neg_sim is not None:
+            assert abs(r.pos_sim - round(best[True][1], 6)) <= 2e-6
+            assert abs(r.neg_sim - round(best[False][1], 6)) <= 2e-6
+
+
+def test_training_batches_shape_and_vocab(spark, sf_dir):
+    """Every row serializes exactly 64 ids, ids stay inside the vocab,
+    padding count reconciles with token count, and the checksum equals
+    the sum of non-pad ids."""
+    rows = _q("training_batch_assembly", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r.ids_csv.split(",")]
+        assert len(ids) == 64
+        assert all(0 <= i < 32000 for i in ids)
+        assert r.n_pad == max(0, 64 - r.n_tokens)
+        if r.n_pad:
+            assert all(i == 0 for i in ids[64 - r.n_pad:])
+        assert sum(ids[: 64 - r.n_pad]) == r.id_checksum or r.n_pad == 0
+        if r.n_pad == 0:
+            assert sum(ids) == r.id_checksum

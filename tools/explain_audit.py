@@ -55,6 +55,7 @@ ALLOW_NESTED_LOOP = {
     "dq_audit",             # 1-row lazy total × 1-row violation count
     "bm25_search",          # 1-row corpus-stats scalar × per-doc tf rows
     "logodds_terms",        # 1-row corpus-totals scalar × per-term counts
+    "contrastive_pairs",    # bounded anchor broadcast × corpus (exact tier)
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -162,6 +163,11 @@ EXPECT_CONTAINS = {
     "scd2_point_in_time": [("partial_",), ("Window",), ("Union",)],
     "spearman_correlation": [("partial_",), ("Window",)],
     "corrupt_record_audit": [("partial_",)],
+    "contrastive_pairs": [
+        ("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
+        ("Window",),
+    ],
+    "training_batch_assembly": [("Project",)],
 }
 
 
