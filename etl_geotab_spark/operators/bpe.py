@@ -18,7 +18,7 @@ iterative lineage (same rule as operators/clusters.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MERGES_SCHEMA = (

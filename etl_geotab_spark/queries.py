@@ -257,6 +257,29 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _materialize_once(prefix: str, sf: str, write_fn) -> str:
+    """Write-once scratch dir per (process, sf) for ingest round-trip
+    queries. PID-namespaced like the bucketed tables: the correctness
+    driver, pytest, and bench may run concurrently, and overwrite-mode
+    writes under a shared path would race; a fresh process also never
+    trusts a stale marker from an older fixture generation.
+    ``write_fn(data_dir)`` runs only when the marker is absent."""
+    import hashlib
+    import tempfile
+
+    data_dir = os.path.join(
+        tempfile.gettempdir(),
+        prefix,
+        f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+    )
+    marker = data_dir + ".done"
+    if not os.path.exists(marker) or not os.path.isdir(data_dir):
+        write_fn(data_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return data_dir
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -5534,23 +5557,11 @@ def q_jsonl_ingest(spark: SparkSession, sf: str) -> DataFrame:
     under the value-hash check, not just a pytest. The write is
     skipped when the marker exists (same amortization contract as the
     bucketed tables)."""
-    import hashlib
-    import tempfile
-
-    # PID-namespaced like the bucketed tables: the correctness driver,
-    # pytest, and bench may run concurrently, and overwrite-mode writes
-    # under a shared path would race; a fresh process also never trusts
-    # a stale marker from an older fixture generation.
-    data_dir = os.path.join(
-        tempfile.gettempdir(),
+    data_dir = _materialize_once(
         "etl_geotab_jsonl",
-        f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+        sf,
+        lambda d: _t(spark, sf, "documents").write.mode("overwrite").json(d),
     )
-    marker = data_dir + ".done"
-    if not os.path.exists(marker) or not os.path.isdir(data_dir):
-        _t(spark, sf, "documents").write.mode("overwrite").json(data_dir)
-        with open(marker, "w") as f:
-            f.write("ok")
     docs = spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     ).json(data_dir)
@@ -5584,25 +5595,15 @@ def q_csv_ingest(spark: SparkSession, sf: str) -> DataFrame:
     timestamp type; sub-second formatting is writer-config — carry
     event time through typed formats, not CSV). Write amortized per
     (session, sf) behind a marker."""
-    import hashlib
-    import tempfile
-
-    # PID-namespaced like the bucketed tables: the correctness driver,
-    # pytest, and bench may run concurrently, and overwrite-mode writes
-    # under a shared path would race; a fresh process also never trusts
-    # a stale marker from an older fixture generation.
-    data_dir = os.path.join(
-        tempfile.gettempdir(),
+    data_dir = _materialize_once(
         "etl_geotab_csv",
-        f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+        sf,
+        lambda d: _t(spark, sf, "events")
+        .select("event_id", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(d),
     )
-    marker = data_dir + ".done"
-    if not os.path.exists(marker) or not os.path.isdir(data_dir):
-        _t(spark, sf, "events").select(
-            "event_id", "user_id", "event_type", "value", "props"
-        ).write.mode("overwrite").option("header", "true").csv(data_dir)
-        with open(marker, "w") as f:
-            f.write("ok")
     ev = (
         spark.read.schema(
             "event_id BIGINT, user_id BIGINT, event_type STRING, "
@@ -5955,19 +5956,11 @@ def q_orc_ingest(spark: SparkSession, sf: str) -> DataFrame:
     (ORC files carry one), which is itself the contract being tested:
     the embedded schema must round-trip types exactly. PID-namespaced
     scratch + marker, same amortization as the other ingest queries."""
-    import hashlib
-    import tempfile
-
-    data_dir = os.path.join(
-        tempfile.gettempdir(),
+    data_dir = _materialize_once(
         "etl_geotab_orc",
-        f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+        sf,
+        lambda d: _t(spark, sf, "orders").write.mode("overwrite").orc(d),
     )
-    marker = data_dir + ".done"
-    if not os.path.exists(marker) or not os.path.isdir(data_dir):
-        _t(spark, sf, "orders").write.mode("overwrite").orc(data_dir)
-        with open(marker, "w") as f:
-            f.write("ok")
     o = spark.read.orc(data_dir)
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -8866,28 +8859,19 @@ def q_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     harnesses. At scale mergeSchema's footer reconciliation is a
     driver-side listing cost — data files are never rewritten, which
     is the point of the pattern."""
-    import hashlib
-    import tempfile
-
-    data_dir = os.path.join(
-        tempfile.gettempdir(),
-        "etl_geotab_schevo",
-        f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
-    )
-    marker = data_dir + ".done"
-    if not os.path.exists(marker) or not os.path.isdir(data_dir):
+    def _write(d: str) -> None:
         e = _t(spark, sf, "events")
         pre = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin(
             *list("01234567")
         )
         e.where(pre).select("event_id", "user_id", "value").write.mode(
             "overwrite"
-        ).parquet(data_dir + "/batch=1")
+        ).parquet(d + "/batch=1")
         e.where(~pre).select(
             "event_id", "user_id", "value", "event_type"
-        ).write.mode("overwrite").parquet(data_dir + "/batch=2")
-        with open(marker, "w") as f:
-            f.write("ok")
+        ).write.mode("overwrite").parquet(d + "/batch=2")
+
+    data_dir = _materialize_once("etl_geotab_schevo", sf, _write)
     ev = (
         spark.read.option("mergeSchema", "true")
         .option("basePath", data_dir)
@@ -9553,21 +9537,14 @@ def q_partitioned_write_prune(spark: SparkSession, sf: str) -> DataFrame:
     the first row group is even read. Timestamps ride through parquet
     unchanged, so the day-grain aggregate hash-matches the fixture
     oracle."""
-    import hashlib
-    import tempfile
-
-    data_dir = os.path.join(
-        tempfile.gettempdir(),
+    data_dir = _materialize_once(
         "etl_geotab_partwrite",
-        f"{os.getpid()}-{hashlib.md5(sf.encode()).hexdigest()[:8]}",
+        sf,
+        lambda d: _t(spark, sf, "events")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(d),
     )
-    marker = data_dir + ".done"
-    if not os.path.exists(marker) or not os.path.isdir(data_dir):
-        _t(spark, sf, "events").write.mode("overwrite").partitionBy(
-            "event_type"
-        ).parquet(data_dir)
-        with open(marker, "w") as f:
-            f.write("ok")
     ev = spark.read.option("basePath", data_dir).parquet(data_dir)
     return (
         ev.where(F.col("event_type") == "click")
@@ -9884,12 +9861,19 @@ def q_logreg_train(spark: SparkSession, sf: str) -> DataFrame:
     SELECT d, CAST(at_risk AS BIGINT) AS at_risk,
            CAST(n_events AS BIGINT) AS n_events,
            CAST(n_censored AS BIGINT) AS n_censored,
-           round(exp(SUM(CASE WHEN n_events > 0
-                              THEN ln(1.0 - CAST(n_events AS DOUBLE)
+           round(CASE WHEN MAX(CASE WHEN n_events >= at_risk
+                                    THEN 1 ELSE 0 END)
+                          OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) = 1
+                      THEN 0.0
+                      ELSE exp(SUM(CASE WHEN n_events > 0
+                                    AND n_events < at_risk
+                                   THEN ln(1.0 - CAST(n_events AS DOUBLE)
                                             / CAST(at_risk AS DOUBLE))
-                              ELSE 0.0 END)
-                     OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW)), 6) AS survival
+                                   ELSE 0.0 END)
+                          OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW)) END,
+                 6) AS survival
     FROM risk
     """,
 )
@@ -9946,20 +9930,29 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_term").over(w_all)
         - F.coalesce(F.sum("n_term").over(w_before), F.lit(0)),
     )
+    # exhausted risk set (n_events == at_risk): S drops to exactly 0 —
+    # ln(1-1) is undefined, and DuckDB raises where Spark nulls, so
+    # the zero day is handled OUTSIDE the log chain on both engines
     ln_term = F.when(
-        F.col("n_events") > 0,
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("at_risk")),
         F.log(
             F.lit(1.0)
             - F.col("n_events").cast("double")
             / F.col("at_risk").cast("double")
         ),
     ).otherwise(F.lit(0.0))
+    dead = F.max(
+        F.when(F.col("n_events") >= F.col("at_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    survival = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(ln_term).over(w_cum))
+    )
     return risk.select(
         "d",
         F.col("at_risk").cast("bigint").alias("at_risk"),
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("n_censored").cast("bigint").alias("n_censored"),
-        F.round(F.exp(F.sum(ln_term).over(w_cum)), 6).alias("survival"),
+        F.round(survival, 6).alias("survival"),
     )
 
 

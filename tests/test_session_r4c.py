@@ -546,3 +546,48 @@ def test_training_batches_shape_and_vocab(spark, sf_dir):
         assert sum(ids[: 64 - r.n_pad]) == r.id_checksum or r.n_pad == 0
         if r.n_pad == 0:
             assert sum(ids) == r.id_checksum
+
+
+def test_kaplan_meier_exhausted_risk_set(spark, tmp_path):
+    """When every user converts (no censoring), the final day drains
+    the risk set: survival must be exactly 0, not NULL (Spark log(0))
+    nor an oracle crash (DuckDB ln(0) raises)."""
+    import duckdb
+
+    from etl_geotab_spark.queries import _REGISTRY, oracle_sql
+
+    # synthetic fixture: every user purchases shortly after onboarding
+    rows = []
+    eid = 0
+    for u in range(4):
+        rows.append((eid, "2024-01-01 00:00:00", u, "signup", 1.0, "{}"))
+        eid += 1
+        rows.append(
+            (eid, f"2024-01-01 0{u + 1}:00:00", u, "purchase", 1.0, "{}")
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    fixture = str(tmp_path / "km_fixture")
+    import os
+
+    os.makedirs(fixture, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(fixture + "/events.parquet")
+
+    out = sorted(
+        _REGISTRY["kaplan_meier"][0](spark, fixture).collect(),
+        key=lambda r: r.d,
+    )
+    assert out[-1].survival == 0.0
+    assert all(r.survival is not None for r in out)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{fixture}/events.parquet/*.parquet')"
+    )
+    orc = con.execute(oracle_sql()["kaplan_meier"]).fetchall()
+    assert min(r[4] for r in orc) == 0.0  # oracle survives ln(0) day too

@@ -167,7 +167,13 @@ EXPECT_CONTAINS = {
         ("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
         ("Window",),
     ],
-    "training_batch_assembly": [("Project",)],
+}
+
+# plans that must NOT contain a marker: asserts the docstring's claim
+# (e.g. "map-only" = no Exchange anywhere in the physical plan)
+EXPECT_ABSENT = {
+    "training_batch_assembly": ["Exchange"],  # map-only at any scale
+    "text_stats": ["Exchange"],               # map-only projection
 }
 
 
@@ -186,6 +192,7 @@ def audit_plans(spark, sf_dir: str, only: set[str] | None = None,
             "stateful_user_stats",
             "streaming_session_window",
             "geotab_stream_pipeline",  # runs the stream; returns collected rows
+            "streaming_sliding_window",
         ):
             continue  # streaming plans audited via their own tests
         if name in ("pca_project", "pagerank_parts"):
@@ -221,6 +228,10 @@ def audit_plans(spark, sf_dir: str, only: set[str] | None = None,
                     failures.append((name, f"predicate not pushed: {group}"))
             elif not any(w in plan for w in group):
                 failures.append((name, f"missing any of {group}"))
+
+        for marker in EXPECT_ABSENT.get(name, []):
+            if marker in plan:
+                failures.append((name, f"forbidden plan node: {marker}"))
 
         # SELECT * smell: parquet scans should prune columns unless the
         # query genuinely projects everything
