@@ -62,7 +62,7 @@ def get_spark(
         # (cross_corpus_dedup 47s contaminated vs 4s fresh; 7s with
         # this flag). Any production driver/executor serving many
         # distinct plans wants the same headroom.
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=2g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
