@@ -10310,3 +10310,69 @@ def q_training_batch_assembly(spark: SparkSession, sf: str) -> DataFrame:
             ids, F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("id_checksum"),
     )
+
+
+@register("ndcg_eval", None)  # approximate ANN under a ranking metric →
+# rows-only; the measured VALUE is the evidence (like ann_recall_eval)
+def q_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """X2 ANN quality harness II: NDCG@10 of the LSH and IVF indexes —
+    recall (ann_recall_eval) counts how many true neighbors an index
+    finds; NDCG scores whether it finds the BEST ones FIRST (graded
+    relevance 10..1 by exact rank, log2 position discount). A vector
+    store can have recall 0.8 and still rank its hits badly — this
+    metric is the one that notices. Same bounded md5-sample query
+    side, exact baseline computed once on the BLAS tier, each
+    approximate ranking joined against it (left join, miss = 0 gain);
+    eager scalars so the persisted baseline releases before return."""
+    import math
+
+    from etl_geotab_spark.operators.similarity import (
+        cosine_topk_blas,
+        ivf_topk,
+        lsh_bucketed_ann,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    queries_side = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(64)
+        .repartition(8)
+    ).persist()
+    k = 10
+    exact = (
+        cosine_topk_blas(emb, queries_side, k=k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(k + 1) - F.col("rank")).cast("double").alias("rel"),
+        )
+        .persist()
+    )
+    n_queries = exact.select("query_id").distinct().count()
+    # ideal DCG is the same for every query: the exact top-k in order
+    idcg = sum((k + 1 - i) / math.log2(i + 1) for i in range(1, k + 1))
+
+    def ndcg_of(approx: DataFrame) -> float:
+        scored = (
+            approx.select("query_id", "neighbor_id", "rank")
+            .join(exact, ["query_id", "neighbor_id"], "left")
+            .select(
+                "query_id",
+                (
+                    F.coalesce(F.col("rel"), F.lit(0.0))
+                    / F.log2(F.col("rank").cast("double") + 1.0)
+                ).alias("gain"),
+            )
+        )
+        per_q = scored.groupBy("query_id").agg(F.sum("gain").alias("dcg"))
+        total = per_q.agg(F.sum("dcg")).collect()[0][0] or 0.0
+        return round(total / (n_queries * idcg), 4)
+
+    lsh = ndcg_of(lsh_bucketed_ann(emb, queries_side, k=k, **_ANN_LSH))
+    ivf = ndcg_of(ivf_topk(emb, queries_side, k=k, **_ANN_IVF))
+    exact.unpersist()
+    queries_side.unpersist()
+    return spark.createDataFrame(
+        [("lsh", lsh, n_queries), ("ivf", ivf, n_queries)],
+        "method STRING, ndcg_at_10 DOUBLE, n_queries BIGINT",
+    )

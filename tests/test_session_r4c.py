@@ -591,3 +591,15 @@ def test_kaplan_meier_exhausted_risk_set(spark, tmp_path):
     )
     orc = con.execute(oracle_sql()["kaplan_meier"]).fetchall()
     assert min(r[4] for r in orc) == 0.0  # oracle survives ln(0) day too
+
+
+def test_ndcg_eval_bounds(spark, sf_dir):
+    """NDCG is a proper [0,1] metric; both index tiers report it over
+    the same bounded query sample."""
+    rows = {r.method: r for r in _q("ndcg_eval", spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+        assert r.n_queries > 0
+    ns = {r.n_queries for r in rows.values()}
+    assert len(ns) == 1

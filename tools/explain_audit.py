@@ -202,7 +202,7 @@ def audit_plans(spark, sf_dir: str, only: set[str] | None = None,
             # plan properties (bounded collects, map-side combine) are
             # asserted structurally in tests/test_pca_pagerank.py.
             continue
-        if name in ("ann_recall_eval", "minhash_recall_eval"):
+        if name in ("ann_recall_eval", "minhash_recall_eval", "ndcg_eval"):
             # eval harnesses execute eagerly and return literal scalars —
             # explaining them audits a LocalTableScan, not the pipelines.
             # Their constituent plans ARE audited via lsh_ann_topk,
