@@ -10376,3 +10376,340 @@ def q_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
         [("lsh", lsh, n_queries), ("ivf", ivf, n_queries)],
         "method STRING, ndcg_at_10 DOUBLE, n_queries BIGINT",
     )
+
+
+@register(
+    "psi_drift",
+    # Laplace-smoothed proportions (never zero) + rounded-then-DECIMAL
+    # summed per-bucket terms: the 10-term reduction is order-proof and
+    # ln never sees 0. Buckets enumerated explicitly so empty ones
+    # still contribute their smoothed term.
+    """
+    WITH sides AS (
+      SELECT least(9, CAST(floor(value / 50.0) AS INT)) AS bucket,
+             CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08'
+                  THEN 'a' ELSE 'b' END AS side
+      FROM events
+    ), b AS (
+      SELECT i AS bucket,
+             coalesce(SUM(CASE WHEN side = 'a' THEN 1 END), 0) AS na,
+             coalesce(SUM(CASE WHEN side = 'b' THEN 1 END), 0) AS nb
+      FROM range(10) t(i) LEFT JOIN sides ON sides.bucket = t.i
+      GROUP BY i
+    ), tot AS (
+      SELECT SUM(na) AS ta, SUM(nb) AS tb FROM b
+    ), terms AS (
+      SELECT round(
+               ((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + 10.0)
+                - (CAST(nb AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + 10.0))
+               * ln(((CAST(na AS DOUBLE) + 1.0)
+                     / (CAST(ta AS DOUBLE) + 10.0))
+                    / ((CAST(nb AS DOUBLE) + 1.0)
+                       / (CAST(tb AS DOUBLE) + 10.0))), 6) AS term,
+             ta, tb
+      FROM b, tot
+    )
+    SELECT CAST(MAX(ta) AS BIGINT) AS n_ref,
+           CAST(MAX(tb) AS BIGINT) AS n_cur,
+           CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS psi
+    FROM terms
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index — the model-monitoring drift metric
+    (PSI < 0.1 stable, > 0.25 retrain): value distribution of week 1
+    (reference) vs the rest of the month (current) over 10 fixed-width
+    buckets. Complements distribution_drift's categorical KL with the
+    numeric-feature version every deployed-model scorecard carries.
+    Laplace smoothing keeps empty buckets finite AND in the sum
+    (buckets come from an explicit range(10), not observed rows);
+    per-bucket terms round → DECIMAL-sum so the 10-term reduction
+    is aggregation-order-proof. One scan, one tiny aggregate."""
+    e = _t(spark, sf, "events")
+    sides = e.select(
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")).alias(
+            "bucket"
+        ),
+        F.when(
+            F.col("ts") < F.lit("2024-01-08").cast("timestamp"), "a"
+        )
+        .otherwise("b")
+        .alias("side"),
+    )
+    buckets = spark.range(10).select(F.col("id").cast("int").alias("i"))
+    b = (
+        buckets.join(sides, buckets.i == sides.bucket, "left")
+        .groupBy("i")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("side") == "a", 1)), F.lit(0)
+            ).alias("na"),
+            F.coalesce(
+                F.sum(F.when(F.col("side") == "b", 1)), F.lit(0)
+            ).alias("nb"),
+        )
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    t = b.select(
+        "na",
+        "nb",
+        F.sum("na").over(w_all).alias("ta"),
+        F.sum("nb").over(w_all).alias("tb"),
+    )
+    pa = (F.col("na").cast("double") + 1.0) / (
+        F.col("ta").cast("double") + 10.0
+    )
+    pb = (F.col("nb").cast("double") + 1.0) / (
+        F.col("tb").cast("double") + 10.0
+    )
+    term = F.round((pa - pb) * F.log(pa / pb), 6)
+    return t.select("ta", "tb", term.alias("term")).agg(
+        F.max("ta").cast("bigint").alias("n_ref"),
+        F.max("tb").cast("bigint").alias("n_cur"),
+        F.sum(F.col("term").cast("decimal(18,6)")).cast("double").alias(
+            "psi"
+        ),
+    )
+
+
+@register(
+    "hotspot_regions",
+    # Same recursive-closure oracle pattern as dedup_clusters, over
+    # 8-neighbor adjacency of hot grid cells; integer-DIV cell ids.
+    """
+    WITH RECURSIVE pts AS (
+      SELECT (o_orderkey * o_orderkey) % 18000 AS xi,
+             ((o_orderkey + 12345) * (o_orderkey + 67890)) % 36000 AS yi
+      FROM orders
+    ), cells AS (
+      SELECT (xi // 600) * 100 + (yi // 600) AS cell_id,
+             xi // 600 AS ix, yi // 600 AS iy, count(*) AS n_points
+      FROM pts GROUP BY 1, 2, 3
+    ), thr AS (
+      SELECT greatest(3, (2 * count(*)) // 1800) AS h FROM pts
+    ), hot AS (
+      SELECT cells.* FROM cells, thr WHERE n_points >= h
+    ), pairs AS (
+      SELECT a.cell_id AS id_a, b.cell_id AS id_b
+      FROM hot a JOIN hot b
+        ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+       AND a.cell_id < b.cell_id
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ), comp AS (
+      SELECT src AS cell_id, least(src, min(dst)) AS region
+      FROM reach GROUP BY src
+    ), labeled AS (
+      SELECT h.*, coalesce(c.region, h.cell_id) AS region
+      FROM hot h LEFT JOIN comp c ON h.cell_id = c.cell_id
+    )
+    SELECT region, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n_points) AS BIGINT) AS n_points,
+           CAST(min(ix) AS BIGINT) AS min_ix,
+           CAST(max(ix) AS BIGINT) AS max_ix,
+           CAST(min(iy) AS BIGINT) AS min_iy,
+           CAST(max(iy) AS BIGINT) AS max_iy
+    FROM labeled GROUP BY region
+    """,
+)
+def q_hotspot_regions(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial hotspot detection — grid-density clustering (the
+    scalable DBSCAN stand-in): bucket points into 6°×6° cells (pure
+    integer DIV on the synthesized coordinates — no float near a cell
+    boundary), keep cells above a density threshold, and merge
+    8-neighbor-adjacent hot cells into REGIONS with connected
+    components (operators/clusters.py, third reuse). The adjacency
+    join stays an equi-width band join on the tiny hot-cell frame —
+    points are touched exactly once, in the counting pass; everything
+    after is metadata-scale. Output: one row per region with cell/
+    point counts and bounding box."""
+    from etl_geotab_spark.operators.clusters import dedup_clusters
+
+    o = _t(spark, sf, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    pts = o.select(
+        ((k * k) % 18000).alias("xi"),
+        (((k + 12345) * (k + 67890)) % 36000).alias("yi"),
+    )
+    cells = (
+        pts.select(
+            F.expr("xi DIV 600").alias("ix"), F.expr("yi DIV 600").alias("iy")
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .withColumn("cell_id", F.col("ix") * 100 + F.col("iy"))
+    )
+    # density threshold scales with the data: 2x the mean cell
+    # occupancy (1800 cells), floored at 3 — a 1-row scalar broadcast
+    thr = pts.agg(
+        F.greatest(
+            F.lit(3), F.expr("(2 * count(*)) DIV 1800")
+        ).alias("h")
+    )
+    hot = cells.crossJoin(broadcast(thr)).where(
+        F.col("n_points") >= F.col("h")
+    ).drop("h")
+    a = hot.alias("a")
+    b = hot.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.abs(F.col("a.ix") - F.col("b.ix")) <= 1,
+            F.abs(F.col("a.iy") - F.col("b.iy")) <= 1,
+            F.col("a.cell_id") < F.col("b.cell_id"),
+        ],
+    ).select(
+        F.col("a.cell_id").alias("id_a"), F.col("b.cell_id").alias("id_b")
+    )
+    labeled = dedup_clusters(hot, pairs, "cell_id")
+    return labeled.groupBy(F.col("component").alias("region")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n_points").cast("bigint").alias("n_points"),
+        F.min("ix").cast("bigint").alias("min_ix"),
+        F.max("ix").cast("bigint").alias("max_ix"),
+        F.min("iy").cast("bigint").alias("min_iy"),
+        F.max("iy").cast("bigint").alias("max_iy"),
+    )
+
+
+@register(
+    "cusum_changepoint",
+    # Sequential recursion (like grouped_map_ewma): DuckDB list_reduce
+    # has no initial value, so a zero struct is PREPENDED and each
+    # element pre-maps to its deviation. Field order matters: DuckDB
+    # updates struct accumulator fields SEQUENTIALLY in place, so 'm'
+    # must be computed BEFORE 's' overwrites acc.s — this ordering is
+    # also correct under purely functional semantics, so the fold
+    # matches Spark's aggregate(init, merge) either way.
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type,
+             list(CAST(n AS DOUBLE) ORDER BY d) AS xs
+      FROM daily GROUP BY event_type
+    ), folded AS (
+      SELECT event_type,
+             CAST(len(xs) AS INT) AS n_days,
+             list_sum(xs[1:7]) / 7.0 AS target,
+             list_reduce(
+               list_concat(
+                 [{'m': CAST(0.0 AS DOUBLE), 's': CAST(0.0 AS DOUBLE)}],
+                 list_transform(xs,
+                   x -> {'m': CAST(0.0 AS DOUBLE),
+                         's': x - list_sum(xs[1:7]) / 7.0})),
+               (acc, x) -> {'m': greatest(acc.m,
+                                          greatest(0.0, acc.s + x.s)),
+                            's': greatest(0.0, acc.s + x.s)})
+               AS c
+      FROM series
+    )
+    SELECT event_type, n_days, round(target, 6) AS target,
+           round(c.s, 6) AS cusum_final,
+           round(c.m, 6) AS cusum_max,
+           c.m > 5.0 * sqrt(target) AS breach
+    FROM folded
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential change detection: upward CUSUM of daily event
+    volume per type against a target calibrated on the first week —
+    S_t = max(0, S_{t-1} + (x_t - target)), breach when the peak
+    exceeds 5·sqrt(target). CUSUM is the control-chart op a SQL
+    window cannot express (each S depends recursively on the previous
+    S, the grouped_map_ewma class of computation) — here the fold
+    runs JVM-side over the per-type day array built by ONE aggregate:
+    no pandas, no per-row Python. Per-group state is bounded by the
+    observation span, the same contract as kaplan_meier's curve
+    frame."""
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "n"))),
+            lambda p: p["n"].cast("double"),
+        ).alias("xs")
+    )
+    target = F.aggregate(
+        F.slice(F.col("xs"), 1, 7),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(7.0)
+    folded = series.select(
+        "event_type",
+        F.size("xs").alias("n_days"),
+        target.alias("target"),
+        F.aggregate(
+            F.transform(F.col("xs"), lambda x: x - F.col("target")),
+            F.struct(
+                F.lit(0.0).alias("s"), F.lit(0.0).alias("m")
+            ),
+            lambda acc, x: F.struct(
+                F.greatest(F.lit(0.0), acc["s"] + x).alias("s"),
+                F.greatest(
+                    acc["m"], F.greatest(F.lit(0.0), acc["s"] + x)
+                ).alias("m"),
+            ),
+        ).alias("c"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round("target", 6).alias("target"),
+        F.round(F.col("c.s"), 6).alias("cusum_final"),
+        F.round(F.col("c.m"), 6).alias("cusum_max"),
+        (F.col("c.m") > F.lit(5.0) * F.sqrt(F.col("target"))).alias(
+            "breach"
+        ),
+    )
+
+
+@register(
+    "boolean_retrieval",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+                AS INT) AS tf_spark,
+           CAST(len(list_filter(string_split(text, ' '), x -> x = 'join'))
+                AS INT) AS tf_join,
+           CAST(len(list_filter(string_split(text, ' '), x -> x = 'window'))
+                AS INT) AS tf_window
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), x -> x = 'spark')) > 0
+      AND len(list_filter(string_split(text, ' '), x -> x = 'join')) > 0
+      AND len(list_filter(string_split(text, ' '), x -> x = 'window')) > 0
+    """,
+)
+def q_boolean_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean AND retrieval — the conjunctive filter stage a search
+    pipeline runs BEFORE BM25 ranks (bm25_search scores all docs;
+    this keeps only docs containing every query term, the candidate
+    set an inverted index would intersect posting lists for). Pure
+    map-only JVM HOF evaluation here; at index scale the identical
+    semantics come from a posting-list semi-join per term (the
+    tfidf/token_frequencies tables ARE the posting lists)."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def tf(t: str):
+        return F.size(F.filter(words, lambda x: x == F.lit(t)))
+
+    out = d.select(
+        "doc_id",
+        tf("spark").alias("tf_spark"),
+        tf("join").alias("tf_join"),
+        tf("window").alias("tf_window"),
+    )
+    return out.where(
+        (F.col("tf_spark") > 0)
+        & (F.col("tf_join") > 0)
+        & (F.col("tf_window") > 0)
+    )

@@ -603,3 +603,78 @@ def test_ndcg_eval_bounds(spark, sf_dir):
         assert r.n_queries > 0
     ns = {r.n_queries for r in rows.values()}
     assert len(ns) == 1
+
+
+def test_psi_drift_properties(spark, sf_dir):
+    """PSI >= 0 up to per-bucket rounding slack; populations
+    reconcile with the raw event split."""
+    r = _q("psi_drift", spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events")
+    n_ref = e.where(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    ).count()
+    assert r.n_ref == n_ref
+    assert r.n_cur == e.count() - n_ref
+    assert r.psi >= -1e-5  # 10 rounded terms, each ±5e-7
+
+
+def test_hotspot_regions_adjacency_and_counts(spark, sf_dir):
+    """Regions are disjoint cell sets; bounding boxes are consistent;
+    every region's point count is >= its cell count * threshold
+    floor is NOT guaranteed (threshold applies per cell) but every
+    region has at least one cell above threshold by construction."""
+    rows = _q("hotspot_regions", spark, sf_dir).collect()
+    assert rows
+    total_cells = sum(r.n_cells for r in rows)
+    assert len({r.region for r in rows}) == len(rows)
+    for r in rows:
+        assert r.min_ix <= r.max_ix and r.min_iy <= r.max_iy
+        assert r.n_cells >= 1 and r.n_points >= r.n_cells
+        # bounding box can't exceed the merged-cell span
+        assert (r.max_ix - r.min_ix + 1) * (r.max_iy - r.min_iy + 1) >= r.n_cells
+    assert total_cells == len(set().union(*[{(r.region, i)} for i, r in enumerate(rows)])) or total_cells >= len(rows)
+
+
+def test_cusum_matches_python_recursion(spark, sf_dir):
+    """The JVM fold reproduces the sequential CUSUM recursion exactly
+    (same target, same max) computed in plain Python."""
+    rows = {r.event_type: r for r in _q("cusum_changepoint", spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).groupBy("event_type", "d").count().collect()
+    from collections import defaultdict
+
+    series = defaultdict(dict)
+    for r in e:
+        series[r.event_type][r.d] = r["count"]
+    for t, daymap in series.items():
+        xs = [float(daymap[d]) for d in sorted(daymap)]
+        target = sum(xs[:7]) / 7.0
+        s = m = 0.0
+        for x in xs:
+            s = max(0.0, s + (x - target))
+            m = max(m, s)
+        got = rows[t]
+        assert abs(got.target - round(target, 6)) <= 1e-6
+        assert abs(got.cusum_final - round(s, 6)) <= 1e-6
+        assert abs(got.cusum_max - round(m, 6)) <= 1e-6
+        assert got.breach == (m > 5.0 * (target ** 0.5))
+
+
+def test_boolean_retrieval_is_conjunctive(spark, sf_dir):
+    """Every returned doc contains all three terms; no qualifying doc
+    is missed (complement check on the raw corpus)."""
+    rows = _q("boolean_retrieval", spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    expected = {
+        d.doc_id
+        for d in docs
+        if all(
+            t in d.text.split(" ") for t in ("spark", "join", "window")
+        )
+    }
+    assert {r.doc_id for r in rows} == expected
+    for r in rows:
+        assert r.tf_spark > 0 and r.tf_join > 0 and r.tf_window > 0

@@ -56,6 +56,7 @@ ALLOW_NESTED_LOOP = {
     "bm25_search",          # 1-row corpus-stats scalar × per-doc tf rows
     "logodds_terms",        # 1-row corpus-totals scalar × per-term counts
     "contrastive_pairs",    # bounded anchor broadcast × corpus (exact tier)
+    "hotspot_regions",      # 1-row density-threshold scalar × cell counts
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -163,6 +164,10 @@ EXPECT_CONTAINS = {
     "scd2_point_in_time": [("partial_",), ("Window",), ("Union",)],
     "spearman_correlation": [("partial_",), ("Window",)],
     "corrupt_record_audit": [("partial_",)],
+    "psi_drift": [("partial_",)],
+    "hotspot_regions": [("partial_",)],
+    "cusum_changepoint": [("partial_",), ("ObjectHashAggregate", "SortAggregate", "partial_")],
+    "boolean_retrieval": [("Project",), ("Filter", "PushedFilters")],
     "contrastive_pairs": [
         ("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
         ("Window",),
