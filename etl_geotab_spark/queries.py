@@ -4386,6 +4386,30 @@ def q_source_temperature_resample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_eval_context(spark: SparkSession, sf: str, k: int = 10):
+    """Shared scaffolding for the ANN quality harnesses
+    (ann_recall_eval, ndcg_eval): the bounded md5-sample query side, 
+    the exact top-k baseline on the BLAS tier (WITH rank), and the
+    query count — persisted; callers MUST unpersist both frames when
+    their eager scalars are computed. One definition so both evals
+    always measure the same query set and baseline tier."""
+    from etl_geotab_spark.operators.similarity import cosine_topk_blas
+
+    emb = _t(spark, sf, "embeddings")
+    queries_side = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(64)
+        .repartition(8)
+    ).persist()
+    exact = (
+        cosine_topk_blas(emb, queries_side, k=k)
+        .select("query_id", "neighbor_id", "rank")
+        .persist()
+    )
+    n_queries = exact.select("query_id").distinct().count()
+    return emb, queries_side, exact, n_queries
+
+
 @register("ann_recall_eval", None)  # compares two approximate methods → rows-only
 def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     """X2 ANN quality harness: recall@10 of the LSH-bucket and IVF
@@ -4399,33 +4423,18 @@ def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     check; the VALUES are the point (recall is the judge's evidence
     that the scale path actually finds neighbors)."""
     from etl_geotab_spark.operators.similarity import (
-        cosine_topk_blas,
         ivf_topk,
         lsh_bucketed_ann,
     )
 
-    emb = _t(spark, sf, "embeddings")
     # Bounded query side (round-3 verdict): md5-order limit(64) is a
-    # deterministic FIXED-size sample — TakeOrderedAndProject, no full
-    # sort — so the exact baseline is O(corpus × 64), linear in corpus,
-    # instead of the old vec_id%50 sample whose O(n²/50) died first at
-    # scale. Recall averaged over 64 queries is the same estimate to
-    # within sampling noise. Persist + repartition: all three methods
-    # reference this side (persist stops each from re-running the
-    # sample scan) and TakeOrdered leaves ONE partition (repartition
-    # restores downstream join parallelism).
-    queries_side = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(64).repartition(8)
-    ).persist()
+    # deterministic FIXED-size sample — the exact baseline is
+    # O(corpus × 64), linear in corpus. Exact baseline on the BLAS
+    # tier (neighbor sets identical to the expression tier, pytest).
+    # Scaffolding shared with ndcg_eval (_ann_eval_context) so both
+    # evals always measure the same query set and baseline.
     k = 10
-    # exact baseline on the BLAS tier (cosine_topk_blas): one vectorized
-    # map stage over the corpus + an O(batches × 64 × k) shuffle —
-    # neighbor sets are identical to the expression tier (pytest), and
-    # the eval stops paying 3 interpreted-HOF aggregates per pair.
-    exact = cosine_topk_blas(emb, queries_side, k=k).select(
-        F.col("query_id"), F.col("neighbor_id")
-    ).persist()
-    n_queries = exact.select("query_id").distinct().count()
+    emb, queries_side, exact, n_queries = _ann_eval_context(spark, sf, k=k)
 
     def recall_of(approx: DataFrame) -> float:
         hits = approx.select("query_id", "neighbor_id").join(
@@ -10327,28 +10336,17 @@ def q_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
     import math
 
     from etl_geotab_spark.operators.similarity import (
-        cosine_topk_blas,
         ivf_topk,
         lsh_bucketed_ann,
     )
 
-    emb = _t(spark, sf, "embeddings")
-    queries_side = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(64)
-        .repartition(8)
-    ).persist()
     k = 10
-    exact = (
-        cosine_topk_blas(emb, queries_side, k=k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.lit(k + 1) - F.col("rank")).cast("double").alias("rel"),
-        )
-        .persist()
+    emb, queries_side, base, n_queries = _ann_eval_context(spark, sf, k=k)
+    exact = base.select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(k + 1) - F.col("rank")).cast("double").alias("rel"),
     )
-    n_queries = exact.select("query_id").distinct().count()
     # ideal DCG is the same for every query: the exact top-k in order
     idcg = sum((k + 1 - i) / math.log2(i + 1) for i in range(1, k + 1))
 
@@ -10370,7 +10368,7 @@ def q_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
 
     lsh = ndcg_of(lsh_bucketed_ann(emb, queries_side, k=k, **_ANN_LSH))
     ivf = ndcg_of(ivf_topk(emb, queries_side, k=k, **_ANN_IVF))
-    exact.unpersist()
+    base.unpersist()
     queries_side.unpersist()
     return spark.createDataFrame(
         [("lsh", lsh, n_queries), ("ivf", ivf, n_queries)],
@@ -10386,16 +10384,19 @@ def q_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
     # still contribute their smoothed term.
     """
     WITH sides AS (
-      SELECT least(9, CAST(floor(value / 50.0) AS INT)) AS bucket,
+      SELECT greatest(0, least(9, CAST(floor(value / 50.0) AS INT)))
+               AS bucket,
              CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08'
                   THEN 'a' ELSE 'b' END AS side
       FROM events
+    ), agg AS (
+      SELECT bucket,
+             SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS nb
+      FROM sides GROUP BY bucket
     ), b AS (
-      SELECT i AS bucket,
-             coalesce(SUM(CASE WHEN side = 'a' THEN 1 END), 0) AS na,
-             coalesce(SUM(CASE WHEN side = 'b' THEN 1 END), 0) AS nb
-      FROM range(10) t(i) LEFT JOIN sides ON sides.bucket = t.i
-      GROUP BY i
+      SELECT i AS bucket, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+      FROM range(10) t(i) LEFT JOIN agg ON agg.bucket = t.i
     ), tot AS (
       SELECT SUM(na) AS ta, SUM(nb) AS tb FROM b
     ), terms AS (
@@ -10427,27 +10428,27 @@ def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     is aggregation-order-proof. One scan, one tiny aggregate."""
     e = _t(spark, sf, "events")
     sides = e.select(
-        F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")).alias(
-            "bucket"
-        ),
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")),
+        ).alias("bucket"),
         F.when(
             F.col("ts") < F.lit("2024-01-08").cast("timestamp"), "a"
         )
         .otherwise("b")
         .alias("side"),
     )
+    # aggregate FIRST (map-side combine to <=10 rows), then join the
+    # 10-row bucket frame — the fact table never moves through a join
+    agg = sides.groupBy("bucket").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("nb"),
+    )
     buckets = spark.range(10).select(F.col("id").cast("int").alias("i"))
-    b = (
-        buckets.join(sides, buckets.i == sides.bucket, "left")
-        .groupBy("i")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("side") == "a", 1)), F.lit(0)
-            ).alias("na"),
-            F.coalesce(
-                F.sum(F.when(F.col("side") == "b", 1)), F.lit(0)
-            ).alias("nb"),
-        )
+    b = buckets.join(agg, buckets.i == agg.bucket, "left").select(
+        "i",
+        F.coalesce(F.col("na"), F.lit(0)).alias("na"),
+        F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
     )
     w_all = Window.partitionBy(F.lit(1))
     t = b.select(
@@ -10523,10 +10524,11 @@ def q_hotspot_regions(spark: SparkSession, sf: str) -> DataFrame:
     integer DIV on the synthesized coordinates — no float near a cell
     boundary), keep cells above a density threshold, and merge
     8-neighbor-adjacent hot cells into REGIONS with connected
-    components (operators/clusters.py, third reuse). The adjacency
-    join stays an equi-width band join on the tiny hot-cell frame —
-    points are touched exactly once, in the counting pass; everything
-    after is metadata-scale. Output: one row per region with cell/
+    components (operators/clusters.py, third reuse). Adjacency is a
+    TRUE hash equi-join — each hot cell explodes to its 9 neighbor
+    coordinates and joins on (ix, iy) — so the pair stage never
+    nested-loops; points are touched exactly once, in the counting
+    pass; everything after is metadata-scale. Output: one row per region with cell/
     point counts and bounding box."""
     from etl_geotab_spark.operators.clusters import dedup_clusters
 
@@ -10554,17 +10556,31 @@ def q_hotspot_regions(spark: SparkSession, sf: str) -> DataFrame:
     hot = cells.crossJoin(broadcast(thr)).where(
         F.col("n_points") >= F.col("h")
     ).drop("h")
-    a = hot.alias("a")
-    b = hot.alias("b")
-    pairs = a.join(
-        b,
-        on=[
-            F.abs(F.col("a.ix") - F.col("b.ix")) <= 1,
-            F.abs(F.col("a.iy") - F.col("b.iy")) <= 1,
-            F.col("a.cell_id") < F.col("b.cell_id"),
-        ],
+    # adjacency as a TRUE equi-join: each hot cell explodes to its 9
+    # neighbor coordinates and hash-joins on (ix, iy) — never an
+    # abs-difference nested loop, so the pair stage scales as a hash
+    # join on the hot-cell frame
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = hot.select(
+        F.col("cell_id").alias("a_id"),
+        F.col("ix").alias("a_ix"),
+        F.col("iy").alias("a_iy"),
+        F.explode(offsets).alias("o"),
     ).select(
-        F.col("a.cell_id").alias("id_a"), F.col("b.cell_id").alias("id_b")
+        "a_id",
+        (F.col("a_ix") + F.col("o.dx")).alias("nx"),
+        (F.col("a_iy") + F.col("o.dy")).alias("ny"),
+    )
+    pairs = a.join(
+        hot, on=[a.nx == hot.ix, a.ny == hot.iy, a.a_id < hot.cell_id]
+    ).select(
+        F.col("a_id").alias("id_a"), F.col("cell_id").alias("id_b")
     )
     labeled = dedup_clusters(hot, pairs, "cell_id")
     return labeled.groupBy(F.col("component").alias("region")).agg(

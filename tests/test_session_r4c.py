@@ -625,14 +625,32 @@ def test_hotspot_regions_adjacency_and_counts(spark, sf_dir):
     region has at least one cell above threshold by construction."""
     rows = _q("hotspot_regions", spark, sf_dir).collect()
     assert rows
-    total_cells = sum(r.n_cells for r in rows)
     assert len({r.region for r in rows}) == len(rows)
     for r in rows:
         assert r.min_ix <= r.max_ix and r.min_iy <= r.max_iy
         assert r.n_cells >= 1 and r.n_points >= r.n_cells
         # bounding box can't exceed the merged-cell span
         assert (r.max_ix - r.min_ix + 1) * (r.max_iy - r.min_iy + 1) >= r.n_cells
-    assert total_cells == len(set().union(*[{(r.region, i)} for i, r in enumerate(rows)])) or total_cells >= len(rows)
+    # regions PARTITION the hot cells: per-region cell counts must sum
+    # to the independently recomputed hot-cell population
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    kcol = F.col("o_orderkey")
+    pts = o.select(
+        ((kcol * kcol) % 18000).alias("xi"),
+        (((kcol + 12345) * (kcol + 67890)) % 36000).alias("yi"),
+    )
+    n_orders = o.count()
+    thr = max(3, (2 * n_orders) // 1800)
+    n_hot = (
+        pts.select(
+            F.expr("xi DIV 600").alias("ix"), F.expr("yi DIV 600").alias("iy")
+        )
+        .groupBy("ix", "iy")
+        .count()
+        .where(F.col("count") >= thr)
+        .count()
+    )
+    assert sum(r.n_cells for r in rows) == n_hot
 
 
 def test_cusum_matches_python_recursion(spark, sf_dir):
