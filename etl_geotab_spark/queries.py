@@ -10729,3 +10729,97 @@ def q_boolean_retrieval(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("tf_join") > 0)
         & (F.col("tf_window") > 0)
     )
+
+
+@register(
+    "knn_accuracy",
+    # Exact-tier cosine (mirrored arithmetic) + deterministic majority
+    # vote: count votes per candidate label, rank by (votes DESC,
+    # label ASC) — fully oracle-checkable, unlike the ANN tiers.
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), scored AS (
+      SELECT q.query_id, q.true_label, c.label AS n_label,
+             list_sum(list_transform(list_zip(q.qe, c.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.qe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS sim,
+             c.vec_id AS n_id
+      FROM q, embeddings c WHERE c.vec_id != q.query_id
+    ), topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, n_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= 10
+    ), votes AS (
+      SELECT query_id, true_label, n_label, count(*) AS v
+      FROM topk GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT query_id, true_label, n_label AS pred_label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY v DESC, n_label) AS pr
+        FROM votes
+      ) WHERE pr = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(CAST(SUM(CASE WHEN pred_label = true_label
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pred
+    """,
+)
+def q_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN classification eval on the EXACT tier: each sampled
+    vector is classified by majority vote of its 10 nearest
+    neighbors' labels (deterministic tiebreak: most votes, then
+    smallest label) and scored against its true label — the
+    leave-one-out eval that tells you whether an embedding space
+    separates its classes before you spend a training run on it.
+    Broadcast query sample × streamed corpus (bounded, the
+    embedding_topk plan), one rank window, one vote aggregate.
+    Exact-tier arithmetic keeps the whole eval value-hash-checkable;
+    swap the candidate stream to LSH/IVF for the approximate version
+    and ndcg_eval/ann_recall_eval already price that substitution."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    c = emb.alias("c")
+    scored = c.join(broadcast(q), F.col("c.vec_id") != F.col("query_id")).select(
+        "query_id",
+        "true_label",
+        F.col("c.label").alias("n_label"),
+        cosine_similarity(F.col("qe"), F.col("c.embedding")).alias("sim"),
+        F.col("c.vec_id").alias("n_id"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), "n_id")
+    topk = scored.withColumn("rnk", F.row_number().over(w_rank)).where(
+        F.col("rnk") <= 10
+    )
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(F.desc("v"), "n_label")
+    pred = votes.withColumn("pr", F.row_number().over(w_vote)).where(
+        F.col("pr") == 1
+    )
+    correct = F.sum(
+        F.when(F.col("n_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return pred.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        correct.cast("bigint").alias("n_correct"),
+        F.round(
+            correct.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("accuracy"),
+    )

@@ -696,3 +696,15 @@ def test_boolean_retrieval_is_conjunctive(spark, sf_dir):
     assert {r.doc_id for r in rows} == expected
     for r in rows:
         assert r.tf_spark > 0 and r.tf_join > 0 and r.tf_window > 0
+
+
+def test_knn_accuracy_reconciles(spark, sf_dir):
+    """Accuracy = n_correct/n_queries; query count matches the
+    deterministic sample; accuracy in [0,1] and (labels being
+    cluster-correlated in the fixture) above chance for >1 label."""
+    r = _q("knn_accuracy", spark, sf_dir).collect()[0]
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_sample = emb.where(F.col("vec_id") % 100 == 0).count()
+    assert r.n_queries == n_sample
+    assert 0 <= r.n_correct <= r.n_queries
+    assert abs(r.accuracy - round(r.n_correct / r.n_queries, 6)) <= 1e-9

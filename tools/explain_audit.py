@@ -57,6 +57,7 @@ ALLOW_NESTED_LOOP = {
     "logodds_terms",        # 1-row corpus-totals scalar × per-term counts
     "contrastive_pairs",    # bounded anchor broadcast × corpus (exact tier)
     "hotspot_regions",      # 1-row density-threshold scalar × cell counts
+    "knn_accuracy",         # bounded query-sample broadcast × corpus (exact tier)
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -168,6 +169,7 @@ EXPECT_CONTAINS = {
     "hotspot_regions": [("partial_",)],
     "cusum_changepoint": [("partial_",), ("ObjectHashAggregate", "SortAggregate", "partial_")],
     "boolean_retrieval": [("Project",), ("Filter", "PushedFilters")],
+    "knn_accuracy": [("partial_",), ("Window",)],
     "contrastive_pairs": [
         ("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
         ("Window",),
