@@ -10823,3 +10823,257 @@ def q_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
             correct.cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("accuracy"),
     )
+
+
+@register(
+    "rolling_active_users",
+    # COUNT DISTINCT over a sliding window has no window-function
+    # form — each (user, active-day) pair instead FANS OUT to the 7
+    # report days it supports, and a plain hash aggregate counts
+    # distinct users per report day. Integer day arithmetic.
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), fanout AS (
+      SELECT user_id, d + CAST(i AS INT) AS report_day
+      FROM active, range(7) t(i)
+    ), span AS (
+      SELECT min(d) AS lo, max(d) AS hi FROM active
+    )
+    SELECT report_day,
+           count(DISTINCT user_id) AS wau
+    FROM fanout, span
+    WHERE report_day BETWEEN lo AND hi
+    GROUP BY report_day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day active users (WAU per day) — the engagement
+    metric every product dashboard leads with, and a sliding COUNT
+    DISTINCT, which window functions cannot express. The scalable
+    form: dedup to (user, active-day) pairs once, fan each pair out
+    to the ≤7 report days it supports (map-side explode, bounded
+    7×), and run ONE distinct-count hash aggregate per report day —
+    no per-day self-joins, no 7-day range join. At 100 TB the fanout
+    is still 7× the DISTINCT pair count (tiny next to raw events),
+    and the same plan computes MAU with a 30-day fanout."""
+    e = _t(spark, sf, "events")
+    active = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    fanout = active.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("report_day"))
+    w_all = Window.partitionBy(F.lit(1))
+    span = active.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    return (
+        fanout.crossJoin(broadcast(span))
+        .where(F.col("report_day").between(F.col("lo"), F.col("hi")))
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+@register(
+    "winsorized_stats",
+    # Exact p5/p95 boundaries (linear interpolation — proven
+    # cross-engine in percentiles/rolling_p95); capped values cast to
+    # decimal PER VALUE before summing, so the reduction is exact.
+    """
+    WITH bounds AS (
+      SELECT quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events
+    ), capped AS (
+      SELECT event_type, value,
+             least(greatest(value, lo), hi) AS w
+      FROM events, bounds
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS raw_sum,
+           CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS winsorized_sum,
+           CAST(SUM(CASE WHEN w <> value THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped
+    FROM capped GROUP BY event_type
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorization — the robust-preprocessing step before means and
+    regressions: clamp values to the exact [p5, p95] corpus
+    percentiles and report per-type raw vs winsorized sums plus how
+    many rows were capped. The percentile boundaries are ONE 1-row
+    frame broadcast back over the scan (the mad_outliers scalar
+    pattern); capped doubles cast to decimal per value before
+    summation so aggregation order cannot move the result. The
+    before/after delta IS the outlier influence a downstream model
+    would have absorbed."""
+    e = _t(spark, sf, "events")
+    bounds = e.agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    capped = e.crossJoin(broadcast(bounds)).select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "w"
+        ),
+    )
+    return capped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "raw_sum"
+        ),
+        F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias(
+            "winsorized_sum"
+        ),
+        F.sum(F.when(F.col("w") != F.col("value"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_capped"),
+    )
+
+
+@register(
+    "dedup_keep_best",
+    # Same recursive-closure oracle as dedup_clusters, but the
+    # canonical pick is quality-ranked: argmax (n_chars, min doc_id)
+    # within each component instead of min id.
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '),
+                                 x -> x != '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
+                                   for i in generate_series(1, len(tk) - 2)]))
+               AS gram
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), shared AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS shared
+      FROM grams l JOIN grams r ON l.gram = r.gram AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE)
+            / CAST(sa.n_grams + sb.n_grams - shared AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ), comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ), labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rk
+      FROM labeled
+    )
+    SELECT doc_id, component, n_chars, rk = 1 AS keep
+    FROM ranked
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """X1 quality-aware dedup: the same near-dup clusters as
+    dedup_clusters, but the survivor of each cluster is the BEST
+    document (longest, ties to smallest id) instead of the smallest
+    id — the policy real corpus dedup runs, because min-id keeps an
+    arbitrary copy while keep-best keeps the most complete one. One
+    extra rank window over the labeled frame is the entire cost
+    delta; the closure itself is unchanged (clusters operator, fourth
+    reuse)."""
+    from etl_geotab_spark.operators.clusters import dedup_clusters
+
+    d = _spread(_t(spark, sf, "documents"))
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=1_000_000
+    )
+    labeled = dedup_clusters(
+        d.select("doc_id", "n_chars"), pairs, "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return labeled.select(
+        "doc_id",
+        "component",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+@register("holt_forecast", None)  # sequential recursion over two
+# coupled states — Spark-side JVM fold; gated by a Python replay test
+# (the DuckDB in-place struct-fold quirk makes a faithful two-field
+# recursive oracle more fragile than the pytest replay)
+def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double-exponential smoothing per event type (level +
+    trend, α=0.3 β=0.1) with a 7-day-ahead forecast — forecasting
+    family II beside forecast_revenue's regression fit: Holt adapts
+    to recent level shifts that a global fit averages away. Another
+    member of the sequential-recursion class (EWMA, CUSUM): two
+    coupled states folded JVM-side over the per-type day array from
+    ONE aggregate; the new-level expression is inlined into the trend
+    update so every field reads only PRE-step state (pure functional
+    fold). Bounded by the observation span per key."""
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "x"))),
+            lambda p: p["x"],
+        ).alias("xs")
+    )
+    alpha, beta = 0.3, 0.1
+
+    def new_level(acc, x):
+        return F.lit(alpha) * x + F.lit(1.0 - alpha) * (acc["l"] + acc["b"])
+
+    folded = series.select(
+        "event_type",
+        F.size("xs").alias("n_days"),
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.size("xs") - 1),
+            F.struct(
+                F.element_at(F.col("xs"), 1).alias("l"),
+                F.lit(0.0).alias("b"),
+            ),
+            lambda acc, x: F.struct(
+                new_level(acc, x).alias("l"),
+                (
+                    F.lit(beta) * (new_level(acc, x) - acc["l"])
+                    + F.lit(1.0 - beta) * acc["b"]
+                ).alias("b"),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.lit(7.0) * F.col("st.b"), 6).alias(
+            "forecast_7d"
+        ),
+    )

@@ -708,3 +708,86 @@ def test_knn_accuracy_reconciles(spark, sf_dir):
     assert r.n_queries == n_sample
     assert 0 <= r.n_correct <= r.n_queries
     assert abs(r.accuracy - round(r.n_correct / r.n_queries, 6)) <= 1e-9
+
+
+def test_holt_matches_python_recursion(spark, sf_dir):
+    """The JVM fold reproduces the Holt level/trend recursion exactly
+    (alpha=0.3, beta=0.1, l1=x1, b1=0) computed in plain Python."""
+    rows = {r.event_type: r for r in _q("holt_forecast", spark, sf_dir).collect()}
+    from collections import defaultdict
+    from decimal import Decimal
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d"), "value"
+    ).collect()
+    acc = defaultdict(lambda: defaultdict(Decimal))
+    for r in e:
+        if r.value is not None:
+            acc[r.event_type][r.d] += Decimal(str(round(r.value, 6)))
+    for t, daymap in acc.items():
+        xs = [float(daymap[d]) for d in sorted(daymap)]
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            nl = 0.3 * x + 0.7 * (l + b)
+            b = 0.1 * (nl - l) + 0.9 * b
+            l = nl
+        got = rows[t]
+        assert got.n_days == len(xs)
+        assert abs(got.level - round(l, 6)) <= 1e-4
+        assert abs(got.trend - round(b, 6)) <= 1e-4
+        assert abs(got.forecast_7d - round(l + 7.0 * b, 6)) <= 1e-3
+
+
+def test_rolling_wau_brute_force(spark, sf_dir):
+    """Each report day's WAU equals the brute-force distinct count of
+    users active in its trailing 7 days."""
+    rows = {r.report_day: r.wau for r in _q("rolling_active_users", spark, sf_dir).collect()}
+    from collections import defaultdict
+    from datetime import timedelta
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct().collect()
+    by_day = defaultdict(set)
+    for r in e:
+        by_day[r.d].add(r.user_id)
+    days = sorted(by_day)
+    for rd, wau in rows.items():
+        users = set()
+        for back in range(7):
+            users |= by_day.get(rd - timedelta(days=back), set())
+        assert wau == len(users)
+    assert set(rows) == {d for d in days}  # span filter keeps observed days
+    # plus interior days with no direct activity still covered by fanout
+    assert min(rows) == min(days) and max(rows) == max(days)
+
+
+def test_winsorize_bounds_and_counts(spark, sf_dir):
+    """Winsorized sum moves toward the center (|w_sum| <= coverage
+    bound), capped counts match the exact percentile boundaries."""
+    rows = _q("winsorized_stats", spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    import numpy as np
+
+    vals = np.array([r.value for r in e.select("value").collect()])
+    lo, hi = np.percentile(vals, 5), np.percentile(vals, 95)
+    capped_expected = int(((vals < lo) | (vals > hi)).sum())
+    assert sum(r.n_capped for r in rows) == capped_expected
+    for r in rows:
+        assert r.n_capped <= r.n
+
+
+def test_dedup_keep_best_policy(spark, sf_dir):
+    """Exactly one keeper per component, and the keeper has the max
+    n_chars (ties to smallest doc_id) within its component."""
+    rows = _q("dedup_keep_best", spark, sf_dir).collect()
+    from collections import defaultdict
+
+    comps = defaultdict(list)
+    for r in rows:
+        comps[r.component].append(r)
+    for c, members in comps.items():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1
+        best = min(members, key=lambda m: (-m.n_chars, m.doc_id))
+        assert keepers[0].doc_id == best.doc_id

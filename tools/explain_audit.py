@@ -58,6 +58,8 @@ ALLOW_NESTED_LOOP = {
     "contrastive_pairs",    # bounded anchor broadcast × corpus (exact tier)
     "hotspot_regions",      # 1-row density-threshold scalar × cell counts
     "knn_accuracy",         # bounded query-sample broadcast × corpus (exact tier)
+    "rolling_active_users", # 1-row span scalar × fanout rows
+    "winsorized_stats",     # 1-row percentile-bounds scalar × events
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -170,6 +172,13 @@ EXPECT_CONTAINS = {
     "cusum_changepoint": [("partial_",), ("ObjectHashAggregate", "SortAggregate", "partial_")],
     "boolean_retrieval": [("Project",), ("Filter", "PushedFilters")],
     "knn_accuracy": [("partial_",), ("Window",)],
+    "rolling_active_users": [("partial_",), ("Explode", "Generate")],
+    "winsorized_stats": [("partial_",)],
+    # CC output is a localCheckpoint scan — only the rank window shows
+    "dedup_keep_best": [("Window",)],
+    "holt_forecast": [
+        ("partial_", "ObjectHashAggregate", "SortAggregate"),
+    ],
     "contrastive_pairs": [
         ("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
         ("Window",),
