@@ -11077,3 +11077,150 @@ def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
             "forecast_7d"
         ),
     )
+
+
+@register(
+    "cohens_kappa",
+    # pred_lang CTE is the text_quality oracle's (hash-green) heuristic
+    # language ID; all kappa inputs are integer counts, doubles only
+    # in the final three ratios.
+    """
+    WITH t AS (
+      SELECT lang, text,
+             list_filter(string_split(lower(trim(text)), ' '), x -> x != '')
+               AS tk
+      FROM documents
+    ), s AS (
+      SELECT lang, text, tk,
+        CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sc_en,
+        CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','los','se','del'], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sc_es,
+        CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains(['le','la','de','et','les','des','en','un','du','une'], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sc_fr,
+        CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> list_contains(['der','die','und','das','von','zu','den','mit','ist','im'], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) ELSE 0.0 END AS sc_de
+      FROM t
+    ), p AS (
+      SELECT lang,
+        CASE WHEN sc_en >= sc_es AND sc_en >= sc_fr AND sc_en >= sc_de AND sc_en > 0 THEN 'en'
+             WHEN sc_es >= sc_fr AND sc_es >= sc_de AND sc_es > 0 THEN 'es'
+             WHEN sc_fr >= sc_de AND sc_fr > 0 THEN 'fr'
+             WHEN sc_de > 0 THEN 'de'
+             ELSE 'und' END AS pred
+      FROM s
+    ), ag AS (
+      SELECT count(*) AS n,
+             SUM(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS agree
+      FROM p
+    ), tc AS (
+      SELECT lang AS lbl, count(*) AS tn FROM p GROUP BY 1
+    ), pc AS (
+      SELECT pred AS lbl, count(*) AS pn FROM p GROUP BY 1
+    ), ex AS (
+      SELECT coalesce(SUM(tn * pn), 0) AS x FROM tc JOIN pc USING (lbl)
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           round(CAST(x AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+           round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(x AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - CAST(x AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+                 6) AS kappa
+    FROM ag, ex
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-rater agreement: Cohen's kappa between the heuristic
+    language ID (functions/text.predict_language) and the labeled
+    lang column — chance-corrected agreement, the honest version of
+    raw accuracy when class priors are skewed (an always-'en'
+    classifier scores high po here but kappa exposes it). Every input
+    is an integer count (observed agreement + marginal products);
+    doubles appear only in the final po/pe/kappa ratios. One scan,
+    three tiny aggregates, two 1-row scalar crosses."""
+    d = _t(spark, sf, "documents")
+    p = d.select("lang", predict_language(F.col("text")).alias("pred"))
+    ag = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("pred"), 1).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    tc = p.groupBy(F.col("lang").alias("lbl")).agg(
+        F.count(F.lit(1)).alias("tn")
+    )
+    pc = p.groupBy(F.col("pred").alias("lbl")).agg(
+        F.count(F.lit(1)).alias("pn")
+    )
+    ex = (
+        tc.join(pc, "lbl")
+        .agg(F.coalesce(F.sum(F.col("tn") * F.col("pn")), F.lit(0)).alias("x"))
+    )
+    j = ag.crossJoin(broadcast(ex))
+    nd = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / nd
+    pe = F.col("x").cast("double") / (nd * nd)
+    return j.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+@register(
+    "keyset_pagination",
+    # Cursor = the 40th row in (o_totalprice DESC, o_orderkey) order;
+    # the page is the next 20 rows via tuple comparison — no OFFSET.
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rn
+      FROM orders
+    ), cursor AS (
+      SELECT o_totalprice AS cp, o_orderkey AS ck FROM ranked WHERE rn = 40
+    )
+    SELECT o_orderkey, o_totalprice
+    FROM orders, cursor
+    WHERE o_totalprice < cp
+       OR (o_totalprice = cp AND o_orderkey > ck)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_keyset_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyset (cursor) pagination — the scale-correct page-N query:
+    OFFSET 40 scans and discards 40 rows (and at page 10⁶, 10⁶ rows);
+    the keyset form seeks past the cursor with a sortable tuple
+    predicate and reads ONE page. Plan: the cursor is a bounded
+    top-40 (TakeOrderedAndProject, never a global sort) reduced to a
+    1-row broadcast; the page fetch is another TakeOrdered over the
+    tuple-filtered scan — both stages are top-k, so cost is
+    page-sized at any table size. Tuple comparison mirrors the ORDER
+    BY exactly (price DESC ⇒ '<', then key ASC ⇒ '>'), the invariant
+    every cursor API has to get right."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    cursor = (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(40)
+        .orderBy("o_totalprice", F.desc("o_orderkey"))
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("cp"), F.col("o_orderkey").alias("ck")
+        )
+    )
+    page = (
+        o.crossJoin(broadcast(cursor))
+        .where(
+            (F.col("o_totalprice") < F.col("cp"))
+            | (
+                (F.col("o_totalprice") == F.col("cp"))
+                & (F.col("o_orderkey") > F.col("ck"))
+            )
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return page

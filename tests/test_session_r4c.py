@@ -791,3 +791,38 @@ def test_dedup_keep_best_policy(spark, sf_dir):
         assert len(keepers) == 1
         best = min(members, key=lambda m: (-m.n_chars, m.doc_id))
         assert keepers[0].doc_id == best.doc_id
+
+
+def test_cohens_kappa_confusion_reconstruction(spark, sf_dir):
+    """po/pe/kappa recompute exactly from a driver-side confusion
+    matrix built with the same predictor."""
+    from etl_geotab_spark.functions.text import predict_language
+
+    r = _q("cohens_kappa", spark, sf_dir).collect()[0]
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", predict_language(F.col("text")).alias("pred")
+    ).collect()
+    n = len(d)
+    agree = sum(1 for x in d if x.lang == x.pred)
+    from collections import Counter
+
+    tc, pc = Counter(x.lang for x in d), Counter(x.pred for x in d)
+    pe_num = sum(tc[k] * pc.get(k, 0) for k in tc)
+    po, pe = agree / n, pe_num / (n * n)
+    assert r.n_docs == n
+    assert abs(r.po - round(po, 6)) <= 1e-9
+    assert abs(r.pe - round(pe, 6)) <= 1e-9
+    assert abs(r.kappa - round((po - pe) / (1 - pe), 6)) <= 1e-9
+
+
+def test_keyset_page_equals_offset_page(spark, sf_dir):
+    """The keyset page equals rows 41-60 of the global ordering (the
+    OFFSET-form ground truth), proving the tuple predicate matches
+    the sort order."""
+    rows = _q("keyset_pagination", spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    ordered = sorted(o, key=lambda r: (-r.o_totalprice, r.o_orderkey))
+    expected = [(r.o_orderkey, r.o_totalprice) for r in ordered[40:60]]
+    assert [(r.o_orderkey, r.o_totalprice) for r in rows] == expected

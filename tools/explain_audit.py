@@ -60,6 +60,8 @@ ALLOW_NESTED_LOOP = {
     "knn_accuracy",         # bounded query-sample broadcast × corpus (exact tier)
     "rolling_active_users", # 1-row span scalar × fanout rows
     "winsorized_stats",     # 1-row percentile-bounds scalar × events
+    "cohens_kappa",         # 1-row agreement scalar × 1-row marginal product
+    "keyset_pagination",    # 1-row cursor scalar × orders scan (both TakeOrdered)
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -179,6 +181,8 @@ EXPECT_CONTAINS = {
     "holt_forecast": [
         ("partial_", "ObjectHashAggregate", "SortAggregate"),
     ],
+    "cohens_kappa": [("partial_",)],
+    "keyset_pagination": [("TakeOrderedAndProject",)],
     "contrastive_pairs": [
         ("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
         ("Window",),
