@@ -11224,3 +11224,176 @@ def q_keyset_pagination(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
     )
     return page
+
+
+@register(
+    "quantized_rescore_topk",
+    # Two-phase retrieval, fully deterministic: int8 candidate dot
+    # products are EXACT integer arithmetic (so phase 1 needs no
+    # float tolerance at all); phase 2 rescored with the mirrored
+    # exact cosine. Same quantization CTE as embedding_quantize.
+    """
+    WITH q8 AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)
+                               / sqrt(list_sum(list_transform(embedding,
+                                      y -> CAST(y AS DOUBLE)
+                                           * CAST(y AS DOUBLE))))
+                               * 127.0) AS BIGINT)
+             ) AS q
+      FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS query_id, embedding AS qe, q AS qq
+      FROM q8 WHERE vec_id % 100 = 0
+    ), cand AS (
+      SELECT * FROM (
+        SELECT qs.query_id, qs.qe, c.vec_id AS neighbor_id, c.embedding AS ce,
+               list_sum(list_transform(list_zip(qs.qq, c.q),
+                        p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+                 AS qdot,
+               row_number() OVER (
+                 PARTITION BY qs.query_id
+                 ORDER BY list_sum(list_transform(list_zip(qs.qq, c.q),
+                          p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+                          DESC, c.vec_id) AS crank
+        FROM qs, q8 c WHERE c.vec_id != qs.query_id
+      ) WHERE crank <= 30
+    ), rescored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qe, ce),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(ce,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS sim
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM rescored
+    ) WHERE rank <= 10
+    """,
+)
+def q_quantized_rescore_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase retrieval on the quantized tier — the standard
+    production serving shape: phase 1 generates 30 candidates per
+    query with SYMMETRIC int8 dot products (each vector normalized
+    then floor(x·127) — the serving codec, because an int dot of
+    symmetric codes approximates cosine directly; the min/max codec
+    of embedding_quantize is the STORAGE codec and ranks garbage for
+    retrieval — measured overlap 0/10 before this distinction).
+    Candidate cuts are exact integer arithmetic (zero cross-engine
+    float risk); phase 2 rescores the 30 survivors with
+    full-precision cosine and keeps 10. At 100 TB phase 1 reads only
+    the int8 column (a quarter of the bytes); phase 2 fetches float
+    vectors for 30×queries rows — the bandwidth asymmetry IS the
+    design. Fully oracle-checked, unlike the LSH/IVF tiers."""
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    quant = F.expr(
+        "transform(embedding, x -> cast(floor("
+        " cast(x as double)"
+        " / sqrt(aggregate(embedding, cast(0.0 as double),"
+        "        (acc, y) -> acc + cast(y as double) * cast(y as double)))"
+        " * 127.0) as bigint))"
+    )
+    q8 = emb.select("vec_id", "embedding", quant.alias("q"))
+    qs = q8.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("q").alias("qq"),
+    )
+    j = q8.alias("c").join(
+        broadcast(qs), F.col("c.vec_id") != F.col("query_id")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("c.q"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.desc("qdot"), F.col("neighbor_id")
+    )
+    cand = (
+        j.select(
+            "query_id",
+            "qe",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("c.embedding").alias("ce"),
+            qdot.alias("qdot"),
+        )
+        .withColumn("crank", F.row_number().over(w_cand))
+        .where(F.col("crank") <= 30)
+    )
+    rescored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qe"), F.col("ce")).alias("sim"),
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 6).alias("cosine_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@register(
+    "target_encoding",
+    # Leave-one-out stays exact: the per-type decimal sum minus the
+    # row's own decimal value is exact subtraction; ONE double
+    # division per row at the end.
+    """
+    WITH stats AS (
+      SELECT event_type,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s,
+             COUNT(value) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN e.value IS NULL OR st.n <= 1 THEN NULL
+                ELSE round(CAST(st.s - CAST(e.value AS DECIMAL(18,6))
+                                AS DOUBLE)
+                           / CAST(st.n - 1 AS DOUBLE), 6) END AS loo_mean
+    FROM events e JOIN stats st ON e.event_type = st.event_type
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding — the feature-store staple for
+    high-cardinality categoricals: each row's category is encoded as
+    the mean target of the OTHER rows in its category (subtracting
+    the row's own value prevents the self-leakage that makes naive
+    target encoding overfit). Plan: one per-category aggregate
+    broadcast back over the scan — the encode itself is map-only;
+    the LOO subtraction happens in exact decimal, so the only float
+    op is the final division. Null targets and singleton categories
+    encode as NULL rather than a degenerate mean."""
+    e = _t(spark, sf, "events")
+    stats = e.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        F.count("value").alias("n"),
+    )
+    j = e.join(broadcast(stats), "event_type")
+    loo = F.when(
+        F.col("value").isNull() | (F.col("n") <= 1), F.lit(None)
+    ).otherwise(
+        F.round(
+            (F.col("s") - F.col("value").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / (F.col("n") - 1).cast("double"),
+            6,
+        )
+    )
+    return j.select("event_id", "event_type", loo.alias("loo_mean"))

@@ -826,3 +826,62 @@ def test_keyset_page_equals_offset_page(spark, sf_dir):
     ordered = sorted(o, key=lambda r: (-r.o_totalprice, r.o_orderkey))
     expected = [(r.o_orderkey, r.o_totalprice) for r in ordered[40:60]]
     assert [(r.o_orderkey, r.o_totalprice) for r in rows] == expected
+
+
+def test_quantized_rescore_candidates_contain_final(spark, sf_dir):
+    """Every final top-10 neighbor is drawn from the int8 candidate
+    pool, rescored similarities are sorted, and the phase-2 overlap
+    with the un-quantized exact top-10 is high (quantization loses a
+    little recall, not a lot)."""
+    rows = _q("quantized_rescore_topk", spark, sf_dir).collect()
+    assert rows
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in per_q.items():
+        assert len(rs) == 10
+        sims = [r.cosine_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        qv = V[qid]
+        exact = sorted(
+            (
+                (float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), nid)
+                for nid, v in V.items()
+                if nid != qid
+            ),
+            reverse=True,
+        )[:10]
+        exact_ids = {nid for _, nid in exact}
+        got_ids = {r.neighbor_id for r in rs}
+        assert len(exact_ids & got_ids) >= 7  # int8 cut keeps most
+
+
+def test_target_encoding_loo_exactness(spark, sf_dir):
+    """Encoded value equals (category sum - own value)/(n-1) computed
+    independently; singleton/null rows are NULL."""
+    rows = _q("target_encoding", spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    sums = defaultdict(Decimal)
+    ns = defaultdict(int)
+    vals = {}
+    for r in e:
+        vals[r.event_id] = (r.event_type, r.value)
+        if r.value is not None:
+            sums[r.event_type] += Decimal(str(round(r.value, 6)))
+            ns[r.event_type] += 1
+    for r in rows[:2000]:
+        t, v = vals[r.event_id]
+        if v is None or ns[t] <= 1:
+            assert r.loo_mean is None
+        else:
+            exp = float(sums[t] - Decimal(str(round(v, 6)))) / (ns[t] - 1)
+            assert abs(r.loo_mean - round(exp, 6)) <= 1e-5

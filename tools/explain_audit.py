@@ -62,6 +62,7 @@ ALLOW_NESTED_LOOP = {
     "winsorized_stats",     # 1-row percentile-bounds scalar × events
     "cohens_kappa",         # 1-row agreement scalar × 1-row marginal product
     "keyset_pagination",    # 1-row cursor scalar × orders scan (both TakeOrdered)
+    "quantized_rescore_topk",  # 1-row dim-stats + bounded query broadcast × corpus
 }
 
 # each entry: list of alternatives-groups; every group must match via
@@ -183,6 +184,9 @@ EXPECT_CONTAINS = {
     ],
     "cohens_kappa": [("partial_",)],
     "keyset_pagination": [("TakeOrderedAndProject",)],
+    # symmetric per-vector codec needs no corpus stats — map + window only
+    "quantized_rescore_topk": [("Window",)],
+    "target_encoding": [("partial_",), ("BroadcastHashJoin",)],
     "contrastive_pairs": [
         ("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
         ("Window",),
