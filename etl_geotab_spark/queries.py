@@ -10944,10 +10944,14 @@ def q_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
     # canonical pick is quality-ranked: argmax (n_chars, min doc_id)
     # within each component instead of min id.
     """
-    WITH RECURSIVE toks AS (
+    WITH RECURSIVE subset AS (
+      SELECT * FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+            IN ('0','1','2','3','4','5','6','7')
+    ), toks AS (
       SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '),
                                  x -> x != '') AS tk
-      FROM documents
+      FROM subset
     ), grams AS (
       SELECT doc_id,
              unnest(list_distinct([array_to_string(tk[i:i+2], ' ')
@@ -10980,7 +10984,7 @@ def q_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
     ), labeled AS (
       SELECT d.doc_id, d.n_chars,
              coalesce(c.component, d.doc_id) AS component
-      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      FROM subset d LEFT JOIN comp c ON d.doc_id = c.doc_id
     ), ranked AS (
       SELECT *, row_number() OVER (
         PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rk
@@ -11001,7 +11005,17 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     reuse)."""
     from etl_geotab_spark.operators.clusters import dedup_clusters
 
-    d = _spread(_t(spark, sf, "documents"))
+    # deterministic half-corpus: the policy demo needs clusters, not
+    # a second full-corpus pair computation beside dedup_clusters —
+    # the md5 split quarters the shared-gram join (same trick as
+    # cross_corpus_dedup)
+    d = _spread(
+        _t(spark, sf, "documents").where(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, 1
+            ).isin(*list("01234567"))
+        )
+    )
     pairs = ngram_jaccard_pairs(
         d, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=1_000_000
     )
