@@ -86,6 +86,13 @@ def register(name: str, oracle: str | None):
 # round 3). Low-risk pure-expression r02 queries are deferred past the
 # cutoff; any spare window slots fall to the r01-era expression set
 # (three rounds stale) via registration order.
+# ROUND-5 ROTATION TODO: every query registered after the round-4a
+# additions (roughly semdedup_buckets onward through forecast_backtest
+# — the 4b/4c/closing batches) is locally oracle-green but has NEVER
+# held a driver CORRECTNESS row; at round-5 start, move the
+# oracle-paired members of that set into this list's head (rows-only
+# members add least — leave them past the cutoff) and demote the
+# r04-checked set to the refresh tiers below.
 _ROUND_NEW: list[str] = [
     "geotab_connector_pipeline",
     "pricing_summary",
@@ -11411,3 +11418,81 @@ def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return j.select("event_id", "event_type", loo.alias("loo_mean"))
+
+
+@register("forecast_backtest", None)  # sequential-recursion family →
+# rows-only; Python replay test pins train/forecast/error math
+def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-origin forecast evaluation — the backtest that decides
+    whether a forecaster earns production: per event type, fit Holt
+    (α=0.3, β=0.1) on the first 23 days, forecast the final 7, and
+    report MAE against actuals beside the last-value NAIVE baseline;
+    skill = 1 − mae_holt/mae_naive (>0 ⇒ the model beats persistence,
+    the bar every forecast must clear). The fold, the 7 projections,
+    and both error sums run JVM-side over ONE aggregate's day array —
+    the eval costs the same single pass the forecast itself costs.
+    Completes the forecast family: forecast_revenue (global fit),
+    holt_forecast (adaptive), this (evidence)."""
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "x"))),
+            lambda p: p["x"],
+        ).alias("xs")
+    ).where(F.size("xs") >= 10)
+    alpha, beta = 0.3, 0.1
+    h = 7
+    train = F.slice(F.col("xs"), 1, F.size("xs") - h)
+    test = F.slice(F.col("xs"), F.size("xs") - h + 1, h)
+
+    def new_level(acc, x):
+        return F.lit(alpha) * x + F.lit(1.0 - alpha) * (acc["l"] + acc["b"])
+
+    st = F.aggregate(
+        F.slice(train, 2, F.size(train) - 1),
+        F.struct(F.element_at(train, 1).alias("l"), F.lit(0.0).alias("b")),
+        lambda acc, x: F.struct(
+            new_level(acc, x).alias("l"),
+            (
+                F.lit(beta) * (new_level(acc, x) - acc["l"])
+                + F.lit(1.0 - beta) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    frame = series.select(
+        "event_type",
+        F.size("xs").alias("n_days"),
+        test.alias("test"),
+        st.alias("st"),
+        F.element_at(train, -1).alias("last_train"),
+    )
+    # MAE of h-step Holt projections vs actuals; naive = last train value
+    idx = F.sequence(F.lit(1), F.lit(h))
+    holt_err = F.aggregate(
+        F.zip_with(
+            idx,
+            F.col("test"),
+            lambda i, y: F.abs(
+                (F.col("st.l") + i.cast("double") * F.col("st.b")) - y
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(h))
+    naive_err = F.aggregate(
+        F.transform(F.col("test"), lambda y: F.abs(F.col("last_train") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(h))
+    return frame.select(
+        "event_type",
+        "n_days",
+        F.round(holt_err, 6).alias("mae_holt"),
+        F.round(naive_err, 6).alias("mae_naive"),
+        F.round(F.lit(1.0) - holt_err / naive_err, 6).alias("skill"),
+    )

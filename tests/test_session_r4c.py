@@ -885,3 +885,36 @@ def test_target_encoding_loo_exactness(spark, sf_dir):
         else:
             exp = float(sums[t] - Decimal(str(round(v, 6)))) / (ns[t] - 1)
             assert abs(r.loo_mean - round(exp, 6)) <= 1e-5
+
+
+def test_forecast_backtest_replay(spark, sf_dir):
+    """Train/test split, Holt fit, projections, and both MAEs replay
+    exactly in Python; skill reconciles with the two MAEs."""
+    rows = {r.event_type: r for r in _q("forecast_backtest", spark, sf_dir).collect()}
+    from collections import defaultdict
+    from decimal import Decimal
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d"), "value"
+    ).collect()
+    acc = defaultdict(lambda: defaultdict(Decimal))
+    for r in e:
+        if r.value is not None:
+            acc[r.event_type][r.d] += Decimal(str(round(r.value, 6)))
+    for t, daymap in acc.items():
+        xs = [float(daymap[d]) for d in sorted(daymap)]
+        if len(xs) < 10:
+            assert t not in rows
+            continue
+        train, test = xs[:-7], xs[-7:]
+        l, b = train[0], 0.0
+        for x in train[1:]:
+            nl = 0.3 * x + 0.7 * (l + b)
+            b = 0.1 * (nl - l) + 0.9 * b
+            l = nl
+        mae_h = sum(abs((l + i * b) - y) for i, y in enumerate(test, 1)) / 7.0
+        mae_n = sum(abs(train[-1] - y) for y in test) / 7.0
+        got = rows[t]
+        assert abs(got.mae_holt - round(mae_h, 6)) <= 1e-3
+        assert abs(got.mae_naive - round(mae_n, 6)) <= 1e-3
+        assert abs(got.skill - round(1.0 - mae_h / mae_n, 6)) <= 1e-3

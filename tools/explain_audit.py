@@ -186,6 +186,9 @@ EXPECT_CONTAINS = {
     "keyset_pagination": [("TakeOrderedAndProject",)],
     # symmetric per-vector codec needs no corpus stats — map + window only
     "quantized_rescore_topk": [("Window",)],
+    "forecast_backtest": [
+        ("partial_", "ObjectHashAggregate", "SortAggregate"),
+    ],
     "target_encoding": [("partial_",), ("BroadcastHashJoin",)],
     "contrastive_pairs": [
         ("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
