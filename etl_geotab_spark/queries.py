@@ -10873,7 +10873,6 @@ def q_rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
         "d",
     ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("report_day"))
-    w_all = Window.partitionBy(F.lit(1))
     span = active.agg(
         F.min("d").alias("lo"), F.max("d").alias("hi")
     )
@@ -10891,14 +10890,16 @@ def q_rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
     # cross-engine in percentiles/rolling_p95); capped values cast to
     # decimal PER VALUE before summing, so the reduction is exact.
     """
-    WITH bounds AS (
+    WITH vals AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), bounds AS (
       SELECT quantile_cont(value, 0.05) AS lo,
              quantile_cont(value, 0.95) AS hi
-      FROM events
+      FROM vals
     ), capped AS (
       SELECT event_type, value,
              least(greatest(value, lo), hi) AS w
-      FROM events, bounds
+      FROM vals, bounds
     )
     SELECT event_type,
            count(*) AS n,
@@ -10919,7 +10920,10 @@ def q_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
     summation so aggregation order cannot move the result. The
     before/after delta IS the outlier influence a downstream model
     would have absorbed."""
-    e = _t(spark, sf, "events")
+    # NULL values drop up front: greatest/least SKIP nulls on both
+    # engines, so a null row would silently clamp to the p5 bound and
+    # inflate the winsorized sum while the raw sum ignored it
+    e = _t(spark, sf, "events").where(F.col("value").isNotNull())
     bounds = e.agg(
         F.expr("percentile(value, 0.05)").alias("lo"),
         F.expr("percentile(value, 0.95)").alias("hi"),
@@ -11054,7 +11058,9 @@ def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     ONE aggregate; the new-level expression is inlined into the trend
     update so every field reads only PRE-step state (pure functional
     fold). Bounded by the observation span per key."""
-    e = _t(spark, sf, "events")
+    # null-valued events drop BEFORE the daily sum: an all-null day
+    # would otherwise inject a NULL element that poisons the fold
+    e = _t(spark, sf, "events").where(F.col("value").isNotNull())
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
     ).agg(
@@ -11141,12 +11147,14 @@ def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
            round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
            round(CAST(x AS DOUBLE)
                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
-           round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
-                  - CAST(x AS DOUBLE)
-                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-                 / (1.0 - CAST(x AS DOUBLE)
-                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
-                 6) AS kappa
+           round(CASE WHEN CAST(x AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                 THEN (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(x AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                      / (1.0 - CAST(x AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 END, 6) AS kappa
     FROM ag, ex
     """,
 )
@@ -11185,7 +11193,11 @@ def q_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_docs"),
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
-        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        # pe == 1 (single-class degenerate) makes kappa 0/0 — NULL,
+        # not an ANSI division error
+        F.round(
+            F.when(pe < F.lit(1.0), (po - pe) / (F.lit(1.0) - pe)), 6
+        ).alias("kappa"),
     )
 
 
@@ -11254,16 +11266,17 @@ def q_keyset_pagination(spark: SparkSession, sf: str) -> DataFrame:
     # float tolerance at all); phase 2 rescored with the mirrored
     # exact cosine. Same quantization CTE as embedding_quantize.
     """
-    WITH q8 AS (
+    WITH normed AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), q8 AS (
       SELECT vec_id, embedding,
              list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE)
-                               / sqrt(list_sum(list_transform(embedding,
-                                      y -> CAST(y AS DOUBLE)
-                                           * CAST(y AS DOUBLE))))
-                               * 127.0) AS BIGINT)
+               x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 127.0) AS BIGINT)
              ) AS q
-      FROM embeddings
+      FROM normed
     ), qs AS (
       SELECT vec_id AS query_id, embedding AS qe, q AS qq
       FROM q8 WHERE vec_id % 100 = 0
@@ -11315,14 +11328,25 @@ def q_quantized_rescore_topk(spark: SparkSession, sf: str) -> DataFrame:
     vectors for 30×queries rows — the bandwidth asymmetry IS the
     design. Fully oracle-checked, unlike the LSH/IVF tiers."""
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # stage the norm ONCE per row: a lambda that re-aggregates the
+    # array per element is O(d^2) (Spark HOFs do no CSE across lambda
+    # invocations — the winnow_fingerprints trap)
+    normed = emb.withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, y: acc
+                + y.cast("double") * y.cast("double"),
+            )
+        ),
+    )
     quant = F.expr(
         "transform(embedding, x -> cast(floor("
-        " cast(x as double)"
-        " / sqrt(aggregate(embedding, cast(0.0 as double),"
-        "        (acc, y) -> acc + cast(y as double) * cast(y as double)))"
-        " * 127.0) as bigint))"
+        " cast(x as double) / nrm * 127.0) as bigint))"
     )
-    q8 = emb.select("vec_id", "embedding", quant.alias("q"))
+    q8 = normed.select("vec_id", "embedding", quant.alias("q"))
     qs = q8.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -11433,7 +11457,9 @@ def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
     the eval costs the same single pass the forecast itself costs.
     Completes the forecast family: forecast_revenue (global fit),
     holt_forecast (adaptive), this (evidence)."""
-    e = _t(spark, sf, "events")
+    # null-valued events drop BEFORE the daily sum: an all-null day
+    # would otherwise inject a NULL element that poisons the fold
+    e = _t(spark, sf, "events").where(F.col("value").isNotNull())
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
     ).agg(
@@ -11494,5 +11520,12 @@ def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
         "n_days",
         F.round(holt_err, 6).alias("mae_holt"),
         F.round(naive_err, 6).alias("mae_naive"),
-        F.round(F.lit(1.0) - holt_err / naive_err, 6).alias("skill"),
+        # a constant series makes the naive MAE exactly 0 — skill is
+        # undefined there, not a division error (ANSI would raise)
+        F.round(
+            F.when(
+                naive_err > 0, F.lit(1.0) - holt_err / naive_err
+            ),
+            6,
+        ).alias("skill"),
     )

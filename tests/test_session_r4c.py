@@ -757,9 +757,17 @@ def test_rolling_wau_brute_force(spark, sf_dir):
         for back in range(7):
             users |= by_day.get(rd - timedelta(days=back), set())
         assert wau == len(users)
-    assert set(rows) == {d for d in days}  # span filter keeps observed days
-    # plus interior days with no direct activity still covered by fanout
-    assert min(rows) == min(days) and max(rows) == max(days)
+    # expected report days: every day in [lo, hi] whose trailing-7
+    # window touches at least one active day (an inactive interior day
+    # still reports as long as someone was active within 6 days)
+    lo, hi = min(days), max(days)
+    expected = set()
+    d = lo
+    while d <= hi:
+        if any((d - timedelta(days=b)) in by_day for b in range(7)):
+            expected.add(d)
+        d += timedelta(days=1)
+    assert set(rows) == expected
 
 
 def test_winsorize_bounds_and_counts(spark, sf_dir):
@@ -917,4 +925,7 @@ def test_forecast_backtest_replay(spark, sf_dir):
         got = rows[t]
         assert abs(got.mae_holt - round(mae_h, 6)) <= 1e-3
         assert abs(got.mae_naive - round(mae_n, 6)) <= 1e-3
-        assert abs(got.skill - round(1.0 - mae_h / mae_n, 6)) <= 1e-3
+        if mae_n > 0:
+            assert abs(got.skill - round(1.0 - mae_h / mae_n, 6)) <= 1e-3
+        else:
+            assert got.skill is None

@@ -62,7 +62,7 @@ ALLOW_NESTED_LOOP = {
     "winsorized_stats",     # 1-row percentile-bounds scalar × events
     "cohens_kappa",         # 1-row agreement scalar × 1-row marginal product
     "keyset_pagination",    # 1-row cursor scalar × orders scan (both TakeOrdered)
-    "quantized_rescore_topk",  # 1-row dim-stats + bounded query broadcast × corpus
+    "quantized_rescore_topk",  # bounded query-sample broadcast × corpus (symmetric codec, no corpus stats)
 }
 
 # each entry: list of alternatives-groups; every group must match via
