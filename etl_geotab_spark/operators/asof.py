@@ -71,9 +71,17 @@ def asof_join(
     is_left = F.lit(1) if direction in ("backward", "nearest") else F.lit(0)
     is_right = F.lit(0) if direction in ("backward", "nearest") else F.lit(1)
 
-    payload = F.struct(
-        F.col(right_ts).alias("_ts"),
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns],
+    # A right row with NULL right_ts must never be a match in ANY
+    # direction (pandas.merge_asof drops NaT right rows): null its
+    # payload so last/first(ignorenulls) skips it. Without this, a
+    # null-ts right row (non-null struct) could win as the only
+    # backward candidate in the no-tolerance path (round-4 ADVICE).
+    payload = F.when(
+        F.col(right_ts).isNotNull(),
+        F.struct(
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns],
+        ),
     )
     null_left = [
         F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns

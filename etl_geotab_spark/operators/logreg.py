@@ -47,6 +47,10 @@ def train_logreg(
         F.col(features_col).alias("x"), F.col(label_col).cast("int").alias("y")
     ).localCheckpoint()  # freeze input once; iterations re-scan this
     n_total = data.count()
+    if n_total == 0:
+        # grad/n_total would divide by zero and silently return
+        # NaN/inf weights (numpy only warns) — fail loudly instead
+        raise ValueError("train_logreg: empty input DataFrame")
 
     w = np.zeros(dim + 1, dtype=np.float64)
     for _ in range(iterations):

@@ -247,6 +247,51 @@ def _fake_transport(endpoint: str, payload: dict) -> dict:
 TRANSPORTS = {"http": _http_transport, "fake": _fake_transport}
 
 
+# ----------------------------------------------------------------- retry
+
+
+def _is_transient(exc: Exception) -> bool:
+    """Transient = worth retrying: HTTP 5xx / 429, timeouts, connection
+    resets, DNS blips. 4xx (bad request, auth) is NOT transient — auth
+    recovery is a separate, semantic path (relogin), not a retry."""
+    import socket
+    import urllib.error
+
+    if isinstance(exc, urllib.error.HTTPError):
+        return exc.code >= 500 or exc.code == 429
+    if isinstance(exc, (socket.timeout, TimeoutError, ConnectionError)):
+        return True
+    return isinstance(exc, urllib.error.URLError)
+
+
+def call_with_retry(
+    transport,
+    endpoint: str,
+    payload: dict,
+    retries: int = 3,
+    backoff_s: float = 0.5,
+    sleep=time.sleep,
+) -> dict:
+    """Bounded exponential retry on transient transport failures.
+
+    The reference runs as a scheduled Lambda and leans on the
+    platform's whole-invocation retry (task.ts:360-362); a long-running
+    Spark scan cannot — one 30 s blip mid-partition would fail the
+    whole stage. Retries happen HERE, at the RPC boundary, so a retry
+    re-POSTs one idempotent ``Get`` rather than re-running the task.
+    JSON-RPC *error responses* are returned to the caller untouched:
+    they are semantic (bad search, dead session), not transient."""
+    attempt = 0
+    while True:
+        try:
+            return transport(endpoint, payload)
+        except Exception as e:  # noqa: BLE001
+            if attempt >= retries or not _is_transient(e):
+                raise
+            sleep(backoff_s * (2**attempt))
+            attempt += 1
+
+
 # ------------------------------------------------------- credential cache
 
 
@@ -447,6 +492,14 @@ class GeotabReader(DataSourceReader):
         self._session_id = options.get("sessionid", "anonymous")
         self._database = options.get("database", "db")
         self._username = options.get("username", "")
+        # transport hardening (round-4 VERDICT #6): bounded exponential
+        # retry on transient failures; optional executor-side relogin
+        # when the session dies mid-scan (needs the password — without
+        # it the scan fails fast, matching the reference's behavior of
+        # letting the platform retry the whole invocation).
+        self._retries = int(options.get("retries", "3"))
+        self._backoff_s = float(options.get("backoffs", "0.5"))
+        self._password = options.get("password", "")
 
     # -- pushdown -----------------------------------------------------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -487,7 +540,43 @@ class GeotabReader(DataSourceReader):
                 **({"search": search} if search else {}),
             },
         }
-        resp = transport(self._endpoint, payload)
+        resp = call_with_retry(
+            transport,
+            self._endpoint,
+            payload,
+            retries=self._retries,
+            backoff_s=self._backoff_s,
+        )
+        if "error" in resp and self._password:
+            # session died server-side mid-scan (task.ts:127-143's
+            # catch path, moved executor-side): ONE re-login, then
+            # re-issue the Get with the fresh session. Auth errors
+            # are semantic, never blind-retried (_is_transient).
+            auth = call_with_retry(
+                transport,
+                self._endpoint,
+                {
+                    "method": "Authenticate",
+                    "params": {
+                        "userName": self._username,
+                        "password": self._password,
+                        "database": self._database,
+                    },
+                },
+                retries=self._retries,
+                backoff_s=self._backoff_s,
+            )
+            if "error" not in auth:
+                payload["params"]["credentials"] = auth["result"][
+                    "credentials"
+                ]
+                resp = call_with_retry(
+                    transport,
+                    self._endpoint,
+                    payload,
+                    retries=self._retries,
+                    backoff_s=self._backoff_s,
+                )
         if "error" in resp:
             raise RuntimeError(f"Geotab RPC failed: {resp['error']}")
         fields = [f.name for f in self._schema.fields]
@@ -547,8 +636,10 @@ class GeotabRestWriter(DataSourceWriter):
             "features": [row.asDict(recursive=True) for row in rows],
         }
         transport = TRANSPORTS[self._transport_name]
-        resp = transport(
-            self._endpoint, {"method": "Submit", "params": {"collection": fc}}
+        resp = call_with_retry(
+            transport,
+            self._endpoint,
+            {"method": "Submit", "params": {"collection": fc}},
         )
         if "error" in resp and self._transport_name != "fake":
             raise RuntimeError(f"submit failed: {resp['error']}")

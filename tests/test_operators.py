@@ -153,6 +153,35 @@ def test_asof_join_tolerance(spark):
     assert out[0].r_tag is None
 
 
+def test_asof_join_null_ts_right_row_never_matches(spark):
+    # round-4 ADVICE: a right row with NULL rt must never match in any
+    # direction (pandas.merge_asof drops NaT right rows) — previously
+    # it could win as the only backward candidate when no tolerance
+    # was set (its payload struct was non-null despite the null ts).
+    left = spark.createDataFrame(
+        [(1, "k", ts("2024-01-05T00:00:00"))],
+        "lid long, k string, t timestamp",
+    )
+    right_nullts = spark.createDataFrame(
+        [("k", None, "ghost")], "k string, rt timestamp, tag string"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        out = asof_join(
+            left, right_nullts, "k", "k", "t", "rt", direction=direction
+        ).collect()
+        assert out[0].r_tag is None, direction
+    # and a null-ts row must not shadow/displace a real candidate
+    right_mixed = spark.createDataFrame(
+        [("k", None, "ghost"), ("k", ts("2024-01-02T00:00:00"), "real")],
+        "k string, rt timestamp, tag string",
+    )
+    for direction in ("backward", "nearest"):
+        out = asof_join(
+            left, right_mixed, "k", "k", "t", "rt", direction=direction
+        ).collect()
+        assert out[0].r_tag == "real", direction
+
+
 def test_range_join(spark):
     points = spark.createDataFrame(
         [(1, ts("2024-01-01T05:30:00")), (2, ts("2024-01-01T09:00:00"))], "pid long, t timestamp"

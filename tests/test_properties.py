@@ -290,7 +290,10 @@ def test_embedding_quantize_bounds_and_extremes(spark, sf_dir):
     from etl_geotab_spark.queries import _REGISTRY
 
     df = _REGISTRY["embedding_quantize"][0](spark, sf_dir)
-    ex = df.select(F.posexplode("q8").alias("pos", "q"))
+    # q8 is CSV-serialized for the driver's value hasher (round-4
+    # harness err) — parse it back to ints for the invariant checks
+    codes = F.transform(F.split("q8", ","), lambda s: s.cast("int"))
+    ex = df.select(F.posexplode(codes).alias("pos", "q"))
     lo, hi = ex.agg(F.min("q"), F.max("q")).collect()[0]
     assert 0 <= lo and hi <= 255
     per_dim = ex.groupBy("pos").agg(

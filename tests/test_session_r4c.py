@@ -409,6 +409,20 @@ def test_logreg_matches_numpy_reference(spark, sf_dir):
     assert acc >= 0.5
 
 
+def test_logreg_empty_input_raises(spark):
+    """round-4 ADVICE: an empty input must raise, not divide by zero
+    into NaN/inf weights."""
+    import pytest as _pytest
+
+    from etl_geotab_spark.operators.logreg import train_logreg
+
+    empty = spark.createDataFrame(
+        [], "embedding array<double>, label int"
+    )
+    with _pytest.raises(ValueError, match="empty"):
+        train_logreg(empty, "embedding", "label", dim=4, iterations=1)
+
+
 def test_kaplan_meier_estimator_laws(spark, sf_dir):
     """Risk sets telescope (at_risk drops by the previous day's
     terminations), survival is monotone nonincreasing from ≤1, and

@@ -90,6 +90,144 @@ def test_union_driver_normalized_to_nullable_struct(geotab):
     assert any(r.driver is not None and r.driver.id for r in rows)
 
 
+def test_transport_retry_recovers_one_5xx():
+    """round-4 VERDICT #6: one transient 5xx mid-scan is absorbed by
+    the RPC-boundary retry (exponential backoff, injected sleep)."""
+    import urllib.error
+
+    from etl_geotab_spark.sources.geotab import (
+        _fake_transport,
+        call_with_retry,
+    )
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky(endpoint, payload):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise urllib.error.HTTPError(endpoint, 503, "boom", None, None)
+        return _fake_transport(endpoint, payload)
+
+    resp = call_with_retry(
+        flaky,
+        "",
+        {
+            "method": "Get",
+            "params": {
+                "typeName": "Device",
+                "credentials": {"sessionId": "s", "database": "db"},
+            },
+        },
+        sleep=sleeps.append,
+    )
+    assert calls["n"] == 2 and resp["result"]
+    assert sleeps == [0.5]  # backoff_s * 2^0
+
+
+def test_transport_retry_never_blind_retries_4xx():
+    """4xx is semantic, not transient — fail fast, zero retries."""
+    import urllib.error
+
+    from etl_geotab_spark.sources.geotab import call_with_retry
+
+    calls = {"n": 0}
+
+    def bad_request(endpoint, payload):
+        calls["n"] += 1
+        raise urllib.error.HTTPError(endpoint, 400, "bad", None, None)
+
+    with pytest.raises(urllib.error.HTTPError):
+        call_with_retry(bad_request, "", {}, sleep=lambda s: None)
+    assert calls["n"] == 1
+
+
+def test_transport_retry_bounded():
+    """A persistent outage exhausts the budget and raises (never loops
+    forever): retries=3 ⇒ exactly 4 attempts, backoff doubling."""
+    import urllib.error
+
+    from etl_geotab_spark.sources.geotab import call_with_retry
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def down(endpoint, payload):
+        calls["n"] += 1
+        raise urllib.error.HTTPError(endpoint, 502, "down", None, None)
+
+    with pytest.raises(urllib.error.HTTPError):
+        call_with_retry(down, "", {}, retries=3, sleep=sleeps.append)
+    assert calls["n"] == 4
+    assert sleeps == [0.5, 1.0, 2.0]
+
+
+def test_scan_relogin_on_expired_session():
+    """round-4 VERDICT #6: a session that dies mid-scan triggers ONE
+    executor-side re-login (password provided), then the Get is
+    re-issued with the fresh session — the scan recovers in-place
+    instead of failing the stage."""
+    from etl_geotab_spark.sources.geotab import (
+        DEVICE_SCHEMA,
+        TRANSPORTS,
+        _GroupPartition,
+        _fake_transport,
+    )
+
+    log: list[str] = []
+
+    def expiring(endpoint, payload):
+        method = payload["method"]
+        log.append(method)
+        if method == "Get" and payload["params"]["credentials"][
+            "sessionId"
+        ] == "stale-session":
+            return {"error": {"message": "InvalidUserException"}}
+        return _fake_transport(endpoint, payload)
+
+    TRANSPORTS["_test_expiring"] = expiring
+    try:
+        reader = GeotabReader(
+            DEVICE_SCHEMA,
+            {
+                "typename": "Device",
+                "transport": "_test_expiring",
+                "sessionid": "stale-session",
+                "username": "u",
+                "password": "pw",
+            },
+        )
+        rows = list(reader.read(_GroupPartition("g1")))
+    finally:
+        del TRANSPORTS["_test_expiring"]
+    assert rows  # recovered: fresh session returned data
+    assert log == ["Get", "Authenticate", "Get"]
+
+
+def test_scan_without_password_fails_fast_on_dead_session():
+    """No password option ⇒ no relogin path: the dead session is a
+    hard error (reference behavior: platform-level retry)."""
+    from etl_geotab_spark.sources.geotab import (
+        DEVICE_SCHEMA,
+        TRANSPORTS,
+        _GroupPartition,
+    )
+
+    def always_invalid(endpoint, payload):
+        return {"error": {"message": "InvalidUserException"}}
+
+    TRANSPORTS["_test_invalid"] = always_invalid
+    try:
+        reader = GeotabReader(
+            DEVICE_SCHEMA,
+            {"typename": "Device", "transport": "_test_invalid"},
+        )
+        with pytest.raises(RuntimeError, match="InvalidUserException"):
+            list(reader.read(_GroupPartition("g1")))
+    finally:
+        del TRANSPORTS["_test_invalid"]
+
+
 def test_credential_cache_avoids_relogin():
     cache = GeotabCredentialCache("fake", "https://example.test/")
     c1 = cache.credentials("user", "pw", "db")

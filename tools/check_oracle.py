@@ -25,6 +25,58 @@ from etl_geotab_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
+def typed_issues(spark_pdf, duck_pdf):
+    """Catch the two driver-hasher failure modes the string compare
+    masks (both bit us in round 4):
+
+    - **unhashable cells** (list/ndarray/dict): the driver canonicalizes
+      via pandas ``sort_values`` + value hashing, which raises
+      ``unhashable type`` on object columns holding containers
+      (r04 ``embedding_quantize``). Serialize arrays before returning.
+    - **dtype-kind divergence**: e.g. DuckDB HUGEINT (object/float in
+      pandas) vs Spark BIGINT (int64) hash differently even when values
+      are numerically equal (r04 ``incremental_agg_merge``). Cast the
+      oracle's aggregate.
+    """
+    import datetime
+
+    import numpy as np
+
+    issues = []
+    for c in sorted(spark_pdf.columns):
+        sv, dv = spark_pdf[c], duck_pdf[c]
+        samples = {}
+        for side, ser in (("spark", sv), ("duck", dv)):
+            samples[side] = next(
+                (
+                    x
+                    for x in ser
+                    if x is not None
+                    and not (isinstance(x, float) and math.isnan(x))
+                ),
+                None,
+            )
+            if ser.dtype == object and isinstance(
+                samples[side], (list, dict, set, np.ndarray)
+            ):
+                issues.append(
+                    f"{c}: {side} emits unhashable "
+                    f"{type(samples[side]).__name__} cells"
+                )
+        if sv.dtype.kind != dv.dtype.kind:
+            # Spark DATE → object(datetime.date) vs DuckDB DATE →
+            # datetime64[us]: the driver hashes these equal (r04
+            # retention_cohorts was green with exactly this shape).
+            date_like = isinstance(
+                samples["spark"], (datetime.date, datetime.datetime)
+            ) and dv.dtype.kind == "M"
+            if not date_like:
+                issues.append(
+                    f"{c}: dtype kind spark={sv.dtype} duck={dv.dtype}"
+                )
+    return issues
+
+
 def normalize(rows, columns):
     """Canonical order-insensitive representation of a result set."""
     out = []
@@ -105,6 +157,16 @@ def main() -> int:
                     (a, b) for a, b in zip(ns, nd) if a != b
                 ][:3]
                 problems.append(f"values differ; first diffs: {diffs}")
+            else:
+                # engine-NATIVE typed frames (re-executes both sides):
+                # rebuilding pandas frames from the collected Python
+                # rows would re-infer dtypes and mask e.g. HUGEINT
+                try:
+                    spark_pdf = sdf.toPandas()[cols]
+                    duck_pdf = con.sql(oracles[name]).df()[cols]
+                    problems.extend(typed_issues(spark_pdf, duck_pdf))
+                except Exception as e:  # noqa: BLE001
+                    problems.append(f"typed-frame fetch failed: {e}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failures.append(name)

@@ -177,7 +177,8 @@ EXPECT_CONTAINS = {
     "knn_accuracy": [("partial_",), ("Window",)],
     "rolling_active_users": [("partial_",), ("Explode", "Generate")],
     "winsorized_stats": [("partial_",)],
-    # CC output is a localCheckpoint scan — only the rank window shows
+    # CC output is read from the shared session-scoped parquet
+    # (_dedup_labeled_table) — only the rank window shows
     "dedup_keep_best": [("Window",)],
     "holt_forecast": [
         ("partial_", "ObjectHashAggregate", "SortAggregate"),
