@@ -61,7 +61,13 @@ def get_spark(
         # 3-10x slowdowns of pure-JVM queries late in a 160-query run
         # (cross_corpus_dedup 47s contaminated vs 4s fresh; 7s with
         # this flag). Any production driver/executor serving many
-        # distinct plans wants the same headroom.
+        # distinct plans wants the same headroom. Measured scaling:
+        # 240MB dies ~100 plans, 1g dies ~204, 2g held at 219 — and
+        # 2g is the JVM's HARD MAXIMUM for this flag (3g fails JVM
+        # start: "Must be at most 2048M"). If the suite outgrows 2g
+        # (~400+ plans by the scaling law), the remaining levers are
+        # -XX:+UseCodeCacheFlushing tuning or splitting the bench
+        # into multiple sessions — not a bigger cache.
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=2g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
