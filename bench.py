@@ -109,6 +109,31 @@ def force(df) -> int:
     return 0
 
 
+def probe_sec(spark) -> float:
+    """JIT code-cache sentinel: one FIXED pure-JVM plan (same codegen
+    classes every time), timed at suite checkpoints. The reserved code
+    cache (2g — the JVM hard max; see BASELINE.md r4 forensics) holds
+    ~300-400 distinct whole-stage-codegen plans; overflow silently
+    flushes compiled code and late-suite queries re-JIT 2-4x slower.
+    Because THIS plan was compiled at suite start, a late-checkpoint
+    slowdown of the probe itself is the flush signature — flagged as a
+    metric instead of surfacing as unattributable tail noise."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(0, 2_000_000, 1, 8)
+        .select(
+            (F.col("id") % 997).alias("k"),
+            (F.col("id") * 31 % 10007).cast("double").alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v"), F.avg("v"), F.max("v"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -137,7 +162,11 @@ def main() -> None:
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    probe_sec(spark)  # compile the probe plan; baseline is the 2nd run
+    probes: list[float] = [probe_sec(spark)]
+    n_total = len(qs)
+    checkpoints = {max(0, round(n_total * f) - 1) for f in (0.25, 0.5, 0.75, 1.0)}
+    for i, (name, fn) in enumerate(qs.items()):
         t0 = time.time()
         try:
             force(fn(spark, sf_dir))
@@ -156,15 +185,22 @@ def main() -> None:
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         gc.collect()
+        if i in checkpoints:
+            probes.append(probe_sec(spark))
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # tail_drift > ~2 on a quiet box = code-cache flush suspect (the
+    # probe plan was compiled at suite start; only a flush or external
+    # load makes the SAME compiled plan slower at the tail)
+    tail_drift = round(max(probes) / probes[0], 3) if probes[0] > 0 else -1.0
 
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
         with open(full_path, "w") as f:
             json.dump(
                 {"metric": "total_query_sec", "value": total, "unit": "sec",
-                 "queries": timings, "sf": sf},
+                 "queries": timings, "sf": sf,
+                 "probe_sec": probes, "tail_drift": tail_drift},
                 f,
                 indent=0,
                 sort_keys=True,
@@ -182,6 +218,7 @@ def main() -> None:
                 "queries": headline,
                 "sf": sf,
                 "n_queries": len(timings),
+                "tail_drift": tail_drift,
                 "full": "BENCH_FULL.json",
             }
         )

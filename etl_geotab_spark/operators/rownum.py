@@ -62,3 +62,45 @@ def global_row_number(
         .withColumn(out_col, (F.col("_offset") + F.col("_local_rn")))
         .drop("_pid", "_local_rn", "_offset")
     )
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running SUM(val_col) ordered by `order_cols` (a
+    deterministic total order) — ``sum(v) OVER (ORDER BY k)`` without
+    the single-partition global window. Same three-step shape as
+    global_row_number: range shuffle → partition-local cumsum window →
+    broadcast per-partition offsets (one sum per partition reaches the
+    driver). Powers rank statistics (cumulative counts over distinct
+    values = min-rank) and CDF/quantile layers at any scale."""
+    cols = [F.col(c) for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *cols)
+    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local_cum",
+        F.sum(F.col(val_col)).over(
+            Window.partitionBy("_pid")
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).persist()  # consumed twice: per-partition totals + the final join
+    totals = (
+        local.groupBy("_pid").agg(F.sum(val_col).alias("_tot")).collect()
+    )  # bounded: one row per partition
+    by_pid = {r["_pid"]: r["_tot"] for r in totals}
+    offsets, acc = [], 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid] or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
+    return (
+        local.join(broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.col("_local_cum"))
+        .drop("_pid", "_local_cum", "_offset")
+    )

@@ -77,17 +77,78 @@ def register(name: str, oracle: str | None):
 # signal queries inside the checked window. Registration order below
 # never changes; only the exported ordering rotates.
 #
-# Round-5 window: (a) the two r04 RED rows, re-verified after their
-# fixes (embedding_quantize: CSV-serialized q8 so the driver hasher
-# can hash it; incremental_agg_merge: oracle's merged SUM(cnt) cast
-# to BIGINT so DuckDB doesn't surface HUGEINT); (b) stateful_user_stats
-# — the only §2 component (T2 keyed state) whose driver row has been
-# `err` since r1 and was never re-windowed; (c) 47 of the 52
-# oracle-paired round-4b/4c queries that have NEVER held a driver
-# CORRECTNESS row (the verification gap the round-4 verdict names as
-# the dominant one). 3+47 = 50 fills the window exactly; the 5
-# lowest-risk pure-expression stats queries (no operator file behind
-# them) carry to round 6 (_ROUND6_CARRY).
+# Round-6 window (round-5 came back 50/50 green — every queries()
+# name now keeps its green row; this round converts "no known
+# regressions" into driver-confirmed freshness): (a) the 5
+# `_ROUND6_CARRY` paired stats queries — the last oracle-paired
+# queries with no driver row ever (spearman_correlation additionally
+# re-verified after its global-rank window was migrated onto
+# operators/rownum.ordered_prefix_sum this round); (b) all 17 queries
+# whose latest driver row is from ROUND 1 (three rounds of refactors
+# ago); (c) 28 round-2-era rows, operator-bearing first (the
+# _R02_REFRESH_PRIORITY operators touched in round 3, then streaming/
+# pipeline/multimodal/sampling queries). 5+17+28 = 50 exactly; after
+# this window no oracle-paired query's latest row predates round 3.
+_ROUND6_WINDOW: list[str] = [
+    # (a) first-ever driver rows — the final 5 paired queries
+    "chi_square_independence",
+    "cohens_kappa",
+    "spearman_correlation",
+    "winsorized_stats",
+    "keyset_pagination",
+    # (b) round-1-era refresh (oldest rows in the ledger)
+    "scan_filter_project",
+    "string_functions",
+    "math_functions",
+    "conditional_functions",
+    "json_functions",
+    "set_ops",
+    "distinct_values",
+    "text_stats",
+    "token_frequencies",
+    "percentiles",
+    "cube_agg",
+    "union_all_tagged",
+    "map_functions",
+    "struct_geojson",
+    "array_norms",
+    "haversine_distance",
+    "text_quality",
+    # (c) round-2-era refresh: operators touched in round 3 first
+    "range_join_events",
+    "chunk_documents",
+    "grid_spatial_join",
+    "variant_shred",
+    "sessionize_events",
+    "interval_overlap_join",
+    "time_range_moving_avg",
+    # then operator-bearing / streaming / pipeline r02 rows
+    "geotab_flagship",
+    "global_rownum_orders",
+    "streaming_dedup_keys",
+    "streaming_stream_join",
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
+    "salted_skew_join",
+    "scd2_user_history",
+    "upsert_orders",
+    "gap_fill_forward",
+    "funnel_conversion",
+    "ohlc_downsample",
+    "pack_sequences",
+    "tfidf_top_terms",
+    "quality_filter_pipeline",
+    "stratified_sample",
+    "hash_sample",
+    "bigram_pmi",
+    "pivot_returnflag",
+    "grouping_sets",
+    "collect_array_agg",
+]
+
+# Round-5 window (all 50 green in CORRECTNESS_r05): (a) the two r04
+# RED rows, re-verified after their fixes; (b) stateful_user_stats —
+# T2 keyed state, first green row; (c) 47 round-4b/4c first-evers.
 _ROUND_NEW: list[str] = [
     # r04 red rows, fixed this round
     "embedding_quantize",
@@ -303,16 +364,19 @@ _R01_REFRESH: list[str] = [
 
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
-    head = (
-        _ROUND_NEW
+    head_lists = (
+        _ROUND6_WINDOW
+        + _ROUND_NEW
         + _ROUND6_CARRY
         + _R04_CHECKED
         + _R02_REFRESH_PRIORITY
         + _R02_REST
         + _R01_REFRESH
     )
-    rest = [n for n in names if n not in head and n not in _ROUND_DEFER]
-    return head + rest + sorted(_ROUND_DEFER)
+    seen: set[str] = set()
+    head = [n for n in head_lists if not (n in seen or seen.add(n))]
+    rest = [n for n in names if n not in seen and n not in _ROUND_DEFER]
+    return head + rest + sorted(n for n in _ROUND_DEFER if n not in seen)
 
 
 def queries() -> dict[str, QueryFn]:
@@ -4544,7 +4608,9 @@ def _ann_eval_table(spark: SparkSession, sf: str, k: int = 10) -> DataFrame:
         exact.unpersist()
         queries_side.unpersist()
 
-    data_dir = _materialize_once("etl_geotab_anneval", sf, write)
+    # k is part of the cache identity: a caller with a different k
+    # must NOT read a stale k=10 table from this process's scratch
+    data_dir = _materialize_once(f"etl_geotab_anneval_k{k}", sf, write)
     return spark.read.parquet(data_dir)
 
 
@@ -9527,25 +9593,24 @@ def q_zonemap_pruning_eval(spark: SparkSession, sf: str) -> DataFrame:
     zorder_cluster and partitionBy choices — clustering turns scans
     into pruned point-reads; the report says by exactly how much
     (natural ≈ 0% pruned because every file spans the full date
-    range; clustered ≈ 95%+). The global row_number stands in for
-    file assignment at fixture scale; on a real lake the files CTE is
-    the parquet footer/manifest stats themselves, so the expensive
-    sort never happens at query time."""
+    range; clustered ≈ 95%+). File assignment = global row number via
+    operators/rownum.global_row_number (range-repartition +
+    partition-local numbering + broadcast offsets), so neither layout
+    pass has a single-partition window — both sorts are
+    partition-parallel at any scale. On a real lake the files CTE is
+    the parquet footer/manifest stats themselves, so even this never
+    happens at query time."""
+    from etl_geotab_spark.operators.rownum import global_row_number
+
     o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     lo = F.lit("1994-03-01").cast("date")
     hi = F.lit("1994-03-31").cast("date")
-    nat = o.select(
-        F.lit("natural").alias("layout"),
-        "o_orderdate",
-        F.row_number().over(Window.orderBy("o_orderkey")).alias("rn"),
+    nat = global_row_number(o, ["o_orderkey"], "rn").select(
+        F.lit("natural").alias("layout"), "o_orderdate", "rn"
     )
-    clu = o.select(
-        F.lit("clustered").alias("layout"),
-        "o_orderdate",
-        F.row_number()
-        .over(Window.orderBy("o_orderdate", "o_orderkey"))
-        .alias("rn"),
-    )
+    clu = global_row_number(
+        o, ["o_orderdate", "o_orderkey"], "rn"
+    ).select(F.lit("clustered").alias("layout"), "o_orderdate", "rn")
     files = (
         nat.unionByName(clu)
         .withColumn(
@@ -10232,25 +10297,39 @@ def q_spearman_correlation(spark: SparkSession, sf: str) -> DataFrame:
     stats) is fooled by outliers. Ties get proper average ranks, kept
     INTEGER by doubling (2·rank + ties − 1), so every moment sum is
     exact decimal arithmetic and the only floating point is the final
-    Pearson-on-ranks formula under round(6). Fixture-scale global
-    rank windows; at 100 TB ranks come from global_rownum_orders'
-    range-partitioned machinery instead."""
+    Pearson-on-ranks formula under round(6). No global rank window
+    anywhere in the plan: doubled average rank is a per-VALUE quantity
+    (2·cum − cnt + 1, cum = inclusive cumulative count over sorted
+    distinct values), so ranks come from a groupBy per column + the
+    range-partitioned prefix sum (operators/rownum.ordered_prefix_sum
+    — the global_rownum_orders machinery) over the distinct-value
+    frame, joined back by value. Every stage is partition-parallel at
+    100 TB; the only driver data is one subtotal per partition."""
     d = _t(spark, sf, "documents")
     m = d.select(
         F.col("n_chars").alias("x"),
         F.size(F.split(F.col("text"), " ")).alias("y"),
     )
-    rx = (
-        F.lit(2) * F.rank().over(Window.orderBy("x"))
-        + F.count(F.lit(1)).over(Window.partitionBy("x"))
-        - 1
+
+    from etl_geotab_spark.operators.rownum import ordered_prefix_sum
+
+    def doubled_ranks(col: str) -> DataFrame:
+        # per distinct value: 2 * avg_rank = 2*(rows below) + cnt + 1
+        #                               = 2*cum_inclusive - cnt + 1
+        per_val = m.groupBy(col).agg(F.count(F.lit(1)).alias("_cnt"))
+        cum = ordered_prefix_sum(per_val, [col], "_cnt", "_cum")
+        return cum.select(
+            col,
+            (F.lit(2) * F.col("_cum") - F.col("_cnt") + 1).alias(
+                "r" + col
+            ),
+        )
+
+    rk = (
+        m.join(doubled_ranks("x"), "x")
+        .join(doubled_ranks("y"), "y")
+        .select("rx", "ry")
     )
-    ry = (
-        F.lit(2) * F.rank().over(Window.orderBy("y"))
-        + F.count(F.lit(1)).over(Window.partitionBy("y"))
-        - 1
-    )
-    rk = m.select(rx.alias("rx"), ry.alias("ry"))
     dec = lambda c: F.col(c).cast("decimal(28,0)")  # noqa: E731
     s = rk.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

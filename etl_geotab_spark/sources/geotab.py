@@ -253,15 +253,42 @@ TRANSPORTS = {"http": _http_transport, "fake": _fake_transport}
 def _is_transient(exc: Exception) -> bool:
     """Transient = worth retrying: HTTP 5xx / 429, timeouts, connection
     resets, DNS blips. 4xx (bad request, auth) is NOT transient — auth
-    recovery is a separate, semantic path (relogin), not a retry."""
+    recovery is a separate, semantic path (relogin), not a retry.
+    URLError is transient only when its underlying reason is — an SSL
+    certificate-verification failure or other ssl.SSLError is a
+    configuration problem that no amount of backoff fixes, so it
+    surfaces immediately instead of burning the retry budget."""
     import socket
+    import ssl
     import urllib.error
 
     if isinstance(exc, urllib.error.HTTPError):
         return exc.code >= 500 or exc.code == 429
     if isinstance(exc, (socket.timeout, TimeoutError, ConnectionError)):
         return True
-    return isinstance(exc, urllib.error.URLError)
+    if isinstance(exc, urllib.error.URLError):
+        return not isinstance(exc.reason, ssl.SSLError)
+    return False
+
+
+# JSON-RPC error names/messages that mean "credentials are the
+# problem" — the only class where an executor-side relogin helps
+# (MyGeotab raises InvalidUserException for both bad passwords and
+# expired sessions; DbUnavailable etc. are NOT auth).
+_AUTH_ERROR_MARKERS = (
+    "invaliduserexception",
+    "sessionexpired",
+    "session expired",
+    "invalid session",
+    "credentials",
+)
+
+
+def _is_auth_error(error: Any) -> bool:
+    """True iff a JSON-RPC error payload names a credential/session
+    failure (see _AUTH_ERROR_MARKERS)."""
+    blob = json.dumps(error, default=str).lower()
+    return any(m in blob for m in _AUTH_ERROR_MARKERS)
 
 
 def call_with_retry(
@@ -547,11 +574,19 @@ class GeotabReader(DataSourceReader):
             retries=self._retries,
             backoff_s=self._backoff_s,
         )
-        if "error" in resp and self._password:
+        if (
+            "error" in resp
+            and self._password
+            and _is_auth_error(resp["error"])
+        ):
             # session died server-side mid-scan (task.ts:127-143's
             # catch path, moved executor-side): ONE re-login, then
-            # re-issue the Get with the fresh session. Auth errors
-            # are semantic, never blind-retried (_is_transient).
+            # re-issue the Get with the fresh session. Only CREDENTIAL
+            # errors take this path (mirroring the reference's catch,
+            # which re-logins solely on auth failure) — a semantic
+            # error like an unknown typeName or bad search raises
+            # immediately below, without paying a wasted
+            # Authenticate + re-Get round trip.
             auth = call_with_retry(
                 transport,
                 self._endpoint,
@@ -636,10 +671,25 @@ class GeotabRestWriter(DataSourceWriter):
             "features": [row.asDict(recursive=True) for row in rows],
         }
         transport = TRANSPORTS[self._transport_name]
+        # Submit is NOT idempotent (unlike the Get scans, where retry
+        # is free): a timeout after the server accepted the POST would
+        # duplicate features on re-send. Delivery is therefore
+        # at-least-once BY CONTRACT — each attempt carries a
+        # content-derived idempotencyKey (stable across retries of the
+        # same partition payload, and across Spark task re-attempts,
+        # because it hashes the payload, not the attempt) so a
+        # dedup-capable receiver can collapse duplicates; receivers
+        # without dedup must tolerate replays.
+        idem = hashlib.sha256(
+            json.dumps(fc, sort_keys=True, default=str).encode()
+        ).hexdigest()
         resp = call_with_retry(
             transport,
             self._endpoint,
-            {"method": "Submit", "params": {"collection": fc}},
+            {
+                "method": "Submit",
+                "params": {"collection": fc, "idempotencyKey": idem},
+            },
         )
         if "error" in resp and self._transport_name != "fake":
             raise RuntimeError(f"submit failed: {resp['error']}")

@@ -700,6 +700,31 @@ def test_global_row_number_matches_naive_window(spark):
     assert rns == list(range(1, len(rows) + 1))
 
 
+def test_ordered_prefix_sum_matches_naive_window(spark):
+    """Range-partitioned running sum == sum() OVER (ORDER BY k ROWS
+    UNBOUNDED PRECEDING..CURRENT), including negative values, and with
+    more partitions than distinct keys in some ranges."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_geotab_spark.operators.rownum import ordered_prefix_sum
+
+    rows = [(5, 2), (1, 7), (9, -3), (3, 1), (7, 0), (2, 4), (8, 10),
+            (100, 1), (-4, 6), (0, 5)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = ordered_prefix_sum(df, ["k"], "v", "cum", num_partitions=4)
+    naive = df.withColumn(
+        "cum",
+        F.sum("v").over(
+            Window.orderBy("k").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    assert sorted(map(tuple, got.select("k", "v", "cum").collect())) == \
+        sorted(map(tuple, naive.select("k", "v", "cum").collect()))
+
+
 def test_bucketed_join_elides_exchange(spark, sf_dir):
     """Both sides written bucketed on the join key → the join plan has
     no Exchange above either scan (the whole point of bucketing: the

@@ -162,6 +162,118 @@ def test_transport_retry_bounded():
     assert sleeps == [0.5, 1.0, 2.0]
 
 
+def test_ssl_cert_failure_not_retried():
+    """round-5 ADVICE: a URLError wrapping an SSL certificate failure
+    is a configuration problem — it must surface on attempt 1, not
+    burn the whole backoff budget."""
+    import ssl
+    import urllib.error
+
+    from etl_geotab_spark.sources.geotab import call_with_retry
+
+    calls = {"n": 0}
+
+    def bad_cert(endpoint, payload):
+        calls["n"] += 1
+        raise urllib.error.URLError(ssl.SSLCertVerificationError(1, "boom"))
+
+    with pytest.raises(urllib.error.URLError):
+        call_with_retry(bad_cert, "", {}, retries=3, sleep=lambda s: None)
+    assert calls["n"] == 1
+
+    # a DNS-ish URLError (non-SSL reason) is still transient
+    calls["n"] = 0
+
+    def dns_blip(endpoint, payload):
+        calls["n"] += 1
+        raise urllib.error.URLError(OSError("temporary failure"))
+
+    with pytest.raises(urllib.error.URLError):
+        call_with_retry(dns_blip, "", {}, retries=2, sleep=lambda s: None)
+    assert calls["n"] == 3
+
+
+def test_semantic_error_does_not_relogin():
+    """round-5 ADVICE: relogin is gated on CREDENTIAL errors only — a
+    semantic JSON-RPC error (unknown typeName, bad search) raises
+    immediately without a wasted Authenticate + re-Get, even when a
+    password is configured."""
+    from etl_geotab_spark.sources.geotab import (
+        DEVICE_SCHEMA,
+        TRANSPORTS,
+        _GroupPartition,
+    )
+
+    log: list[str] = []
+
+    def semantic_error(endpoint, payload):
+        log.append(payload["method"])
+        return {"error": {"message": "UnknownTypeNameException: Bogus"}}
+
+    TRANSPORTS["_test_semantic"] = semantic_error
+    try:
+        reader = GeotabReader(
+            DEVICE_SCHEMA,
+            {
+                "typename": "Device",
+                "transport": "_test_semantic",
+                "username": "u",
+                "password": "pw",
+            },
+        )
+        with pytest.raises(RuntimeError, match="UnknownTypeName"):
+            list(reader.read(_GroupPartition("g1")))
+    finally:
+        del TRANSPORTS["_test_semantic"]
+    assert log == ["Get"]  # no Authenticate, no second Get
+
+
+def test_submit_carries_stable_idempotency_key():
+    """round-5 ADVICE (medium): Submit is not idempotent, so delivery
+    is at-least-once by contract — every attempt must carry a
+    CONTENT-derived idempotencyKey that is identical across retries of
+    the same partition payload, letting a dedup-capable receiver
+    collapse replays."""
+    from pyspark.sql import Row
+
+    from etl_geotab_spark.sources.geotab import (
+        TRANSPORTS,
+        GeotabRestWriter,
+    )
+
+    keys: list[str] = []
+    fail_first = {"left": 1}
+
+    def flaky_submit(endpoint, payload):
+        assert payload["method"] == "Submit"
+        keys.append(payload["params"]["idempotencyKey"])
+        if fail_first["left"]:
+            fail_first["left"] -= 1
+            raise ConnectionResetError("mid-response drop")
+        return {"result": {"accepted": True}}
+
+    TRANSPORTS["_test_flaky_submit"] = flaky_submit
+    try:
+        writer = GeotabRestWriter({"transport": "_test_flaky_submit"})
+        rows = [Row(id="a", lat=1.0), Row(id="b", lat=2.0)]
+        msg = writer.write(iter(rows))
+    finally:
+        del TRANSPORTS["_test_flaky_submit"]
+    assert msg.features_posted == 2
+    assert len(keys) == 2 and keys[0] == keys[1]  # retry reused the key
+    # a different payload gets a different key
+    TRANSPORTS["_test_keys"] = lambda e, p: (
+        keys.append(p["params"]["idempotencyKey"]),
+        {"result": {"accepted": True}},
+    )[1]
+    try:
+        writer = GeotabRestWriter({"transport": "_test_keys"})
+        writer.write(iter([Row(id="c", lat=3.0)]))
+    finally:
+        del TRANSPORTS["_test_keys"]
+    assert keys[2] != keys[0]
+
+
 def test_scan_relogin_on_expired_session():
     """round-4 VERDICT #6: a session that dies mid-scan triggers ONE
     executor-side re-login (password provided), then the Get is

@@ -65,6 +65,38 @@ ALLOW_NESTED_LOOP = {
     "quantized_rescore_topk",  # bounded query-sample broadcast × corpus (symmetric codec, no corpus stats)
 }
 
+# queries allowed to keep a global (no PARTITION BY) window: the
+# frame under the window must be provably pre-reduced far below the
+# input (documented bound in the query docstring). Everything else
+# must route through operators/rownum.py's range-partitioned
+# numbering/prefix-sum — a raw global window is a single-task
+# bottleneck at scale and fails the audit hard.
+ALLOW_GLOBAL_WINDOW = {
+    "decile_lift",  # ntile over per-customer aggregate (10-100x reduced;
+                    # docstring names the percentile_approx fallback)
+    "kaplan_meier",  # windows over the hourly curve frame, <=74 rows by
+                     # the 72h censoring-horizon constant
+    "vocab_coverage",  # cumulative window over a limit(256) frame —
+                       # bounded by the vocab-size literal
+}
+
+
+def global_window_specs(plan: str) -> list[str]:
+    """Return windowspecdefinition(...) occurrences with NO partition
+    columns. In plan text the spec is
+    ``windowspecdefinition(part..., ord ASC/DESC..., frame)``; order
+    tokens carry ASC/DESC, partition tokens are bare refs — a spec
+    whose every pre-frame token is ordered is a global window."""
+    hits = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        rest = plan[m.end(): m.end() + 400]
+        head = rest.split("specifiedwindowframe")[0]
+        toks = [t.strip() for t in head.split(",") if t.strip()]
+        if toks and all(" ASC" in t or " DESC" in t for t in toks):
+            hits.append(head[:120])
+    return hits
+
+
 # each entry: list of alternatives-groups; every group must match via
 # at least one of its alternatives
 EXPECT_CONTAINS = {
@@ -247,6 +279,12 @@ def audit_plans(spark, sf_dir: str, only: set[str] | None = None,
             for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
                 if bad in plan:
                     failures.append((name, f"unexpected {bad}"))
+
+        if name not in ALLOW_GLOBAL_WINDOW:
+            for spec in global_window_specs(plan):
+                failures.append(
+                    (name, f"global (no-partition) window: {spec}")
+                )
 
         for group in EXPECT_CONTAINS.get(name, []):
             if name == "scan_filter_project":

@@ -1,0 +1,243 @@
+"""Empirical 10x scale validation (round-5 VERDICT #4): generate a
+sf1-equivalent dataset (10x sf0.1) and run the most expensive
+operator families at both scales, recording per-query wall time and
+the sf1/sf0.1 ratio to ``BENCH_SF1.json``.
+
+Usage:
+    python tools/scale_stress.py gen     # build scratch_sf1/ (once)
+    python tools/scale_stress.py run     # time queries, write BENCH_SF1.json
+
+Why synthesized replicas: the driver ships sf{0.001,0.01,0.1} only;
+validating the "banded joins scale ~linearly" design claims needs a
+10x input. The generator unions 10 KEY-SHIFTED, CONTENT-DISJOINT
+copies of sf0.1 so that per-key/per-entity structure is preserved
+(each replica looks exactly like sf0.1) while cross-replica
+similarity is engineered AWAY — otherwise 10 verbatim copies would
+make every document a 10-way near-duplicate and every customer a
+10-way fuzzy match, and pair volume would grow quadratically by
+construction rather than measuring the operators:
+
+- join keys get per-replica offsets, applied CONSISTENTLY across
+  tables (o_custkey and c_custkey shift together, etc.);
+- document text prefixes every token with a replica tag, so replica
+  vocabularies are disjoint: shingle/MinHash/n-gram candidate
+  generation finds the same pairs WITHIN each replica and none
+  across — the linear-scaling regime these operators claim;
+- customer names get a TWO-char replica tag inside the blocking
+  substring, so entity blocks never span replicas and cross-replica
+  Levenshtein distance is >= 2 (no phantom entities);
+- embeddings get a per-replica, per-dimension deterministic offset
+  (direction change, not scaling) so ANN/k-means see 10x distinct
+  vectors, not 10 copies at cosine 1.0.
+
+Pass criterion (recorded, judged against BASELINE.md): every
+linear-design query finishes within ~10x its sf0.1 time on the same
+box. ``grid_spatial_join`` is exempt and annotated: 10x points in a
+FIXED geographic area is 10x density, so within-radius pair count
+(its OUTPUT) grows ~100x — that is the physics of the question, not
+a plan defect; its banded plan is still the right one at constant
+density.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from etl_geotab_spark.io import load_table  # noqa: E402
+from etl_geotab_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scratch_sf1"
+)
+REPLICAS = 10
+
+# per-key-kind offsets, far above any sf0.1 key range
+KO = 10**9   # orderkey
+KC = 10**7   # custkey
+KP = 10**7   # partkey
+KS = 10**6   # suppkey
+KE = 10**9   # event id
+KU = 10**8   # user id
+KD = 10**7   # doc id
+KV = 10**7   # vec id
+
+STRESS = [
+    # dedup family (banded/bucketed candidate generation)
+    "minhash_near_dup",
+    "ngram_jaccard_pairs",
+    "cross_corpus_dedup",
+    "doc_winnow_fingerprints",
+    "boilerplate_ngram_ratio",
+    "dedup_keep_best",
+    # similarity family (index builds + bucketed probes)
+    "kmeans_embeddings",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    # graph / recursion / ER (iterative shuffles, lineage truncation)
+    "pagerank_parts",
+    "recursive_order_chains",
+    "entity_resolution",
+    # spatial (density-bound: see module docstring)
+    "grid_spatial_join",
+]
+DENSITY_BOUND = {"grid_spatial_join"}
+
+
+def gen() -> None:
+    spark = get_spark("etl-geotab-scale-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT, exist_ok=True)
+
+    def shifted(table: str, r: int) -> DataFrame:
+        t = load_table(spark, SRC, table)
+        rr = F.lit(r).cast("long")
+        tag = chr(ord("A") + r) * 2  # 'AA', 'BB', ... (>=2 edits apart)
+        if table == "customer":
+            name = (
+                t["c_name"]
+                if r == 0
+                else F.concat(
+                    F.lit("Customer#" + tag),
+                    F.substring("c_name", 12, 64),
+                )
+            )
+            return t.select(
+                (t.c_custkey + rr * KC).alias("c_custkey"),
+                name.alias("c_name"),
+                "c_nationkey", "c_acctbal", "c_mktsegment",
+            )
+        if table == "supplier":
+            return t.withColumn("s_suppkey", t.s_suppkey + rr * KS)
+        if table == "part":
+            return t.withColumn("p_partkey", t.p_partkey + rr * KP)
+        if table == "orders":
+            return t.withColumn(
+                "o_orderkey", t.o_orderkey + rr * KO
+            ).withColumn("o_custkey", t.o_custkey + rr * KC)
+        if table == "lineitem":
+            return (
+                t.withColumn("l_orderkey", t.l_orderkey + rr * KO)
+                .withColumn("l_partkey", t.l_partkey + rr * KP)
+                .withColumn("l_suppkey", t.l_suppkey + rr * KS)
+            )
+        if table == "events":
+            return t.withColumn(
+                "event_id", t.event_id + rr * KE
+            ).withColumn("user_id", t.user_id + rr * KU)
+        if table == "documents":
+            text = (
+                t["text"]
+                if r == 0
+                else F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(F.lit(f"q{r}"), w),
+                    ),
+                    " ",
+                )
+            )
+            return t.select(
+                (t.doc_id + rr * KD).alias("doc_id"),
+                text.alias("text"),
+                "lang", "source",
+                F.length(text).cast("long").alias("n_chars"),
+            )
+        if table == "embeddings":
+            emb = (
+                t["embedding"]
+                if r == 0
+                else F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x
+                        + F.lit(0.05 * r)
+                        * F.cos(i.cast("double") * 2.7 + F.lit(float(r)))
+                    ).cast("float"),
+                )
+            )
+            return t.select(
+                (t.vec_id + rr * KV).alias("vec_id"),
+                emb.alias("embedding"),
+                "label",
+            )
+        return t  # nation / region: dims, copied once
+
+    for table in (
+        "nation", "region",
+        "customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings",
+    ):
+        dst = os.path.join(OUT, f"{table}.parquet")
+        n_rep = 1 if table in ("nation", "region") else REPLICAS
+        parts = [shifted(table, r) for r in range(n_rep)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(dst)
+        print(f"wrote {dst} ({n_rep}x)")
+
+
+def run() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("etl-geotab-scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    def timed(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        return dt
+
+    # warm both directories' file listings + the Python worker pool
+    for d in (SRC, OUT):
+        load_table(spark, d, "documents").count()
+    out: dict[str, dict] = {}
+    for name in STRESS:
+        base = timed(name, SRC)
+        big = timed(name, OUT)
+        ratio = round(big / base, 2) if base > 0 else -1.0
+        out[name] = {
+            "sf0.1_sec": base,
+            "sf1_sec": big,
+            "ratio": ratio,
+            "density_bound": name in DENSITY_BOUND,
+            "within_10x": ratio <= 10.0 or name in DENSITY_BOUND,
+        }
+        print(json.dumps({name: out[name]}))
+
+    fails = [n for n, v in out.items() if not v["within_10x"]]
+    path = os.path.join(
+        os.path.dirname(OUT), "BENCH_SF1.json"
+    )
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "sf_base": 0.1,
+                "sf_big": 1.0,
+                "replicas": REPLICAS,
+                "queries": out,
+                "superlinear_failures": fails,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"wrote {path}; superlinear failures: {fails or 'none'}")
+
+
+if __name__ == "__main__":
+    {"gen": gen, "run": run}[sys.argv[1]]()
