@@ -60,6 +60,22 @@ from etl_geotab_spark.operators.topk import top_k_global, top_k_per_group
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+def _modmul(a, b, m: int):
+    """Overflow-safe (a*b) % m for the synthetic-coordinate hashes:
+    reduce each factor mod m BEFORE multiplying — identical value
+    ((a*b) % m == ((a%m)*(b%m)) % m for non-negative ints), but the
+    intermediate stays < m² instead of a², which overflows int64 under
+    ANSI mode once keys pass ~3e9 (hit by tools/scale_stress.py's
+    shifted keys at 10x scale). The DuckDB oracles keep the plain
+    form — HUGEINT doesn't overflow and the values are equal."""
+    return ((a % m) * (b % m)) % m
+
+
+def _modsq(a, m: int):
+    """Overflow-safe (a*a) % m (see _modmul)."""
+    return _modmul(a, a, m)
+
 # registry: name -> (spark_fn, oracle_sql | None)
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -2846,8 +2862,8 @@ def q_grid_spatial_join(spark: SparkSession, sf: str) -> DataFrame:
     k = F.col("o_orderkey")
     pts = o.select(
         k.alias("id"),
-        (((k * k) % 18000) / 100.0 - 90.0).alias("lat"),
-        ((((k + 12345) * (k + 67890)) % 36000) / 100.0 - 180.0).alias("lon"),
+        (_modsq(k, 18000) / 100.0 - 90.0).alias("lat"),
+        (_modmul(k + 12345, k + 67890, 36000) / 100.0 - 180.0).alias("lon"),
     )
     cells = pts.withColumn(
         "cy", F.floor("lat").cast("long")
@@ -2955,8 +2971,8 @@ def q_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     ), rare AS (
       SELECT hsh FROM (
         SELECT hsh, count(DISTINCT doc_id) AS dfc FROM ex GROUP BY 1
-      ) WHERE dfc <= GREATEST(2, CAST(floor(
-          (SELECT count(*) FROM documents) * 0.05) AS BIGINT))
+      ) WHERE dfc <= LEAST(GREATEST(2, CAST(floor(
+          (SELECT count(*) FROM documents) * 0.05) AS BIGINT)), 250)
     ), re AS (
       SELECT ex.doc_id, ex.hsh FROM ex JOIN rare USING (hsh)
     )
@@ -2992,20 +3008,27 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
         .persist()
     )
     exploded = docs.select("doc_id", F.explode("fp").alias("h"))
-    # stop-gram removal: a fingerprint shared by >5% of the corpus has
-    # no discriminative value and would blow the self-join up
-    # quadratically (sum of c_h² pairs) — the standard df-cap in
-    # near-dup pipelines. Keeps the join linear in true near-dup mass.
+    # Stop-gram removal: a widely-shared fingerprint has no
+    # discriminative value and blows the self-join up quadratically
+    # (sum of df_h² pairs). The cap is min(5% of corpus, 250): the
+    # FRACTIONAL cap alone is a scale trap — it grows with the corpus,
+    # so a hash admitted at df=250 on 5k docs comes back at df=2500 on
+    # 50k docs and its pair mass is 100x, which is exactly what the
+    # 10x stress run measured (13.3x wall time) before the absolute
+    # ceiling bounded per-hash pair mass at 250² forever. The FILTER
+    # broadcasts the STOP set (df > cap) as a left-anti join — the
+    # stop set is the heavy-hitter tail, which SHRINKS relative to the
+    # corpus, unlike the rare set (≈ all hashes), whose broadcast
+    # would be the next scale wall at 100 TB.
     n_docs = docs.count()
-    rare = exploded.join(
-        broadcast(
-            exploded.groupBy("h")
-            .agg(F.countDistinct("doc_id").alias("df"))
-            .where(F.col("df") <= F.lit(max(2, int(n_docs * 0.05))))
-            .select("h")
-        ),
-        "h",
+    cap = min(max(2, int(n_docs * 0.05)), 250)
+    stop = (
+        exploded.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") > cap)
+        .select("h")
     )
+    rare = exploded.join(broadcast(stop), "h", "left_anti")
     pairs = (
         rare.alias("a")
         .join(rare.alias("b"), "h")
@@ -5005,6 +5028,15 @@ def q_recursive_order_chains(spark: SparkSession, sf: str) -> DataFrame:
     O(log n) rounds instead of O(diameter) joins."""
     o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # Total recursion output is LINEAR in input (each order is visited
+    # exactly once — parent pointers form per-customer linked lists,
+    # and chain_len == n_orders is the query's own check of that), so
+    # the default 1M-row recursion safety valve is the thing that
+    # breaks at scale, not the plan: the 10x stress run
+    # (tools/scale_stress.py) hit RECURSION_ROW_LIMIT_EXCEEDED at
+    # 1.5M orders. Raise the valve; depth stays bounded by max
+    # orders-per-customer.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
     # materialize the edge list BEFORE recursing: the recursion scans
     # its input once per depth level, and a plain temp view would
     # re-run the lag window each level (measured 11 s → ~3 s at sf0.1)
@@ -5534,8 +5566,8 @@ def q_geofence_contains(spark: SparkSession, sf: str) -> DataFrame:
     k = F.col("o_orderkey")
     pts = o.select(
         k.alias("id"),
-        (((k * k) % 18000) / 100.0 - 90.0).alias("lat"),
-        ((((k + 12345) * (k + 67890)) % 36000) / 100.0 - 180.0).alias("lon"),
+        (_modsq(k, 18000) / 100.0 - 90.0).alias("lat"),
+        (_modmul(k + 12345, k + 67890, 36000) / 100.0 - 180.0).alias("lon"),
     )
     lat, lon = F.col("lat"), F.col("lon")
     zone = F.lit(None).cast("string")
@@ -10749,8 +10781,8 @@ def q_hotspot_regions(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders").select("o_orderkey")
     k = F.col("o_orderkey")
     pts = o.select(
-        ((k * k) % 18000).alias("xi"),
-        (((k + 12345) * (k + 67890)) % 36000).alias("yi"),
+        _modsq(k, 18000).alias("xi"),
+        _modmul(k + 12345, k + 67890, 36000).alias("yi"),
     )
     cells = (
         pts.select(
