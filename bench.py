@@ -159,6 +159,24 @@ def main() -> None:
 
     _ident = pandas_udf(lambda s: s, "long")
     spark.range(64).select(_ident(F.col("id"))).count()
+    # (d) one tiny Python-DataSource scan: the FIRST datasource action
+    # in a session pays one-time machinery costs (worker-module
+    # imports, noop-writer codegen for the scan shape) that belong to
+    # the session, not to whichever query runs first — same rationale
+    # as the pandas-UDF pool warmup above. The per-load planner worker
+    # spawns are NOT absorbed here; the connector row still pays those
+    # every invocation (that's its real recurring cost).
+    from etl_geotab_spark.sources.geotab import _SCHEMAS, register_geotab_source
+
+    register_geotab_source(spark)
+    force(
+        spark.read.format("geotab")
+        .schema(_SCHEMAS["Device"])
+        .option("typename", "Device")
+        .option("transport", "fake")
+        .option("sessionid", "bench-warmup")
+        .load()
+    )
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
