@@ -9252,21 +9252,34 @@ def q_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
     score (here: exact total spend), cut into 10 equal-population
     deciles, and report each decile's share and cumulative share of
     the total. Plan shape matters: the per-customer aggregate shuffles
-    once; the GLOBAL ntile sorts only the aggregated per-customer
-    frame (customers, not orders — already 10-100x smaller); the final
-    windows run over exactly 10 rows. At 100 TB the per-customer frame
-    can still be billions — then the decile cut moves to
-    approx-percentile cutpoints and this exact report becomes the
-    calibration check on a sample. Decimal spend end to end; doubles
-    only in the final ratios."""
+    once; the decile cut runs on operators/rownum.global_row_number
+    (range shuffle → partition-local sort → broadcast per-partition
+    offsets — no single-partition global window, even over the
+    already-reduced per-customer frame) with ntile(10)'s bucket rule
+    (first N%10 buckets take the extra row) inverted arithmetically
+    from the row number; the final windows run over exactly 10 rows.
+    Decimal spend end to end; doubles only in the final ratios."""
     o = _t(spark, sf, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s")
     )
-    tiled = spend.withColumn(
+    from etl_geotab_spark.operators.rownum import global_row_number
+
+    n_total = spend.count()  # bounded: one long to the driver
+    base, rem = divmod(n_total, 10)
+    # ORDER BY s DESC, o_custkey expressed as ascending keys (the
+    # range partitioner orders ascending): negate the exact decimal.
+    ranked = global_row_number(
+        spend.withColumn("_neg_s", -F.col("s")), ["_neg_s", "o_custkey"]
+    ).drop("_neg_s")
+    rn = F.col("rn")
+    cut = rem * (base + 1)  # rows 1..cut sit in the (base+1)-sized buckets
+    tiled = ranked.withColumn(
         "decile",
-        F.ntile(10).over(Window.orderBy(F.desc("s"), F.col("o_custkey"))),
-    )
+        F.when(rn <= cut, F.ceil(rn / (base + 1)))
+        .otherwise(rem + F.ceil((rn - cut) / max(base, 1)))
+        .cast("int"),
+    ).drop("rn")
     agg = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("s").alias("spend_dec"),

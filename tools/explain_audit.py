@@ -72,12 +72,13 @@ ALLOW_NESTED_LOOP = {
 # numbering/prefix-sum — a raw global window is a single-task
 # bottleneck at scale and fails the audit hard.
 ALLOW_GLOBAL_WINDOW = {
-    "decile_lift",  # ntile over per-customer aggregate (10-100x reduced;
-                    # docstring names the percentile_approx fallback)
     "kaplan_meier",  # windows over the hourly curve frame, <=74 rows by
                      # the 72h censoring-horizon constant
     "vocab_coverage",  # cumulative window over a limit(256) frame —
                        # bounded by the vocab-size literal
+    "decile_lift",  # cumulative-share window over the EXACTLY-10-row
+                    # decile aggregate (bucket-count literal); the
+                    # decile cut itself is range-partitioned rownum
 }
 
 
