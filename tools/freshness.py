@@ -1,0 +1,175 @@
+"""Driver-verification freshness ledger.
+
+The correctness driver checks only the FIRST 50 entries of
+``__spark_entry__.queries()`` each round, so the exported ordering is
+rotated per round (see the window lists at the top of
+``etl_geotab_spark/queries.py``). This tool makes that rotation
+mechanical and auditable:
+
+- folds every ``CORRECTNESS_r*.json`` in the repo root into a ledger:
+  for each query, the LATEST round it held a driver row and whether
+  that row was green (rows+schema+hash) / red / err;
+- reports freshness: how many queries' latest row is from each round,
+  which oracle-paired queries have never been inside a window, and
+  which are stale (latest row older than ``--fresh-horizon``);
+- proposes the NEXT 50-slot window with the standing priority order:
+  (1) red/err rows from the latest round (must be re-verified after
+  fixes), (2) oracle-paired queries with no row ever, (3) stale
+  paired rows oldest-first, (4) stale rows-only rows (weakest signal:
+  the driver can only count rows for these). Registration order
+  breaks ties so the proposal is deterministic.
+
+Run: ``python tools/freshness.py [--fresh-horizon N] [--propose]``
+No Spark session needed — this reads JSON and imports the registry
+lazily via the pure-Python module top level.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def load_ledger() -> dict[str, dict]:
+    """name -> {round, green, err, history:[(round, status)]}"""
+    ledger: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rows = json.load(open(path))
+        for name, row in rows.items():
+            if row.get("err"):
+                status = "err" if "no_oracle" not in str(row["err"]) else "rows_only"
+            elif row.get("rows_match") and row.get("schema_match") and row.get(
+                "hash_match"
+            ):
+                status = "green"
+            else:
+                status = "red"
+            ent = ledger.setdefault(name, {"history": []})
+            ent["history"].append((rnd, status))
+            ent["round"] = rnd
+            ent["status"] = status
+    return ledger
+
+
+def registry_order() -> tuple[list[str], set[str]]:
+    """All registered query names (registration order) and the subset
+    that is oracle-paired."""
+    sys.path.insert(0, REPO)
+    from etl_geotab_spark.queries import _REGISTRY  # noqa: PLC0415
+
+    names = list(_REGISTRY)
+    paired = {n for n, (_, sql) in _REGISTRY.items() if sql is not None}
+    return names, paired
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument(
+        "--fresh-horizon",
+        type=int,
+        default=None,
+        help="rows older than this round count as stale "
+        "(default: latest round - 2)",
+    )
+    ap.add_argument(
+        "--propose",
+        action="store_true",
+        help="print the proposed next 50-slot window, one name per line",
+    )
+    args = ap.parse_args()
+
+    ledger = load_ledger()
+    names, paired = registry_order()
+    latest_round = max((e["round"] for e in ledger.values()), default=0)
+    horizon = (
+        args.fresh_horizon if args.fresh_horizon is not None else latest_round - 2
+    )
+
+    # --- freshness report -------------------------------------------------
+    by_round: dict[int, int] = {}
+    never, reds, errs = [], [], []
+    for n in names:
+        e = ledger.get(n)
+        if e is None:
+            never.append(n)
+            continue
+        by_round[e["round"]] = by_round.get(e["round"], 0) + 1
+        if e["status"] == "red":
+            reds.append(n)
+        elif e["status"] == "err":
+            errs.append(n)
+
+    print(f"registered queries: {len(names)} ({len(paired)} oracle-paired)")
+    print(f"driver rounds seen: 1..{latest_round}; fresh horizon: r{horizon}")
+    for rnd in sorted(by_round):
+        print(f"  latest row r{rnd:02d}: {by_round[rnd]:3d} queries")
+    print(f"  never checked:  {len(never):3d} "
+          f"({sum(1 for n in never if n in paired)} paired)")
+    if reds:
+        print(f"RED at latest check: {reds}")
+    if errs:
+        print(f"ERR at latest check: {errs}")
+
+    stale_paired = [
+        n
+        for n in names
+        if n in paired and n in ledger and ledger[n]["round"] < horizon
+    ]
+    stale_rows_only = [
+        n
+        for n in names
+        if n not in paired and n in ledger and ledger[n]["round"] < horizon
+    ]
+    stale_paired.sort(key=lambda n: (ledger[n]["round"], names.index(n)))
+    stale_rows_only.sort(key=lambda n: (ledger[n]["round"], names.index(n)))
+    print(f"stale (< r{horizon}): {len(stale_paired)} paired, "
+          f"{len(stale_rows_only)} rows-only")
+
+    # --- next-window proposal ---------------------------------------------
+    proposal: list[str] = []
+    for bucket in (
+        reds,
+        errs,
+        [n for n in never if n in paired],
+        stale_paired,
+        stale_rows_only,
+        [n for n in never if n not in paired],
+    ):
+        for n in bucket:
+            if n not in proposal:
+                proposal.append(n)
+            if len(proposal) == WINDOW:
+                break
+        if len(proposal) == WINDOW:
+            break
+
+    if len(proposal) < WINDOW:
+        # everything is fresh — pad with the next-oldest fresh paired rows
+        backfill = sorted(
+            (n for n in names if n in paired and n in ledger and n not in proposal),
+            key=lambda n: (ledger[n]["round"], names.index(n)),
+        )
+        proposal.extend(backfill[: WINDOW - len(proposal)])
+
+    if args.propose:
+        print(f"\nproposed next window ({len(proposal)}):")
+        for n in proposal:
+            e = ledger.get(n)
+            tag = f"r{e['round']:02d}:{e['status']}" if e else "never"
+            print(f"  {n}  [{tag}]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
