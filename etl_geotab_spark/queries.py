@@ -10348,12 +10348,22 @@ def q_spearman_correlation(spark: SparkSession, sf: str) -> DataFrame:
     distinct values), so ranks come from a groupBy per column + the
     range-partitioned prefix sum (operators/rownum.ordered_prefix_sum
     — the global_rownum_orders machinery) over the distinct-value
-    frame, joined back by value. Every stage is partition-parallel at
-    100 TB; the only driver data is one subtotal per partition."""
+    frame. The corpus is scanned ONCE: rows collapse to the distinct
+    (x, y) joint frame with a multiplicity count, and every moment sum
+    is the count-weighted pair sum (Σ_rows rx·ry = Σ_pairs c·rx·ry,
+    exact in decimal — per-term magnitude c·4n² ≤ 4n³, the same bound
+    as the row formulation). Rank joins and the final aggregate touch
+    only the reduced pair frame; every stage is partition-parallel at
+    100 TB and the only driver data is one subtotal per partition."""
     d = _t(spark, sf, "documents")
     m = d.select(
         F.col("n_chars").alias("x"),
         F.size(F.split(F.col("text"), " ")).alias("y"),
+    )
+    # one pass over the data; pairs ≤ min(n, |X|·|Y|) rows of 3 ints,
+    # consumed three times (x-marginal, y-marginal, final weighted agg)
+    pairs = (
+        m.groupBy("x", "y").agg(F.count(F.lit(1)).alias("_c")).persist()
     )
 
     from etl_geotab_spark.operators.rownum import ordered_prefix_sum
@@ -10361,7 +10371,7 @@ def q_spearman_correlation(spark: SparkSession, sf: str) -> DataFrame:
     def doubled_ranks(col: str) -> DataFrame:
         # per distinct value: 2 * avg_rank = 2*(rows below) + cnt + 1
         #                               = 2*cum_inclusive - cnt + 1
-        per_val = m.groupBy(col).agg(F.count(F.lit(1)).alias("_cnt"))
+        per_val = pairs.groupBy(col).agg(F.sum("_c").alias("_cnt"))
         cum = ordered_prefix_sum(per_val, [col], "_cnt", "_cum")
         return cum.select(
             col,
@@ -10371,18 +10381,19 @@ def q_spearman_correlation(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     rk = (
-        m.join(doubled_ranks("x"), "x")
+        pairs.join(doubled_ranks("x"), "x")
         .join(doubled_ranks("y"), "y")
-        .select("rx", "ry")
+        .select("_c", "rx", "ry")
     )
     dec = lambda c: F.col(c).cast("decimal(28,0)")  # noqa: E731
+    cnt = F.col("_c").cast("decimal(10,0)")
     s = rk.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(dec("rx")).alias("sx"),
-        F.sum(dec("ry")).alias("sy"),
-        F.sum(dec("rx") * dec("ry")).alias("sxy"),
-        F.sum(dec("rx") * dec("rx")).alias("sxx"),
-        F.sum(dec("ry") * dec("ry")).alias("syy"),
+        F.sum("_c").cast("bigint").alias("n"),
+        F.sum(cnt * dec("rx")).alias("sx"),
+        F.sum(cnt * dec("ry")).alias("sy"),
+        F.sum(cnt * dec("rx") * dec("ry")).alias("sxy"),
+        F.sum(cnt * dec("rx") * dec("rx")).alias("sxx"),
+        F.sum(cnt * dec("ry") * dec("ry")).alias("syy"),
     )
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -11397,21 +11408,27 @@ def q_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
     raw accuracy when class priors are skewed (an always-'en'
     classifier scores high po here but kappa exposes it). Every input
     is an integer count (observed agreement + marginal products);
-    doubles appear only in the final po/pe/kappa ratios. One scan,
-    three tiny aggregates, two 1-row scalar crosses."""
+    doubles appear only in the final po/pe/kappa ratios. The corpus —
+    and the stopword-score expression tree predict_language expands
+    to — is evaluated ONCE: one groupBy(lang, pred) confusion matrix
+    (≤ |langs|² rows); observed agreement and both marginals are then
+    re-aggregations of that tiny frame, not rescans of the data."""
     d = _t(spark, sf, "documents")
     p = d.select("lang", predict_language(F.col("text")).alias("pred"))
-    ag = p.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("lang") == F.col("pred"), 1).otherwise(0)).alias(
-            "agree"
-        ),
+    cm = (
+        p.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("_c")).persist()
+    )  # consumed three times: totals, true-marginal, pred-marginal
+    ag = cm.agg(
+        F.sum("_c").alias("n"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred"), F.col("_c")).otherwise(0)
+        ).alias("agree"),
     )
-    tc = p.groupBy(F.col("lang").alias("lbl")).agg(
-        F.count(F.lit(1)).alias("tn")
+    tc = cm.groupBy(F.col("lang").alias("lbl")).agg(
+        F.sum("_c").alias("tn")
     )
-    pc = p.groupBy(F.col("pred").alias("lbl")).agg(
-        F.count(F.lit(1)).alias("pn")
+    pc = cm.groupBy(F.col("pred").alias("lbl")).agg(
+        F.sum("_c").alias("pn")
     )
     ex = (
         tc.join(pc, "lbl")
