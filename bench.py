@@ -177,6 +177,27 @@ def main() -> None:
         .option("sessionid", "bench-warmup")
         .load()
     )
+    # (e) two expression-family JIT probes, same rationale as (a)-(d):
+    # the FIRST plan in a session that embeds a higher-order-function
+    # chain (tokenize/filter lambdas) or the range-partitioned rownum
+    # machinery pays ~2-3 s of Janino+JIT warmup that transfers to
+    # every later plan of that family (measured: size(tokenize) 2.7 s
+    # first use, <1 s for every HOF plan after). Which query absorbs
+    # it is an artifact of suite ORDER — the correctness window fronts
+    # documents-family queries — so absorb it here and let per-query
+    # numbers measure plans.
+    from etl_geotab_spark.functions.text import tokenize
+
+    spark.createDataFrame([("a b c",)], "t string").select(
+        F.size(tokenize(F.col("t"))).alias("n")
+    ).groupBy("n").count().count()
+    from etl_geotab_spark.operators.rownum import ordered_prefix_sum
+
+    ordered_prefix_sum(
+        spark.range(128).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+        ["k"],
+        "v",
+    ).count()
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}

@@ -101,15 +101,27 @@ def language_scores(text: Column | str) -> Column:
 
 def predict_language(text: Column | str) -> Column:
     """Heuristic language ID: language whose stopword list hits most.
-    Deterministic tie-break: first language in STOPWORDS order wins;
-    returns 'und' (undetermined) when no stopword hits at all."""
-    scores = [(lang, quality_stopword_ratio(text, lang)) for lang in STOPWORDS]
-    best_score = F.greatest(*[s for _, s in scores])
-    pred = F.lit("und")
-    # build right-to-left so earlier languages take precedence on ties
-    for lang, s in reversed(scores):
-        pred = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(pred)
-    return pred
+    Deterministic tie-break: first language in STOPWORDS order wins
+    (array_position returns the FIRST index of the max); returns 'und'
+    (undetermined) when no stopword hits at all.
+
+    Expression-size note: the argmax is built as ONE score array
+    consumed by array_max/array_position rather than a greatest() +
+    per-language when-chain. The chain form re-inlines every score
+    (and the greatest() of all of them) per branch — ~n² copies of the
+    tokenize subtree — which made Catalyst optimize/codegen the
+    DOMINANT cost of any plan embedding this expression (measured
+    ~4 s of driver time per consuming query at 4 languages). The
+    array form references the score subtree a constant 3 times, so
+    the tree stays linear in the language count."""
+    langs = list(STOPWORDS)
+    scores = F.array(*[quality_stopword_ratio(text, lang) for lang in langs])
+    best = F.array_max(scores)
+    pick = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]),
+        F.array_position(scores, best).cast("int"),
+    )
+    return F.when(best > 0, pick).otherwise(F.lit("und"))
 
 
 def doc_fingerprint(text: Column | str, modulus: int = 2**31 - 1) -> Column:

@@ -10354,8 +10354,11 @@ def q_spearman_correlation(spark: SparkSession, sf: str) -> DataFrame:
     exact in decimal — per-term magnitude c·4n² ≤ 4n³, the same bound
     as the row formulation). Rank joins and the final aggregate touch
     only the reduced pair frame; every stage is partition-parallel at
-    100 TB and the only driver data is one subtotal per partition."""
-    d = _t(spark, sf, "documents")
+    100 TB and the only driver data is one subtotal per partition.
+    _spread: the tokenize-and-count projection must not serialize on
+    the fixture's single parquet partition (weighted sums are
+    partition-order independent, so the repartition is value-safe)."""
+    d = _spread(_t(spark, sf, "documents"))
     m = d.select(
         F.col("n_chars").alias("x"),
         F.size(F.split(F.col("text"), " ")).alias("y"),
@@ -11412,8 +11415,12 @@ def q_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
     and the stopword-score expression tree predict_language expands
     to — is evaluated ONCE: one groupBy(lang, pred) confusion matrix
     (≤ |langs|² rows); observed agreement and both marginals are then
-    re-aggregations of that tiny frame, not rescans of the data."""
-    d = _t(spark, sf, "documents")
+    re-aggregations of that tiny frame, not rescans of the data.
+    _spread: the stopword-score expression is an interpreted HOF chain
+    (CodegenFallback), so it must fan out over all cores instead of
+    serializing on the fixture's single parquet partition — integer
+    counts make the repartition value-safe."""
+    d = _spread(_t(spark, sf, "documents"))
     p = d.select("lang", predict_language(F.col("text")).alias("pred"))
     cm = (
         p.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("_c")).persist()
