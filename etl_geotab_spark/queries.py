@@ -2463,7 +2463,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     broadcast the (small) df table back → per-doc top-k window. At
     100 TB the df table is the only global state and it is tiny
     (vocabulary-sized); everything else is partition-local."""
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     n_docs = d.count()
     tok = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -4203,7 +4203,7 @@ def q_contamination_overlap(spark: SparkSession, sf: str) -> DataFrame:
     Scale: benchmark grams are tiny next to the corpus → broadcast them;
     the corpus side stays a scan→explode→semi-shaped probe with ONE
     shuffle (the per-doc count). A 100 TB corpus never self-joins."""
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     ts = F.split(F.col("text"), " ")
     grams = d.select(
         "doc_id",
@@ -5117,7 +5117,7 @@ def q_boilerplate_ngram_ratio(spark: SparkSession, sf: str) -> DataFrame:
     broadcast back against the gram table. Threshold compares
     integer-exact (5*df >= n_docs) so both engines agree without float
     edge cases."""
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     # grams are xxhash64 BIGINTs, not strings: the gram value never
     # reaches the output (only df-counts and the boiler membership
     # join), so hashing at explode time shrinks the persisted gram
@@ -7066,7 +7066,7 @@ def q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
         " i -> array_join(slice(split(text, ' '), i, 8), ' '))"
     )
     docs = (
-        _t(spark, sf, "documents")
+        _spread(_t(spark, sf, "documents"))
         .where(F.size(F.split(F.col("text"), " ")) >= 8)
         .select("doc_id", F.explode(spans).alias("gram"))
     )
@@ -10059,7 +10059,7 @@ def q_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     trainer."""
     from etl_geotab_spark.operators.bpe import learn_bpe_merges
 
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return learn_bpe_merges(d, "text", num_merges=6)
 
 
