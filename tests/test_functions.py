@@ -109,6 +109,16 @@ def test_predict_language(spark):
     assert out == ["en", "es", "und"]
 
 
+def test_predict_language_tie_breaks_to_first_language(spark):
+    # 'de la' scores 1.0 for BOTH es and fr (each list holds both
+    # tokens); the tie must go to es — the earlier entry in STOPWORDS
+    # order. Pins the argmax's first-index-of-max contract that the
+    # oracle SQL cascades (sc_es >= sc_fr first) mirror.
+    df = spark.createDataFrame([("de la",)], "t string")
+    out = df.select(predict_language("t").alias("v")).collect()[0].v
+    assert out == "es"
+
+
 def test_doc_fingerprint_deterministic(spark):
     df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], "t string")
     out = [r.v for r in df.select(doc_fingerprint("t").alias("v")).collect()]
