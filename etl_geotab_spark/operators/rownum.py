@@ -38,23 +38,35 @@ def global_row_number(
     single-partition window."""
     cols = [F.col(c) for c in order_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *cols)
+    # Materialize the range shuffle ONCE and pin it: the count job and
+    # the final job must see the SAME partition assignment (a re-run
+    # of repartitionByRange gets a new shuffle id → new sample seed →
+    # possibly different range boundaries → wrong offsets). A plain
+    # .persist() would pin it too, but its CacheManager entry lives
+    # until an explicit unpersist and leaked in long-lived sessions;
+    # localCheckpoint blocks are reclaimed by the ContextCleaner once
+    # the result frame is garbage-collected.
+    ranged = df.repartitionByRange(n, *cols).localCheckpoint(eager=True)
     local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_local_rn",
         F.row_number().over(
             Window.partitionBy("_pid").orderBy(*cols)
         ),
-    ).persist()  # consumed twice: the count aggregate + the final join
+    )
     # one row per partition reaches the driver; offsets are exact
     # because range partitioning makes partition ids order-aligned
     counts = (
-        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+        ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()
     )
     by_pid = {r["_pid"]: r["_cnt"] for r in counts}
     offsets, acc = [], 0
     for pid in sorted(by_pid):
         offsets.append((pid, acc))
         acc += by_pid[pid]
+    if not offsets:  # empty input: keep the output schema stable
+        offsets = [(0, 0)]
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
     return (
@@ -80,7 +92,10 @@ def ordered_prefix_sum(
     values = min-rank) and CDF/quantile layers at any scale."""
     cols = [F.col(c) for c in order_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *cols)
+    # Same pinning rationale as global_row_number: localCheckpoint
+    # fixes the partition assignment across the totals job and the
+    # final job without a CacheManager entry that outlives the call.
+    ranged = df.repartitionByRange(n, *cols).localCheckpoint(eager=True)
     local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_local_cum",
         F.sum(F.col(val_col)).over(
@@ -88,15 +103,19 @@ def ordered_prefix_sum(
             .orderBy(*cols)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    ).persist()  # consumed twice: per-partition totals + the final join
+    )
     totals = (
-        local.groupBy("_pid").agg(F.sum(val_col).alias("_tot")).collect()
+        ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.sum(val_col).alias("_tot"))
+        .collect()
     )  # bounded: one row per partition
     by_pid = {r["_pid"]: r["_tot"] for r in totals}
     offsets, acc = [], 0
     for pid in sorted(by_pid):
         offsets.append((pid, acc))
         acc += by_pid[pid] or 0
+    if not offsets:  # empty input: keep the output schema stable
+        offsets = [(0, 0)]
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
     return (

@@ -378,10 +378,79 @@ _R01_REFRESH: list[str] = [
 ]
 
 
+# Round-7 window (round-6 came back 50/50 green — second consecutive
+# all-green round). Per the round-6 verdict's #1 item this window is
+# purely a freshness refresh: the 50 OLDEST stale oracle-paired rows,
+# exactly as proposed by `python tools/freshness.py --propose`
+# (priority: reds > errs > never-paired > stale-paired oldest-first;
+# there are no reds/errs/never-paired left, so it's the 17 r02-era +
+# 33 r03-era paired rows). After this window only 6 paired r03 rows +
+# 8 stale rows-only rows (+ the 7 never-windowed rows-only queries)
+# remain for round 8's window. Registration order never changes; only
+# this exported ordering rotates.
+_ROUND7_WINDOW: list[str] = [
+    # r02-era paired rows (deferred in earlier rotations as lowest
+    # regression risk — now the oldest rows in the ledger)
+    "exists_subquery",
+    "in_subquery",
+    "string_agg_sorted",
+    "window_distribution",
+    "conditional_agg",
+    "mode_median",
+    "posexplode_terms",
+    "histogram_buckets",
+    "regex_token_ops",
+    "linear_fit_stats",
+    "zscore_outliers",
+    "unpivot_metrics",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue",
+    "returned_item_report",
+    "profile_lineitem",
+    # r03-era paired rows, registration order (core relational surface
+    # the verdict named: joins, windows, top-k, as-of, date functions)
+    "dedup_latest_events",
+    "group_agg_minmax",
+    "rollup_orders",
+    "join_large_fact",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dims",
+    "asof_join_events_orders",
+    "date_functions",
+    "window_rank",
+    "window_lag_lead",
+    "window_running_agg",
+    "topk_global",
+    "topk_per_group",
+    "dedup_exact_docs",
+    "tumbling_window",
+    "correlated_subquery",
+    "sliding_window",
+    "session_window",
+    "streaming_tumbling_window",
+    "multimodal_metadata",
+    "doc_winnow_fingerprints",
+    "pii_redact",
+    "repetition_ratio",
+    "contamination_overlap",
+    "dedup_normalized",
+    "train_val_test_split",
+    "embedding_centroid_distance",
+    "mad_outliers",
+    "vin_filter",
+    "bucketed_colocated_join",
+    "udtf_top_terms",
+]
+
+
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     head_lists = (
-        _ROUND6_WINDOW
+        _ROUND7_WINDOW
+        + _ROUND6_WINDOW
         + _ROUND_NEW
         + _ROUND6_CARRY
         + _R04_CHECKED
@@ -5057,25 +5126,42 @@ def q_recursive_order_chains(spark: SparkSession, sf: str) -> DataFrame:
     # (tools/scale_stress.py) hit RECURSION_ROW_LIMIT_EXCEEDED at
     # 1.5M orders. Raise the valve; depth stays bounded by max
     # orders-per-customer.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
     # materialize the edge list BEFORE recursing: the recursion scans
     # its input once per depth level, and a plain temp view would
     # re-run the lag window each level (measured 11 s → ~3 s at sf0.1)
     edges = o.withColumn("parent", F.lag("o_orderkey").over(w)).localCheckpoint()
     edges.createOrReplaceTempView("_order_edges_r4")
-    return spark.sql(
-        """
-        WITH RECURSIVE chain(o_orderkey, o_custkey, depth) AS (
-          SELECT o_orderkey, o_custkey, 1 FROM _order_edges_r4 WHERE parent IS NULL
-          UNION ALL
-          SELECT e.o_orderkey, e.o_custkey, c.depth + 1
-          FROM chain c JOIN _order_edges_r4 e ON e.parent = c.o_orderkey
-        )
-        SELECT o_custkey,
-               max(depth) AS chain_len,
-               count(*) AS n_orders
-        FROM chain GROUP BY o_custkey
-        """
+    # Scope the raised valve to THIS query's recursion: run the
+    # recursive traversal eagerly under the override and restore the
+    # prior value in a finally, so the runaway-recursion safety net
+    # stays live for every later query on the shared session (other
+    # recursive paths exist: transitive-closure oracles, entity
+    # resolution). The checkpointed chain is linear in orders — the
+    # same bound the recursion itself already carries.
+    _key = "spark.sql.cteRecursionRowLimit"
+    _prev = spark.conf.get(_key, None)
+    spark.conf.set(_key, str(2_000_000_000))
+    try:
+        chain = spark.sql(
+            """
+            WITH RECURSIVE chain(o_orderkey, o_custkey, depth) AS (
+              SELECT o_orderkey, o_custkey, 1
+              FROM _order_edges_r4 WHERE parent IS NULL
+              UNION ALL
+              SELECT e.o_orderkey, e.o_custkey, c.depth + 1
+              FROM chain c JOIN _order_edges_r4 e ON e.parent = c.o_orderkey
+            )
+            SELECT o_orderkey, o_custkey, depth FROM chain
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        if _prev is None:
+            spark.conf.unset(_key)
+        else:
+            spark.conf.set(_key, _prev)
+    return chain.groupBy("o_custkey").agg(
+        F.max("depth").alias("chain_len"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
 
 
@@ -10385,9 +10471,14 @@ def q_spearman_correlation(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).alias("y"),
     )
     # one pass over the data; pairs ≤ min(n, |X|·|Y|) rows of 3 ints,
-    # consumed three times (x-marginal, y-marginal, final weighted agg)
+    # consumed three times (x-marginal, y-marginal, final weighted
+    # agg). localCheckpoint, not persist: blocks are ContextCleaner-
+    # reclaimed when the result is GC'd, so long-lived sessions don't
+    # accumulate pinned cache entries per invocation.
     pairs = (
-        m.groupBy("x", "y").agg(F.count(F.lit(1)).alias("_c")).persist()
+        m.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
 
     from etl_geotab_spark.operators.rownum import ordered_prefix_sum
@@ -11444,8 +11535,11 @@ def q_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
     d = _spread(_t(spark, sf, "documents"))
     p = d.select("lang", predict_language(F.col("text")).alias("pred"))
     cm = (
-        p.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("_c")).persist()
-    )  # consumed three times: totals, true-marginal, pred-marginal
+        p.groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )  # consumed 3×: totals, true-marginal, pred-marginal; checkpoint
+    # (not persist) so the ≤|langs|² cached rows are GC-reclaimed
     ag = cm.agg(
         F.sum("_c").alias("n"),
         F.sum(

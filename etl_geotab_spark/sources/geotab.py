@@ -274,21 +274,53 @@ def _is_transient(exc: Exception) -> bool:
 # JSON-RPC error names/messages that mean "credentials are the
 # problem" — the only class where an executor-side relogin helps
 # (MyGeotab raises InvalidUserException for both bad passwords and
-# expired sessions; DbUnavailable etc. are NOT auth).
+# expired sessions; DbUnavailable etc. are NOT auth). Markers may be
+# broad ("expired", "credentials") because they are matched against
+# the error's SEMANTIC fields only, never the serialized payload.
 _AUTH_ERROR_MARKERS = (
     "invaliduserexception",
     "sessionexpired",
     "session expired",
     "invalid session",
+    "expired",
     "credentials",
 )
 
 
+def _iter_error_fields(error: Any):
+    """Yield the semantic text fields of a JSON-RPC error payload —
+    name / message / code / data.type, recursing into the nested
+    ``errors`` list MyGeotab emits — rather than the whole serialized
+    blob. An error that echoes its request params would otherwise
+    contain a literal 'credentials' key and be misclassified as an
+    auth failure (wasted Authenticate + re-Get on every non-auth
+    error that echoes)."""
+    if isinstance(error, str):
+        yield error
+    elif isinstance(error, dict):
+        for k in ("name", "message", "type", "code"):
+            v = error.get(k)
+            if isinstance(v, str):
+                yield v
+        data = error.get("data")
+        if isinstance(data, (dict, str)):
+            yield from _iter_error_fields(data)
+        nested = error.get("errors")
+        if isinstance(nested, list):
+            for e in nested:
+                yield from _iter_error_fields(e)
+    elif isinstance(error, list):
+        for e in error:
+            yield from _iter_error_fields(e)
+
+
 def _is_auth_error(error: Any) -> bool:
     """True iff a JSON-RPC error payload names a credential/session
-    failure (see _AUTH_ERROR_MARKERS)."""
-    blob = json.dumps(error, default=str).lower()
-    return any(m in blob for m in _AUTH_ERROR_MARKERS)
+    failure in its name/message/type fields (see
+    _AUTH_ERROR_MARKERS; field-scoped so echoed request params can't
+    false-positive)."""
+    fields = " ".join(_iter_error_fields(error)).lower()
+    return any(m in fields for m in _AUTH_ERROR_MARKERS)
 
 
 def call_with_retry(
@@ -679,10 +711,19 @@ class GeotabRestWriter(DataSourceWriter):
         # same partition payload, and across Spark task re-attempts,
         # because it hashes the payload, not the attempt) so a
         # dedup-capable receiver can collapse duplicates; receivers
-        # without dedup must tolerate replays.
-        idem = hashlib.sha256(
-            json.dumps(fc, sort_keys=True, default=str).encode()
-        ).hexdigest()
+        # without dedup must tolerate replays. Per-feature hashes are
+        # combined in SORTED order, not iterator order: a task
+        # re-attempt may yield the same rows in a different
+        # partition-internal order (e.g. after a lost shuffle block is
+        # refetched), and an order-sensitive key would silently defeat
+        # the receiver-side dedup contract.
+        feat_hashes = sorted(
+            hashlib.sha256(
+                json.dumps(f, sort_keys=True, default=str).encode()
+            ).hexdigest()
+            for f in fc["features"]
+        )
+        idem = hashlib.sha256("".join(feat_hashes).encode()).hexdigest()
         resp = call_with_retry(
             transport,
             self._endpoint,

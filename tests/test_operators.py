@@ -1058,3 +1058,43 @@ def test_cosine_topk_blas_edge_cases(spark):
     empty = cosine_topk_blas(df, df.where(F.col("vec_id") < 0), k=3)
     assert empty.count() == 0
     assert empty.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+
+
+def test_rownum_helpers_handle_empty_input(spark):
+    """round-6 ADVICE: an empty input DataFrame used to crash both
+    rownum helpers ('can not infer schema from empty dataset' while
+    building the offsets frame). Empty in -> empty out, schema
+    stable."""
+    from etl_geotab_spark.operators.rownum import (
+        global_row_number,
+        ordered_prefix_sum,
+    )
+
+    empty = spark.createDataFrame([], "k long, v long")
+    rn = global_row_number(empty, ["k"], "rn", num_partitions=4)
+    assert rn.count() == 0 and set(rn.columns) == {"k", "v", "rn"}
+    cum = ordered_prefix_sum(empty, ["k"], "v", "cum", num_partitions=4)
+    assert cum.count() == 0 and set(cum.columns) == {"k", "v", "cum"}
+
+
+def test_rownum_helpers_leave_no_sql_cache_entry(spark):
+    """round-6 ADVICE: the helpers used to .persist() and never
+    unpersist, pinning one CacheManager entry per call in long-lived
+    sessions. The localCheckpoint rewrite must leave the SQL cache
+    exactly as it found it (ContextCleaner reclaims checkpoint blocks
+    on GC instead)."""
+    from pyspark.sql import functions as F
+
+    from etl_geotab_spark.operators.rownum import (
+        global_row_number,
+        ordered_prefix_sum,
+    )
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cache_mgr.isEmpty()
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    global_row_number(df, ["k", "v"], "rn", num_partitions=4).count()
+    ordered_prefix_sum(df, ["k", "v"], "v", "cum", num_partitions=4).count()
+    assert cache_mgr.isEmpty() == was_empty

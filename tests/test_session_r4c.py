@@ -943,3 +943,20 @@ def test_forecast_backtest_replay(spark, sf_dir):
             assert abs(got.skill - round(1.0 - mae_h / mae_n, 6)) <= 1e-3
         else:
             assert got.skill is None
+
+
+def test_recursive_order_chains_restores_recursion_limit(spark, sf_dir):
+    """round-6 ADVICE: the raised cteRecursionRowLimit used to stay on
+    the shared session forever, silently disabling the runaway-
+    recursion safety valve for every later query. The override must be
+    scoped to this query's own recursion."""
+    from etl_geotab_spark.queries import q_recursive_order_chains
+
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key, None)
+    out = q_recursive_order_chains(spark, sf_dir)
+    assert out.count() > 0
+    assert spark.conf.get(key, None) == prior
+    # chain_len == n_orders: every order visited exactly once
+    bad = out.where("chain_len <> n_orders").count()
+    assert bad == 0

@@ -680,3 +680,63 @@ def test_durable_store_rejects_different_identity(tmp_path):
     # the same cache OBJECT asked for a different identity re-logins too
     c2.credentials("userC", "pwC", "dbC")
     assert c2.login_count == 2
+
+
+def test_auth_error_matches_semantic_fields_only():
+    """round-6 ADVICE: _is_auth_error used to substring-match the whole
+    serialized error blob, so an error that merely ECHOES its request
+    params (which contain a 'credentials' field) was misclassified as
+    an auth failure (wasted Authenticate + re-Get). Markers must match
+    the error's name/message/type fields only — and 'expired'-style
+    wording in those fields must still count."""
+    from etl_geotab_spark.sources.geotab import _is_auth_error
+
+    # genuine auth failures: name / message / nested errors / data.type
+    assert _is_auth_error({"name": "InvalidUserException", "message": "x"})
+    assert _is_auth_error({"message": "Session expired, log in again"})
+    assert _is_auth_error({"message": "session token has EXPIRED"})
+    assert _is_auth_error(
+        {"errors": [{"name": "JSONRPCError", "message": "invalid session"}]}
+    )
+    assert _is_auth_error({"data": {"type": "InvalidUserException"}})
+    # NOT auth: the request echo contains a 'credentials' KEY but no
+    # semantic field names a credential problem
+    echo = {
+        "name": "DbUnavailableException",
+        "message": "database is reindexing, retry later",
+        "data": {
+            "request": {
+                "method": "Get",
+                "params": {"credentials": {"userName": "u", "sessionId": "s"}},
+            }
+        },
+    }
+    assert not _is_auth_error(echo)
+    # NOT auth: unrelated semantic error
+    assert not _is_auth_error({"name": "OverLimitException", "message": "429"})
+
+
+def test_submit_idempotency_key_is_row_order_independent():
+    """round-6 ADVICE: a Spark task re-attempt may yield the same rows
+    in a different partition-internal order; the content-derived
+    idempotencyKey must not change or the receiver-side dedup contract
+    silently fails."""
+    from pyspark.sql import Row
+
+    from etl_geotab_spark.sources.geotab import TRANSPORTS, GeotabRestWriter
+
+    keys: list[str] = []
+    TRANSPORTS["_test_order_keys"] = lambda e, p: (
+        keys.append(p["params"]["idempotencyKey"]),
+        {"result": {"accepted": True}},
+    )[1]
+    try:
+        writer = GeotabRestWriter({"transport": "_test_order_keys"})
+        rows = [Row(id="a", lat=1.0), Row(id="b", lat=2.0), Row(id="c", lat=3.0)]
+        writer.write(iter(rows))
+        writer.write(iter(reversed(rows)))  # same payload, reversed order
+        writer.write(iter(rows[:2]))  # different payload
+    finally:
+        del TRANSPORTS["_test_order_keys"]
+    assert keys[0] == keys[1]
+    assert keys[2] != keys[0]
