@@ -87,6 +87,25 @@ STRESS = [
     "entity_resolution",
     # spatial (density-bound: see module docstring)
     "grid_spatial_join",
+    # round-7 extension (round-6 VERDICT #4): every remaining query
+    # >2 s at sf0.1 gets a measured ratio — eval baselines (fixed
+    # probe sets, cost linear in corpus), the bucketed/salted join
+    # pair, streaming drains, stats/eval sweeps, scan-heavy TPC-H Q1
+    "ndcg_eval",
+    "minhash_recall_eval",
+    "bucketed_colocated_join",
+    "geotab_stream_pipeline",
+    "streaming_stream_join",
+    "spearman_correlation",
+    "linear_fit_stats",
+    "zonemap_pruning_eval",
+    "contrastive_pairs",
+    "salted_skew_join",
+    "cohens_kappa",
+    "pricing_summary",
+    "semdedup_buckets",
+    "multimodal_decode_stats",
+    "triangle_count",
 ]
 DENSITY_BOUND = {"grid_spatial_join"}
 
