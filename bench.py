@@ -222,10 +222,17 @@ def main() -> None:
     run_drifts: list[float] = []
     n_total = len(qs)
     checkpoints = {max(0, round(n_total * f) - 1) for f in (0.25, 0.5, 0.75, 1.0)}
+    # ONE drift baseline for the whole session, measured before run 1:
+    # a per-run baseline would be JIT-hot for run 2+ (measured 40%
+    # faster right after run 1), silently inflating run-2 drift ratios
+    # with no actual flush. Against the global baseline a healthy JIT
+    # keeps later probes AT OR BELOW baseline; only a flush (or
+    # external load) pushes any probe, in any run, above ~2x.
+    probe_sec(spark)  # compile the probe plan; baseline is the 2nd run
+    baseline_probe = probe_sec(spark)
     for _run in range(n_runs):
         timings: dict[str, float] = {}
-        probe_sec(spark)  # compile the probe plan; baseline is the 2nd run
-        probes: list[float] = [probe_sec(spark)]
+        probes: list[float] = [baseline_probe]
         for i, (name, fn) in enumerate(qs.items()):
             t0 = time.time()
             try:
@@ -251,11 +258,13 @@ def main() -> None:
         run_timings.append(timings)
         # tail_drift > ~2 on a quiet box = code-cache flush suspect
         # (the probe plan was compiled at suite start; only a flush or
-        # external load makes the SAME compiled plan slower at the
-        # tail). Reported as max over runs — the sentinel must not
-        # average away a single-run flush.
+        # external load makes the SAME compiled plan slower later).
+        # Reported as max over runs — the sentinel must not average
+        # away a single-run flush.
         run_drifts.append(
-            round(max(probes) / probes[0], 3) if probes[0] > 0 else -1.0
+            round(max(probes) / baseline_probe, 3)
+            if baseline_probe > 0
+            else -1.0
         )
 
     # per-query best over runs; an error in ANY run keeps the -1 marker

