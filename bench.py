@@ -124,21 +124,30 @@ def probe_sec(spark) -> float:
     flushes compiled code and late-suite queries re-JIT 2-4x slower.
     Because THIS plan was compiled at suite start, a late-checkpoint
     slowdown of the probe itself is the flush signature — flagged as a
-    metric instead of surfacing as unattributable tail noise."""
+    metric instead of surfacing as unattributable tail noise.
+
+    Each checkpoint is BEST-OF-2 back-to-back executions: a genuine
+    flush keeps both slow (re-JIT takes many executions to recover),
+    while a one-off GC pause or scheduler blip hits only one — a
+    single noisy sample used to push the max-based drift ratio past
+    the 2.0 alarm on runs whose totals showed zero degradation."""
     from pyspark.sql import functions as F
 
-    t0 = time.time()
-    (
-        spark.range(0, 2_000_000, 1, 8)
-        .select(
-            (F.col("id") % 997).alias("k"),
-            (F.col("id") * 31 % 10007).cast("double").alias("v"),
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        (
+            spark.range(0, 2_000_000, 1, 8)
+            .select(
+                (F.col("id") % 997).alias("k"),
+                (F.col("id") * 31 % 10007).cast("double").alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v"), F.avg("v"), F.max("v"))
+            .write.format("noop").mode("overwrite").save()
         )
-        .groupBy("k")
-        .agg(F.sum("v"), F.avg("v"), F.max("v"))
-        .write.format("noop").mode("overwrite").save()
-    )
-    return round(time.time() - t0, 3)
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
