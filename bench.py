@@ -7,11 +7,12 @@
      "n_queries": 100, "runs": [N1, N2], "median_run_sec": M,
      "tail_drift": D, "full": "BENCH_FULL.json"}
 
-The suite is measured ``$SPARK_GRAFT_BENCH_RUNS`` times (default 2) in
-one warmed session; ``value``/``queries`` are best-over-runs and the
-per-run totals + median ride along so round-over-round comparisons
-carry their own variance context (quiet-box variance is ±15-25% here,
-BASELINE.md rounds 4-6).
+The suite is measured ``$SPARK_GRAFT_BENCH_RUNS`` times (default 2),
+each run in its OWN subprocess/JVM (two passes in one JVM measurably
+flush the 2g code cache — see run_one); ``value``/``queries`` are
+best-over-runs and the per-run totals + median ride along so
+round-over-round comparisons carry their own variance context
+(quiet-box variance is ±15-25% here, BASELINE.md rounds 4-6).
 
 Why the printed ``queries`` dict is a HEADLINE SUBSET: the driver
 captures only a bounded tail of stdout and parses the JSON line out of
@@ -150,9 +151,17 @@ def probe_sec(spark) -> float:
     return round(best, 3)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+def run_one(sf_dir: str) -> dict:
+    """One full suite pass in THIS process's own fresh SparkSession.
+
+    Runs are process-isolated on purpose: two passes in one JVM put
+    ~440 query executions against the 2g reserved code cache (the JVM
+    hard max here) and round-7 measurements showed the second pass
+    degrading exactly the historical flush canaries
+    (cross_corpus_dedup 4.9 → 13.5 s, minhash_recall_eval 5.7 →
+    12.5 s) with the drift probe at 2.7× — the classic silent-flush
+    signature BASELINE.md r4 documents. A fresh JVM per run keeps the
+    passes i.i.d. and each inside the code-cache budget."""
     spark = get_spark("etl-geotab-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -216,65 +225,107 @@ def main() -> None:
     ).count()
     spark.catalog.clearCache()
 
-    # The suite runs $SPARK_GRAFT_BENCH_RUNS times (default 2) in the
-    # same warmed session, and the reported numbers are best-over-runs
-    # with the per-run totals and their median carried in the JSON —
-    # quiet-box run-to-run variance on this VM is ±15-25% (BASELINE.md
-    # rounds 4-6), so a single-run total is only comparable across
-    # rounds with prose context about which edge of the band it hit.
-    # Per-query numbers are min-over-runs for the same reason (and so
-    # one-time first-touch costs — OS page cache for data pages the
-    # zero-column warmup counts don't read — stop being attributed to
-    # whichever query scans a table's full width first).
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
-    run_timings: list[dict[str, float]] = []
-    run_drifts: list[float] = []
     n_total = len(qs)
     checkpoints = {max(0, round(n_total * f) - 1) for f in (0.25, 0.5, 0.75, 1.0)}
-    # ONE drift baseline for the whole session, measured before run 1:
-    # a per-run baseline would be JIT-hot for run 2+ (measured 40%
-    # faster right after run 1), silently inflating run-2 drift ratios
-    # with no actual flush. Against the global baseline a healthy JIT
-    # keeps later probes AT OR BELOW baseline; only a flush (or
-    # external load) pushes any probe, in any run, above ~2x.
-    probe_sec(spark)  # compile the probe plan; baseline is the 2nd run
+    probe_sec(spark)  # compile the probe plan; baseline is the 2nd call
     baseline_probe = probe_sec(spark)
-    for _run in range(n_runs):
-        timings: dict[str, float] = {}
-        probes: list[float] = [baseline_probe]
-        for i, (name, fn) in enumerate(qs.items()):
-            t0 = time.time()
+    timings: dict[str, float] = {}
+    probes: list[float] = [baseline_probe]
+    for i, (name, fn) in enumerate(qs.items()):
+        t0 = time.time()
+        try:
+            force(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+        # Session hygiene between queries — measured, not theoretical:
+        # without it, queries running ~90th in the suite clock 3-5x
+        # their isolated time (ngram_jaccard 16.9s vs 3.5s). Two
+        # causes: clearCache() drops persist()ed blocks, but
+        # localCheckpoint RDD blocks (iterative operators) and
+        # Python-side plan handles are only released when their
+        # objects are GARBAGE COLLECTED — Spark's ContextCleaner
+        # reacts to JVM GC, and the Python side holds JVM refs until
+        # CPython collects. Force both.
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        gc.collect()
+        if i in checkpoints:
+            probes.append(probe_sec(spark))
+    spark.stop()
+    # tail_drift > ~2 on a quiet box = code-cache flush suspect (the
+    # probe plan was compiled at suite start; only a flush or external
+    # load makes the SAME compiled plan slower later in the session).
+    drift = (
+        round(max(probes) / baseline_probe, 3) if baseline_probe > 0 else -1.0
+    )
+    return {"timings": timings, "drift": drift}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # Child mode: one suite pass, result to $SPARK_GRAFT_BENCH_OUT,
+    # nothing on stdout (the parent owns the single JSON line).
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(run_one(sf_dir), f)
+        return
+
+    # The suite is measured $SPARK_GRAFT_BENCH_RUNS times (default 2),
+    # EACH run in its own subprocess/JVM (see run_one's docstring for
+    # why one JVM cannot host two passes honestly). Reported numbers
+    # are best-over-runs with per-run totals and their median carried
+    # in the JSON — quiet-box run-to-run variance on this VM is
+    # ±15-25% (BASELINE.md rounds 4-6), so a single-run total is only
+    # comparable across rounds with prose context about which edge of
+    # the band it hit. Per-query numbers are min-over-runs for the
+    # same reason (and so one-time first-touch costs — OS page cache
+    # for data pages the zero-column warmup counts don't read — stop
+    # being attributed to whichever query scans a table first).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    results: list[dict] = []
+    if n_runs == 1:
+        results.append(run_one(sf_dir))
+    else:
+        import subprocess
+        import tempfile
+
+        for r in range(n_runs):
+            with tempfile.NamedTemporaryFile(
+                suffix=f".bench_run{r}.json", delete=False
+            ) as tf:
+                path = tf.name
+            env = dict(os.environ)
+            env["SPARK_GRAFT_BENCH_OUT"] = path
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.DEVNULL,  # parent owns stdout
+            )
             try:
-                force(fn(spark, sf_dir))
-                timings[name] = round(time.time() - t0, 3)
-            except Exception as e:  # noqa: BLE001
-                print(f"bench error in {name}: {e}", file=sys.stderr)
-                timings[name] = -1.0
-            # Session hygiene between queries — measured, not
-            # theoretical: without it, queries running ~90th in the
-            # suite clock 3-5x their isolated time (ngram_jaccard 16.9s
-            # vs 3.5s). Two causes: clearCache() drops persist()ed
-            # blocks, but localCheckpoint RDD blocks (iterative
-            # operators) and Python-side plan handles are only released
-            # when their objects are GARBAGE COLLECTED — Spark's
-            # ContextCleaner reacts to JVM GC, and the Python side
-            # holds JVM refs until CPython collects. Force both.
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-            gc.collect()
-            if i in checkpoints:
-                probes.append(probe_sec(spark))
-        run_timings.append(timings)
-        # tail_drift > ~2 on a quiet box = code-cache flush suspect
-        # (the probe plan was compiled at suite start; only a flush or
-        # external load makes the SAME compiled plan slower later).
-        # Reported as max over runs — the sentinel must not average
-        # away a single-run flush.
-        run_drifts.append(
-            round(max(probes) / baseline_probe, 3)
-            if baseline_probe > 0
-            else -1.0
-        )
+                if proc.returncode == 0:
+                    with open(path) as f:
+                        results.append(json.load(f))
+                else:
+                    print(
+                        f"bench: run {r} exited rc={proc.returncode}",
+                        file=sys.stderr,
+                    )
+            finally:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+        if not results:
+            print("bench: every run failed", file=sys.stderr)
+            sys.exit(1)
+
+    run_timings = [r["timings"] for r in results]
+    run_drifts = [r["drift"] for r in results]
 
     # per-query best over runs; an error in ANY run keeps the -1 marker
     best: dict[str, float] = {}
