@@ -298,6 +298,14 @@ def main() -> None:
     # for data pages the zero-column warmup counts don't read — stop
     # being attributed to whichever query scans a table first).
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # Wall budget (seconds): if the box is slow enough that another
+    # full run would push total bench wall past this, stop and report
+    # the runs finished so far — a recorded single-run JSON beats a
+    # recorder timeout with nothing recorded. 900 s fits two runs on
+    # every box measured so far (run ≈ 75 s warmup + 240-350 s suite)
+    # with one-run degradation only under ~2x external slowdown.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    t_start = time.time()
     results: list[dict] = []
     if n_runs == 1:
         results.append(run_one(sf_dir))
@@ -306,6 +314,15 @@ def main() -> None:
         import tempfile
 
         for r in range(n_runs):
+            elapsed = time.time() - t_start
+            if results and elapsed + elapsed / len(results) > budget_s:
+                print(
+                    f"bench: stopping after {len(results)} run(s) — "
+                    f"{elapsed:.0f}s elapsed, another run would exceed "
+                    f"the {budget_s:.0f}s budget",
+                    file=sys.stderr,
+                )
+                break
             with tempfile.NamedTemporaryFile(
                 suffix=f".bench_run{r}.json", delete=False
             ) as tf:
