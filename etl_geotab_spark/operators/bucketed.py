@@ -17,7 +17,7 @@ in-memory catalog, so no Hive metastore is needed.
 
 from __future__ import annotations
 
-import atexit
+import hashlib
 import os
 import re
 import shutil
@@ -42,52 +42,77 @@ def colocated_tables(
     catalog-backed DataFrames whose bucketing metadata Catalyst can use
     to elide the join exchange.
 
-    Isolation + amortization:
-    - names and paths are namespaced by sf_dir AND process id — the
-      correctness driver, pytest, and bench may run concurrently, and a
-      shared path would let one session's overwrite delete bucket files
-      out from under another session's lazy scan;
-    - within a session the write happens ONCE per (sf, side): if the
-      table is already registered, it is reused as-is (fixtures are
-      immutable), which is precisely the pay-the-shuffle-once contract
-      the layout exists for — re-invocations measure the JOIN, not the
-      write."""
-    ns = f"{_safe_name(sf_dir.strip('/'))}_p{os.getpid()}"
-    # this process's bucket dirs are temp state: best-effort removal at
-    # exit so repeated runs don't grow the temp dir without bound
-    _cleanup_at_exit(os.path.join(base_dir, ns))
+    Isolation + amortization (round-7 rework — the cache is now
+    CONTENT-ADDRESSED and shared across processes):
+    - the directory key is (sf_dir, side, join key, bucket count, a
+      canonical fingerprint of the input PLAN) — same inputs, same
+      bytes, so a completed directory is immutably reusable by ANY
+      session; a same-named side with different bucketing or filtered
+      input gets its own directory (round-3 advice);
+    - writers never touch a completed directory: each writes to a
+      pid-unique temp dir, then atomically renames it into place. If
+      the rename loses a race (another process completed first), the
+      loser discards its own copy and reads the winner's — fixtures
+      are immutable, so both copies are byte-equivalent layouts;
+    - a directory only counts as complete when the committer's
+      _SUCCESS marker is present (a crashed writer leaves only temp
+      dirs, never a half-complete final path);
+    - completed directories are NOT removed at exit: deleting them
+      would yank bucket files out from under another live session's
+      lazy scan, and persistence IS the contract — pay the shuffle
+      once, amortize it over every later session's joins (the batch
+      analogue of the reference's persistent keyed Map). Growth is
+      bounded by the handful of distinct content keys.
+    The per-session catalog still gets one external-table registration
+    per side (in-memory catalog; the DDL declares the bucketing so
+    Catalyst elides the join Exchange — plan-asserted in tests)."""
+    ns = _safe_name(sf_dir.strip("/"))
     out: dict[str, DataFrame] = {}
     for name, (df, key) in sides.items():
-        # cache key includes WHAT is cached (join key + bucket count +
-        # a fingerprint of the input PLAN): a same-named side with
-        # different bucketing — or different/filtered input data under
-        # the same side name — gets its own table instead of silently
-        # reusing the first call's layout (round-3 advice).
-        plan_fp = df.semanticHash() & 0xFFFFFFFF
-        # fingerprint goes into the PATH as well as the table name —
-        # a same-named side with different data must get its own files,
-        # not overwrite the first call's directory out from under its
-        # already-returned (lazy) scan
-        suffix = f"{name}_{_safe_name(key)}_{n_buckets}_{plan_fp:08x}"
+        # Content fingerprint = the CANONICALIZED analyzed plan string
+        # (exprIds normalized), hashed. semanticHash() was tried first
+        # and is NOT stable across processes (two sessions minted
+        # different hashes for the identical plan), which silently
+        # turned cross-process reuse into rewrite-per-process; the
+        # canonicalized string is process-stable and still filter-/
+        # shape-sensitive (round-3 advice: filtered input under the
+        # same side name must not reuse the full-table layout). The
+        # source PATH is not part of the string — sf_dir is already in
+        # the directory namespace above.
+        canon = (
+            df._jdf.queryExecution().analyzed().canonicalized().toString()
+        )
+        plan_fp = hashlib.sha256(canon.encode()).hexdigest()[:8]
+        suffix = f"{name}_{_safe_name(key)}_{n_buckets}_{plan_fp}"
         table = f"bkt_{ns}_{suffix}"
-        if not spark.catalog.tableExists(table):
+        final = os.path.join(base_dir, ns, suffix)
+        if spark.catalog.tableExists(table):
+            out[name] = spark.table(table)
+            continue
+        if not os.path.exists(os.path.join(final, "_SUCCESS")):
+            tmp = f"{final}.tmp.p{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            tmp_table = f"{table}_w{os.getpid()}"
             write_bucketed_external(
-                df,
-                table,
-                os.path.join(base_dir, ns, suffix),
-                key,
-                n_buckets,
-                sort_col=key,
+                df, tmp_table, tmp, key, n_buckets, sort_col=key
             )
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                # another process completed the same content key first;
+                # its directory is byte-equivalent — use it
+                shutil.rmtree(tmp, ignore_errors=True)
+        schema_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(
+            f"CREATE TABLE {table} ({schema_ddl}) USING parquet "
+            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{final}'"
+        )
         out[name] = spark.table(table)
     return out
-
-
-_CLEANUP_REGISTERED: set[str] = set()
-
-
-def _cleanup_at_exit(path: str) -> None:
-    if path in _CLEANUP_REGISTERED:
-        return
-    _CLEANUP_REGISTERED.add(path)
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
