@@ -82,6 +82,16 @@ def colocated_tables(
         canon = (
             df._jdf.queryExecution().analyzed().canonicalized().toString()
         )
+        if any(m in canon for m in ("LocalRelation", "LogicalRDD", "ExistingRDD")):
+            # in-memory relations print WITHOUT their rows (PySpark
+            # createDataFrame yields a LogicalRDD whose canonical
+            # string is just the schema), so two different literal
+            # datasets would collide; mix in semanticHash
+            # (data-sensitive). In-memory inputs are session-local —
+            # losing cross-process reuse for them is the correct
+            # trade, while file-backed scans (the real workload) keep
+            # the process-stable pure-canon key.
+            canon += f"#sem{df.semanticHash()}"
         plan_fp = hashlib.sha256(canon.encode()).hexdigest()[:8]
         suffix = f"{name}_{_safe_name(key)}_{n_buckets}_{plan_fp}"
         table = f"bkt_{ns}_{suffix}"
