@@ -1098,3 +1098,56 @@ def test_rownum_helpers_leave_no_sql_cache_entry(spark):
     global_row_number(df, ["k", "v"], "rn", num_partitions=4).count()
     ordered_prefix_sum(df, ["k", "v"], "v", "cum", num_partitions=4).count()
     assert cache_mgr.isEmpty() == was_empty
+
+
+def test_colocated_tables_reuses_completed_directory(spark, tmp_path):
+    """round-7 rework: the bucket cache is content-addressed and shared
+    across sessions. Simulate a second session by dropping the catalog
+    entry: the next call must register an external bucketed table over
+    the EXISTING files (no rewrite — file mtimes untouched) and the
+    join-exchange elision must hold on that reuse path."""
+    import os
+    import re
+
+    from etl_geotab_spark.io import load_table
+    from etl_geotab_spark.operators.bucketed import colocated_tables
+
+    sf = "/root/testdata/sf0.001"
+    base = str(tmp_path / "bkt")
+    sides = lambda: {  # noqa: E731
+        "orders": (load_table(spark, sf, "orders"), "o_orderkey"),
+        "lineitem": (load_table(spark, sf, "lineitem"), "l_orderkey"),
+    }
+    first = colocated_tables(spark, sf, base, sides())
+    n_first = first["orders"].count()
+
+    def tree_state(root):
+        return sorted(
+            (os.path.join(r, f), os.path.getmtime(os.path.join(r, f)))
+            for r, _, fs in os.walk(root)
+            for f in fs
+        )
+    before = tree_state(base)
+    assert any("_SUCCESS" in p for p, _ in before)
+
+    # "new session": the in-memory catalog entries are gone, files stay
+    for t in spark.catalog.listTables():
+        if t.name.startswith("bkt_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    second = colocated_tables(spark, sf, base, sides())
+    assert second["orders"].count() == n_first
+    assert tree_state(base) == before, "reuse path must not rewrite files"
+
+    # the reuse-path registration still elides the join exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, li = second["orders"], second["lineitem"]
+        j = o.join(li, o.o_orderkey == li.l_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    m = re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    assert m, plan
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in final_section[m.start():], plan
