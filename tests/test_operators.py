@@ -1151,3 +1151,49 @@ def test_colocated_tables_reuses_completed_directory(spark, tmp_path):
     assert m, plan
     final_section = plan.split("== Initial Plan ==")[0]
     assert "Exchange hashpartitioning" not in final_section[m.start():], plan
+
+
+def test_operator_surface_handles_empty_inputs(spark):
+    """Empty in -> empty out (no crash) across the public operator
+    surface — the round-6 ADVICE found the rownum helpers crashing on
+    empty frames; this pins the rest of the family so the property
+    holds as operators evolve."""
+    from etl_geotab_spark.operators.asof import asof_join
+    from etl_geotab_spark.operators.clusters import connected_components
+    from etl_geotab_spark.operators.dedup import (
+        dedup_exact,
+        dedup_latest,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+    from etl_geotab_spark.operators.similarity import cosine_topk_blas
+    from etl_geotab_spark.operators.skew import salted_join
+    from etl_geotab_spark.operators.topk import top_k_global, top_k_per_group
+
+    ev = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp, v double"
+    )
+    px = spark.createDataFrame([], "user_id long, ts timestamp, px double")
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label string"
+    )
+    doc = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    edges = spark.createDataFrame([], "src long, dst long")
+
+    assert asof_join(ev, px, "user_id", "user_id", "ts", "ts").count() == 0
+    assert top_k_global(ev, [F.col("v").desc()], 3).count() == 0
+    assert top_k_per_group(ev, ["user_id"], [F.col("v").desc()], 3).count() == 0
+    assert dedup_latest(ev, ["user_id"], "ts", ["event_id"]).count() == 0
+    assert dedup_exact(doc, "text", "doc_id").count() == 0
+    assert minhash_lsh_pairs(doc, "text", "doc_id").count() == 0
+    assert simhash_near_dup_pairs(doc, "text", "doc_id").count() == 0
+    assert ngram_jaccard_pairs(doc, "text", "doc_id").count() == 0
+    assert salted_join(
+        ev, px.selectExpr("user_id as uid2", "px"), "user_id", "uid2",
+        salt_cols=["event_id"],
+    ).count() == 0
+    assert cosine_topk_blas(emb, emb, k=3).count() == 0
+    assert connected_components(edges, "src", "dst").count() == 0
