@@ -1118,6 +1118,16 @@ def test_colocated_tables_reuses_completed_directory(spark, tmp_path):
         "orders": (load_table(spark, sf, "orders"), "o_orderkey"),
         "lineitem": (load_table(spark, sf, "lineitem"), "l_orderkey"),
     }
+
+    def drop_bkt_tables():
+        # the shared session may carry bkt_* registrations from other
+        # tests for the SAME content key; tableExists would then
+        # short-circuit the write into this test's fresh base dir
+        for t in spark.catalog.listTables():
+            if t.name.startswith("bkt_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+    drop_bkt_tables()
     first = colocated_tables(spark, sf, base, sides())
     n_first = first["orders"].count()
 
@@ -1131,9 +1141,7 @@ def test_colocated_tables_reuses_completed_directory(spark, tmp_path):
     assert any("_SUCCESS" in p for p, _ in before)
 
     # "new session": the in-memory catalog entries are gone, files stay
-    for t in spark.catalog.listTables():
-        if t.name.startswith("bkt_"):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    drop_bkt_tables()
     second = colocated_tables(spark, sf, base, sides())
     assert second["orders"].count() == n_first
     assert tree_state(base) == before, "reuse path must not rewrite files"
