@@ -315,11 +315,16 @@ def main() -> None:
 
         for r in range(n_runs):
             elapsed = time.time() - t_start
-            if results and elapsed + elapsed / len(results) > budget_s:
+            # estimate the next run from ALL attempts so far (failed
+            # runs burn wall time too — gating on successful results
+            # alone would let a crash-looping box blow the budget,
+            # the exact case the guard exists for)
+            if r > 0 and elapsed + elapsed / r > budget_s:
                 print(
-                    f"bench: stopping after {len(results)} run(s) — "
-                    f"{elapsed:.0f}s elapsed, another run would exceed "
-                    f"the {budget_s:.0f}s budget",
+                    f"bench: stopping after {r} attempt(s) "
+                    f"({len(results)} successful) — {elapsed:.0f}s "
+                    f"elapsed, another run would exceed the "
+                    f"{budget_s:.0f}s budget",
                     file=sys.stderr,
                 )
                 break

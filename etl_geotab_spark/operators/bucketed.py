@@ -31,6 +31,31 @@ def _safe_name(s: str) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", s)
 
 
+def _sweep_stale_tmp(ns_dir: str) -> None:
+    """Remove `*.tmp.p<pid>` staging directories whose writer process
+    is dead — a session killed between write and rename would otherwise
+    leak a full bucketed copy per crash, unbounded (the atexit cleanup
+    went away with the PID-namespaced layout). Live writers' tmp dirs
+    are left alone; completed (`_SUCCESS`-marked) directories are never
+    touched."""
+    try:
+        entries = os.listdir(ns_dir)
+    except OSError:
+        return
+    for e in entries:
+        m = re.fullmatch(r".+\.tmp\.p(\d+)", e)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        try:
+            os.kill(pid, 0)  # signal 0 = liveness probe only
+            continue  # writer still running — not ours to clean
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(ns_dir, e), ignore_errors=True)
+        except OSError:
+            continue  # e.g. EPERM: pid exists under another user
+
+
 def colocated_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -69,30 +94,43 @@ def colocated_tables(
     ns = _safe_name(sf_dir.strip("/"))
     out: dict[str, DataFrame] = {}
     for name, (df, key) in sides.items():
-        # Content fingerprint = the CANONICALIZED analyzed plan string
-        # (exprIds normalized), hashed. semanticHash() was tried first
-        # and is NOT stable across processes (two sessions minted
-        # different hashes for the identical plan), which silently
-        # turned cross-process reuse into rewrite-per-process; the
-        # canonicalized string is process-stable and still filter-/
-        # shape-sensitive (round-3 advice: filtered input under the
-        # same side name must not reuse the full-table layout). The
-        # source PATH is not part of the string — sf_dir is already in
-        # the directory namespace above.
+        # Content fingerprint — must be BOTH process-stable (so a
+        # second session reuses the first's files instead of
+        # rewriting) and input-sensitive (round-3 advice: different/
+        # filtered input under the same side name must not reuse the
+        # first call's layout). Neither single source suffices:
+        # semanticHash() is input-sensitive but NOT stable across
+        # processes (two sessions hashed the identical plan
+        # differently), and the canonicalized plan STRING alone is
+        # lossy — it normalizes attributes to `none#N` (column names
+        # gone), omits the source path, and truncates past
+        # spark.sql.debug.maxToStringFields, so two different
+        # same-typed projections collide (verified live). Composite
+        # key instead:
+        #  - schema DDL: full column names + types, untruncated;
+        #  - canonicalized plan string: operator-tree shape, filters,
+        #    literals (exprIds normalized → process-stable);
+        #  - sorted input file list: the actual bytes scanned — a
+        #    different table/path with an identical schema and tree
+        #    cannot collide.
         canon = (
             df._jdf.queryExecution().analyzed().canonicalized().toString()
         )
+        schema_key = ",".join(
+            f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        files_key = "\n".join(sorted(df.inputFiles()))
         if any(m in canon for m in ("LocalRelation", "LogicalRDD", "ExistingRDD")):
-            # in-memory relations print WITHOUT their rows (PySpark
-            # createDataFrame yields a LogicalRDD whose canonical
-            # string is just the schema), so two different literal
-            # datasets would collide; mix in semanticHash
-            # (data-sensitive). In-memory inputs are session-local —
-            # losing cross-process reuse for them is the correct
-            # trade, while file-backed scans (the real workload) keep
-            # the process-stable pure-canon key.
+            # in-memory relations have no input files and print WITHOUT
+            # their rows, so two literal datasets would still collide;
+            # mix in semanticHash (data-sensitive). In-memory inputs
+            # are session-local — losing cross-process reuse for them
+            # is the correct trade; file-backed scans (the real
+            # workload) keep the process-stable composite key.
             canon += f"#sem{df.semanticHash()}"
-        plan_fp = hashlib.sha256(canon.encode()).hexdigest()[:8]
+        plan_fp = hashlib.sha256(
+            f"{schema_key}\n{canon}\n{files_key}".encode()
+        ).hexdigest()[:8]
         suffix = f"{name}_{_safe_name(key)}_{n_buckets}_{plan_fp}"
         table = f"bkt_{ns}_{suffix}"
         final = os.path.join(base_dir, ns, suffix)
@@ -100,6 +138,7 @@ def colocated_tables(
             out[name] = spark.table(table)
             continue
         if not os.path.exists(os.path.join(final, "_SUCCESS")):
+            _sweep_stale_tmp(os.path.dirname(final))
             tmp = f"{final}.tmp.p{os.getpid()}"
             shutil.rmtree(tmp, ignore_errors=True)
             tmp_table = f"{table}_w{os.getpid()}"
@@ -111,8 +150,14 @@ def colocated_tables(
             try:
                 os.rename(tmp, final)
             except OSError:
-                # another process completed the same content key first;
-                # its directory is byte-equivalent — use it
+                # EITHER another process completed the same content key
+                # first (its directory is byte-equivalent — use it) OR
+                # a genuine failure (permissions, cross-device, ...).
+                # Only the former may be swallowed: registering a table
+                # over a missing/incomplete `final` would silently
+                # return 0 rows forever after.
+                if not os.path.exists(os.path.join(final, "_SUCCESS")):
+                    raise
                 shutil.rmtree(tmp, ignore_errors=True)
         schema_ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"

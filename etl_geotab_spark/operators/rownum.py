@@ -45,7 +45,14 @@ def global_row_number(
     # .persist() would pin it too, but its CacheManager entry lives
     # until an explicit unpersist and leaked in long-lived sessions;
     # localCheckpoint blocks are reclaimed by the ContextCleaner once
-    # the result frame is garbage-collected.
+    # the result frame is garbage-collected. Availability trade, made
+    # knowingly: localCheckpoint truncates lineage, so losing an
+    # executor that holds blocks between the two jobs fails the query
+    # (Spark's documented caveat) and the CALLER retries — acceptable
+    # for a two-job helper whose window between jobs is seconds; on
+    # clusters with aggressive decommissioning, prefer a reliable
+    # checkpoint dir (spark.sparkContext.setCheckpointDir + .checkpoint)
+    # at the cost of a DFS round-trip.
     ranged = df.repartitionByRange(n, *cols).localCheckpoint(eager=True)
     local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_local_rn",
@@ -92,9 +99,10 @@ def ordered_prefix_sum(
     values = min-rank) and CDF/quantile layers at any scale."""
     cols = [F.col(c) for c in order_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Same pinning rationale as global_row_number: localCheckpoint
-    # fixes the partition assignment across the totals job and the
-    # final job without a CacheManager entry that outlives the call.
+    # Same pinning rationale (and the same knowingly-made executor-
+    # loss availability trade) as global_row_number above: fixes the
+    # partition assignment across the totals job and the final job
+    # without a CacheManager entry that outlives the call.
     ranged = df.repartitionByRange(n, *cols).localCheckpoint(eager=True)
     local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_local_cum",

@@ -503,6 +503,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# (sf_dir, table) -> (row_count, min array length of the probed column)
+# memo for the corpus-scaled stride probes. Fixtures are immutable per
+# process lifetime, and without the memo every INVOCATION of a
+# stride-scaled query (semdedup, contrastive, ANN probes, contamination
+# bench set) paid a full extra count job at plan-construction time —
+# ~5 extra table scans per bench pass (round-7 review).
+_SIZE_PROBES: dict[tuple[str, str], tuple[int, int]] = {}
+
+
+def _size_probe(
+    spark: SparkSession, sf_dir: str, table: str, arr_col: str | None = None
+) -> tuple[int, int]:
+    """Memoized (row_count, min size(arr_col) or 0) for a fixture
+    table — one bounded scalar job per (sf_dir, table) per process."""
+    key = (sf_dir, table)
+    # re-probe (once) if a prior caller cached this table without the
+    # array-length dimension a later caller needs
+    if key not in _SIZE_PROBES or (
+        arr_col is not None and _SIZE_PROBES[key][1] == 0
+    ):
+        df = _t(spark, sf_dir, table)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if arr_col is not None:
+            aggs.append(F.min(F.size(arr_col)).alias("d"))
+        row = df.agg(*aggs).collect()[0]  # bounded: one scalar row
+        _SIZE_PROBES[key] = (row["n"], (row["d"] if arr_col else 0) or 0)
+    return _SIZE_PROBES[key]
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to full parallelism before expensive
     per-row work (pandas UDFs, signature computation, HOF chains).
@@ -2240,8 +2269,8 @@ def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     # any corpus; exactly %500 at both driver-checked scales) — ANN
     # serving cost is per-query, and a stride ∝ const makes the batch
     # query's work probes × bucket-probe ∝ n²/const (the round-7
-    # latent-quadratic class). One bounded count probes the size.
-    stride = max(500, emb.count() // 20)
+    # latent-quadratic class). Sizing via the memoized probe.
+    stride = max(500, _size_probe(spark, sf, "embeddings")[0] // 20)
     queries_side = emb.where(F.col("vec_id") % stride == 0)
     return lsh_bucketed_ann(
         emb, queries_side, k=10, **_ANN_LSH
@@ -2466,7 +2495,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _t(spark, sf, "embeddings")
     # bounded probe sample — same rationale as lsh_ann_topk above
-    stride = max(500, emb.count() // 20)
+    stride = max(500, _size_probe(spark, sf, "embeddings")[0] // 20)
     queries_side = emb.where(F.col("vec_id") % stride == 0)
     return ivf_topk(
         emb, queries_side, k=10, **_ANN_IVF
@@ -4288,9 +4317,8 @@ def q_contamination_overlap(spark: SparkSession, sf: str) -> DataFrame:
     # has a FIXED external benchmark suite, so the stride scales:
     # max(50, n//100) caps the bench sample at ~100 docs forever; at
     # both driver-checked scales (n ≤ 5000) it stays exactly 50,
-    # matching the %50 oracle. One bounded count probes the size.
-    n_docs = d.count()  # bounded: one scalar
-    stride = max(50, n_docs // 100)
+    # matching the %50 oracle. Sizing via the memoized probe.
+    stride = max(50, _size_probe(spark, sf, "documents")[0] // 100)
     ts = F.split(F.col("text"), " ")
     grams = d.select(
         "doc_id",
@@ -7676,10 +7704,8 @@ def q_semdedup_buckets(spark: SparkSession, sf: str) -> DataFrame:
     from etl_geotab_spark.operators.similarity import exact_cosine_pairs
 
     emb = _t(spark, sf, "embeddings")
-    probe = emb.agg(
-        F.count(F.lit(1)).alias("n"), F.min(F.size("embedding")).alias("d")
-    ).collect()[0]  # bounded: one scalar row
-    n, d = probe["n"], probe["d"] or 4
+    n, d = _size_probe(spark, sf, "embeddings", "embedding")
+    d = d or 4
     dims = max(4, min(24, d, (max(1, n // 125) - 1).bit_length()))
     bucket = sum(
         F.when(
@@ -10663,7 +10689,7 @@ def q_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
     exactly 100, matching the fixed %100 oracle. The sizing probe is
     one bounded count."""
     emb = _t(spark, sf, "embeddings")
-    n = emb.count()  # bounded: one scalar
+    n = _size_probe(spark, sf, "embeddings")[0]
     stride = max(100, n // 50)
     a = emb.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("a_id"),

@@ -274,15 +274,21 @@ def _is_transient(exc: Exception) -> bool:
 # JSON-RPC error names/messages that mean "credentials are the
 # problem" — the only class where an executor-side relogin helps
 # (MyGeotab raises InvalidUserException for both bad passwords and
-# expired sessions; DbUnavailable etc. are NOT auth). Markers may be
-# broad ("expired", "credentials") because they are matched against
-# the error's SEMANTIC fields only, never the serialized payload.
+# expired sessions; DbUnavailable etc. are NOT auth). Markers are
+# matched against the error's SEMANTIC fields only, never the
+# serialized payload — but even so, expiry wording stays PHRASED
+# ("session expired", "token expired"), not the bare word: unrelated
+# resources expire too ("connection lease expired", cache/quota
+# expiry), and a false auth positive costs a wasted Authenticate +
+# re-Get on every partition.
 _AUTH_ERROR_MARKERS = (
     "invaliduserexception",
     "sessionexpired",
     "session expired",
+    "session has expired",
     "invalid session",
-    "expired",
+    "token expired",
+    "login expired",
     "credentials",
 )
 
@@ -302,8 +308,13 @@ def _iter_error_fields(error: Any):
             v = error.get(k)
             if isinstance(v, str):
                 yield v
+        # data recurses only when DICT-shaped: a STRING data field is
+        # frequently the serialized failing request (which contains a
+        # literal 'credentials' key) — yielding it wholesale would
+        # re-open exactly the echoed-request hole this function closes.
+        # Dict-shaped data still contributes its name/message/type.
         data = error.get("data")
-        if isinstance(data, (dict, str)):
+        if isinstance(data, dict):
             yield from _iter_error_fields(data)
         nested = error.get("errors")
         if isinstance(nested, list):

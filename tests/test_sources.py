@@ -694,7 +694,7 @@ def test_auth_error_matches_semantic_fields_only():
     # genuine auth failures: name / message / nested errors / data.type
     assert _is_auth_error({"name": "InvalidUserException", "message": "x"})
     assert _is_auth_error({"message": "Session expired, log in again"})
-    assert _is_auth_error({"message": "session token has EXPIRED"})
+    assert _is_auth_error({"message": "auth TOKEN EXPIRED, re-authenticate"})
     assert _is_auth_error(
         {"errors": [{"name": "JSONRPCError", "message": "invalid session"}]}
     )
@@ -712,6 +712,21 @@ def test_auth_error_matches_semantic_fields_only():
         },
     }
     assert not _is_auth_error(echo)
+    # NOT auth: the echo serialized as a STRING data field (round-7
+    # review) — must not be yielded wholesale as a semantic field
+    assert not _is_auth_error(
+        {
+            "name": "DbUnavailableException",
+            "message": "db starting",
+            "data": '{"method":"Get","params":{"credentials":{"u":"x"}}}',
+        }
+    )
+    # NOT auth: non-credential expiry wording (round-7 review — the
+    # bare 'expired' marker misfired on lease/cache/quota expiry)
+    assert not _is_auth_error(
+        {"name": "DbUnavailableException",
+         "message": "connection lease expired, retry later"}
+    )
     # NOT auth: unrelated semantic error
     assert not _is_auth_error({"name": "OverLimitException", "message": "429"})
 
