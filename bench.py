@@ -315,11 +315,15 @@ def main() -> None:
 
         for r in range(n_runs):
             elapsed = time.time() - t_start
-            # estimate the next run from ALL attempts so far (failed
-            # runs burn wall time too — gating on successful results
-            # alone would let a crash-looping box blow the budget,
-            # the exact case the guard exists for)
-            if r > 0 and elapsed + elapsed / r > budget_s:
+            # Budget gate, estimating the next run from ALL attempts
+            # (failed runs burn wall time too — a crash-looping box
+            # must not blow the budget). With NO success yet, though,
+            # only raw elapsed gates: a crash is a bad estimator for a
+            # successful run's duration, and stopping with zero
+            # results defeats the guard's own purpose ("a recorded
+            # single-run JSON beats a timeout with nothing recorded").
+            projected = elapsed + (elapsed / r if results and r else 0)
+            if r > 0 and projected > budget_s:
                 print(
                     f"bench: stopping after {r} attempt(s) "
                     f"({len(results)} successful) — {elapsed:.0f}s "

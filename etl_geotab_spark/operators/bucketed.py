@@ -110,16 +110,29 @@ def colocated_tables(
         #  - schema DDL: full column names + types, untruncated;
         #  - canonicalized plan string: operator-tree shape, filters,
         #    literals (exprIds normalized → process-stable);
-        #  - sorted input file list: the actual bytes scanned — a
-        #    different table/path with an identical schema and tree
-        #    cannot collide.
+        #  - sorted input file list WITH size+mtime per file: the
+        #    actual bytes scanned — a different table/path with an
+        #    identical schema and tree cannot collide, and a fixture
+        #    regenerated IN PLACE under the same file names mints a
+        #    new key instead of silently reusing stale bucket data
+        #    (the cache is cross-process persistent, so name-only
+        #    identity is not enough).
         canon = (
             df._jdf.queryExecution().analyzed().canonicalized().toString()
         )
-        schema_key = ",".join(
-            f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields
-        )
-        files_key = "\n".join(sorted(df.inputFiles()))
+        schema_pairs = [
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        ]
+        schema_key = ",".join(f"{n}:{t}" for n, t in schema_pairs)
+
+        def _file_id(uri: str) -> str:
+            p = uri[len("file:"):] if uri.startswith("file:") else uri
+            try:
+                st = os.stat(p)
+                return f"{uri}|{st.st_size}|{st.st_mtime_ns}"
+            except OSError:
+                return uri  # non-local URI: name-only identity
+        files_key = "\n".join(sorted(_file_id(u) for u in df.inputFiles()))
         if any(m in canon for m in ("LocalRelation", "LogicalRDD", "ExistingRDD")):
             # in-memory relations have no input files and print WITHOUT
             # their rows, so two literal datasets would still collide;
@@ -155,14 +168,15 @@ def colocated_tables(
                 # a genuine failure (permissions, cross-device, ...).
                 # Only the former may be swallowed: registering a table
                 # over a missing/incomplete `final` would silently
-                # return 0 rows forever after.
+                # return 0 rows forever after. Either way the tmp copy
+                # is useless — remove it before propagating.
                 if not os.path.exists(os.path.join(final, "_SUCCESS")):
+                    shutil.rmtree(tmp, ignore_errors=True)
                     raise
                 shutil.rmtree(tmp, ignore_errors=True)
-        schema_ddl = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}"
-            for f in df.schema.fields
-        )
+        # same (name, type) pairs as schema_key above — one source of
+        # truth so the fingerprint can't desynchronize from the DDL
+        schema_ddl = ", ".join(f"`{n}` {t}" for n, t in schema_pairs)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(
             f"CREATE TABLE {table} ({schema_ddl}) USING parquet "

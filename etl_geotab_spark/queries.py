@@ -503,26 +503,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# (sf_dir, table) -> (row_count, min array length of the probed column)
+# (sf_dir, table, arr_col) -> (row_count, min array length of arr_col)
 # memo for the corpus-scaled stride probes. Fixtures are immutable per
 # process lifetime, and without the memo every INVOCATION of a
 # stride-scaled query (semdedup, contrastive, ANN probes, contamination
 # bench set) paid a full extra count job at plan-construction time —
-# ~5 extra table scans per bench pass (round-7 review).
-_SIZE_PROBES: dict[tuple[str, str], tuple[int, int]] = {}
+# ~5 extra table scans per bench pass (round-7 review). arr_col is part
+# of the key so two callers probing DIFFERENT array columns of the same
+# table never see each other's cached dimension.
+_SIZE_PROBES: dict[tuple[str, str, str | None], tuple[int, int]] = {}
 
 
 def _size_probe(
     spark: SparkSession, sf_dir: str, table: str, arr_col: str | None = None
 ) -> tuple[int, int]:
     """Memoized (row_count, min size(arr_col) or 0) for a fixture
-    table — one bounded scalar job per (sf_dir, table) per process."""
-    key = (sf_dir, table)
-    # re-probe (once) if a prior caller cached this table without the
-    # array-length dimension a later caller needs
-    if key not in _SIZE_PROBES or (
-        arr_col is not None and _SIZE_PROBES[key][1] == 0
-    ):
+    table — one bounded scalar job per distinct probe per process."""
+    key = (sf_dir, table, arr_col)
+    if key not in _SIZE_PROBES:
         df = _t(spark, sf_dir, table)
         aggs = [F.count(F.lit(1)).alias("n")]
         if arr_col is not None:
@@ -2570,7 +2568,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     100 TB the df table is the only global state and it is tiny
     (vocabulary-sized); everything else is partition-local."""
     d = _spread(_t(spark, sf, "documents"))
-    n_docs = d.count()
+    # memoized probe (_spread is a pure repartition — same count)
+    n_docs = _size_probe(spark, sf, "documents")[0]
     tok = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("term").agg(

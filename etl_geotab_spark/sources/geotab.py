@@ -286,9 +286,12 @@ _AUTH_ERROR_MARKERS = (
     "sessionexpired",
     "session expired",
     "session has expired",
+    "session token has expired",
     "invalid session",
     "token expired",
+    "token has expired",
     "login expired",
+    "login has expired",
     "credentials",
 )
 
@@ -308,14 +311,20 @@ def _iter_error_fields(error: Any):
             v = error.get(k)
             if isinstance(v, str):
                 yield v
-        # data recurses only when DICT-shaped: a STRING data field is
-        # frequently the serialized failing request (which contains a
-        # literal 'credentials' key) — yielding it wholesale would
-        # re-open exactly the echoed-request hole this function closes.
-        # Dict-shaped data still contributes its name/message/type.
+        # Dict-shaped data contributes its name/message/type. A STRING
+        # data field is yielded ONLY when it is not a serialized
+        # request echo (a quoted 'credentials' KEY marks one) —
+        # yielding echoes wholesale re-opens the false-positive hole
+        # this function closes, but dropping all string data would
+        # miss servers that put the auth signal there (e.g.
+        # data: "session has expired").
         data = error.get("data")
         if isinstance(data, dict):
             yield from _iter_error_fields(data)
+        elif isinstance(data, str) and not (
+            '"credentials"' in data or "'credentials'" in data
+        ):
+            yield data
         nested = error.get("errors")
         if isinstance(nested, list):
             for e in nested:

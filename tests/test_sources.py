@@ -699,6 +699,16 @@ def test_auth_error_matches_semantic_fields_only():
         {"errors": [{"name": "JSONRPCError", "message": "invalid session"}]}
     )
     assert _is_auth_error({"data": {"type": "InvalidUserException"}})
+    # intervening-word phrasings (round-7 second review: narrowing the
+    # bare 'expired' marker must not lose these previously-covered
+    # genuine expiry wordings)
+    assert _is_auth_error({"message": "The session token has expired"})
+    assert _is_auth_error({"message": "login has expired, sign in again"})
+    # auth signal carried ONLY in a string data field still counts
+    assert _is_auth_error(
+        {"name": "JSONRPCError", "message": "request failed",
+         "data": "session has expired"}
+    )
     # NOT auth: the request echo contains a 'credentials' KEY but no
     # semantic field names a credential problem
     echo = {
