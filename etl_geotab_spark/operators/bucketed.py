@@ -17,6 +17,7 @@ in-memory catalog, so no Hive metastore is needed.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import re
@@ -26,34 +27,111 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_geotab_spark.io import write_bucketed_external
 
+# session dirs whose atexit cleanup is already registered (one
+# registration per directory, however many sides land in it)
+_SESSION_DIRS_CLEANED: set[str] = set()
+
 
 def _safe_name(s: str) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", s)
 
 
-def _sweep_stale_tmp(ns_dir: str) -> None:
-    """Remove `*.tmp.p<pid>` staging directories whose writer process
-    is dead — a session killed between write and rename would otherwise
-    leak a full bucketed copy per crash, unbounded (the atexit cleanup
-    went away with the PID-namespaced layout). Live writers' tmp dirs
-    are left alone; completed (`_SUCCESS`-marked) directories are never
-    touched."""
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)  # signal 0 = liveness probe only
+        return True
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True  # e.g. EPERM: pid exists under another user
+
+
+def _sweep_stale(ns_dir: str) -> None:
+    """Remove pid-stamped directories whose writer/owner process is
+    dead: ``*.tmp.p<pid>`` / ``*.stale.p<pid>`` staging dirs (a session
+    killed between write and rename would otherwise leak a full
+    bucketed copy per crash) and ``session.p<pid>`` dirs (in-memory
+    inputs publish here; atexit cleans them on normal exit, this sweep
+    catches crashes — round-8 advice: in-memory keys are process-
+    unique, so leaving them in the persistent cache grows disk
+    unboundedly). Live processes' dirs are left alone; completed
+    persistent (`_SUCCESS`-marked, content-addressed) directories are
+    never touched — persistence is their contract."""
     try:
         entries = os.listdir(ns_dir)
     except OSError:
         return
     for e in entries:
-        m = re.fullmatch(r".+\.tmp\.p(\d+)", e)
-        if not m:
-            continue
-        pid = int(m.group(1))
-        try:
-            os.kill(pid, 0)  # signal 0 = liveness probe only
-            continue  # writer still running — not ours to clean
-        except ProcessLookupError:
+        m = re.fullmatch(r".+\.(?:tmp|stale)\.p(\d+)", e) or re.fullmatch(
+            r"session\.p(\d+)", e
+        )
+        if m and not _pid_alive(int(m.group(1))):
             shutil.rmtree(os.path.join(ns_dir, e), ignore_errors=True)
+
+
+def _session_dir(ns_parent: str) -> str:
+    """Per-process directory for bucketed copies of IN-MEMORY inputs,
+    removed at interpreter exit. In-memory plans have no process-stable
+    fingerprint (semanticHash differs per process), so publishing them
+    into the persistent content-addressed cache would mint a fresh
+    never-reused directory per run — unbounded growth. Session-local +
+    atexit is the correct scope: nothing outside this process could
+    ever reuse the files anyway."""
+    d = os.path.join(ns_parent, f"session.p{os.getpid()}")
+    if d not in _SESSION_DIRS_CLEANED:
+        _SESSION_DIRS_CLEANED.add(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _self_healing_rename(tmp: str, final: str) -> None:
+    """Atomically promote ``tmp`` to ``final``, tolerating both (a) a
+    concurrent winner (its completed directory is byte-equivalent —
+    discard ours and use it) and (b) a stale INCOMPLETE ``final`` with
+    no `_SUCCESS` (pre-round-7 layout, an interrupted rmtree, partial
+    external cleanup): previously that state wedged the content key
+    forever — every writer's rename failed ENOTEMPTY after deleting
+    its tmp (round-8 advice). Now the stale dir is atomically claimed
+    (renamed aside), re-verified as incomplete (it may be a winner
+    that completed between our check and the claim — put it back),
+    removed, and the rename retried once. ``tmp`` is always consumed:
+    renamed into place or deleted."""
+    try:
+        os.rename(tmp, final)
+        return
+    except OSError as rename_err:
+        success = os.path.join(final, "_SUCCESS")
+        if os.path.exists(success):
+            shutil.rmtree(tmp, ignore_errors=True)  # lost to a winner
+            return
+        # claim the (apparently incomplete) dir atomically before
+        # deleting — a blind rmtree(final) could race a winner's
+        # just-finished rename and destroy a completed directory
+        stale = f"{final}.stale.p{os.getpid()}"
+        try:
+            os.rename(final, stale)
         except OSError:
-            continue  # e.g. EPERM: pid exists under another user
+            stale = None  # already gone / claimed by another healer
+        if stale is not None:
+            if os.path.exists(os.path.join(stale, "_SUCCESS")):
+                # it WAS a winner completing mid-check: restore it
+                try:
+                    os.rename(stale, final)
+                except OSError:
+                    # another writer refilled `final` meanwhile; the
+                    # claimed copy is a redundant duplicate
+                    shutil.rmtree(stale, ignore_errors=True)
+            else:
+                shutil.rmtree(stale, ignore_errors=True)
+        try:
+            os.rename(tmp, final)
+            return
+        except OSError:
+            if os.path.exists(success):
+                shutil.rmtree(tmp, ignore_errors=True)  # winner raced in
+                return
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise rename_err from None
 
 
 def colocated_tables(
@@ -67,31 +145,45 @@ def colocated_tables(
     catalog-backed DataFrames whose bucketing metadata Catalyst can use
     to elide the join exchange.
 
-    Isolation + amortization (round-7 rework — the cache is now
-    CONTENT-ADDRESSED and shared across processes):
+    Isolation + amortization (round-7 rework — the cache is
+    CONTENT-ADDRESSED and shared across processes; round-8 advice
+    hardening noted inline):
     - the directory key is (sf_dir, side, join key, bucket count, a
       canonical fingerprint of the input PLAN) — same inputs, same
       bytes, so a completed directory is immutably reusable by ANY
       session; a same-named side with different bucketing or filtered
       input gets its own directory (round-3 advice);
+    - the catalog table name additionally digests ``base_dir``: a
+      same-session call with a DIFFERENT base must not short-circuit
+      onto the first base's registration (whose location may since
+      have been deleted) — round-8 advice;
     - writers never touch a completed directory: each writes to a
-      pid-unique temp dir, then atomically renames it into place. If
-      the rename loses a race (another process completed first), the
-      loser discards its own copy and reads the winner's — fixtures
-      are immutable, so both copies are byte-equivalent layouts;
+      pid-unique temp dir, then atomically renames it into place via
+      ``_self_healing_rename`` (handles both a concurrent winner and
+      a stale incomplete ``final`` — round-8 advice);
     - a directory only counts as complete when the committer's
       _SUCCESS marker is present (a crashed writer leaves only temp
       dirs, never a half-complete final path);
-    - completed directories are NOT removed at exit: deleting them
-      would yank bucket files out from under another live session's
-      lazy scan, and persistence IS the contract — pay the shuffle
-      once, amortize it over every later session's joins (the batch
-      analogue of the reference's persistent keyed Map). Growth is
-      bounded by the handful of distinct content keys.
+    - completed FILE-BACKED directories are NOT removed at exit:
+      deleting them would yank bucket files out from under another
+      live session's lazy scan, and persistence IS the contract — pay
+      the shuffle once, amortize it over every later session's joins
+      (the batch analogue of the reference's persistent keyed Map).
+      Growth is bounded by the handful of distinct content keys.
+      IN-MEMORY inputs (LocalRelation etc.) have no process-stable
+      fingerprint, so they go to a per-process ``session.p<pid>`` dir
+      cleaned at exit (and swept by dead-pid probe after a crash)
+      instead of polluting the persistent cache — round-8 advice.
     The per-session catalog still gets one external-table registration
     per side (in-memory catalog; the DDL declares the bucketing so
     Catalyst elides the join Exchange — plan-asserted in tests)."""
     ns = _safe_name(sf_dir.strip("/"))
+    ns_parent = os.path.join(base_dir, ns)
+    # 64-bit digest of the storage base: keeps catalog names distinct
+    # across bases (see docstring) without path-length concerns
+    base_fp = hashlib.sha256(
+        os.path.abspath(base_dir).encode()
+    ).hexdigest()[:16]
     out: dict[str, DataFrame] = {}
     for name, (df, key) in sides.items():
         # Content fingerprint — must be BOTH process-stable (so a
@@ -133,25 +225,33 @@ def colocated_tables(
             except OSError:
                 return uri  # non-local URI: name-only identity
         files_key = "\n".join(sorted(_file_id(u) for u in df.inputFiles()))
-        if any(m in canon for m in ("LocalRelation", "LogicalRDD", "ExistingRDD")):
+        in_memory = any(
+            m in canon for m in ("LocalRelation", "LogicalRDD", "ExistingRDD")
+        )
+        if in_memory:
             # in-memory relations have no input files and print WITHOUT
             # their rows, so two literal datasets would still collide;
-            # mix in semanticHash (data-sensitive). In-memory inputs
-            # are session-local — losing cross-process reuse for them
-            # is the correct trade; file-backed scans (the real
-            # workload) keep the process-stable composite key.
+            # mix in semanticHash (data-sensitive, process-UNstable —
+            # which is why these land in the session dir below, never
+            # the persistent cross-process cache).
             canon += f"#sem{df.semanticHash()}"
+        # 16 hex chars = 64 bits: at 32 bits a birthday collision
+        # between two distinct inputs under the same side name would
+        # silently serve the wrong bucketed data FOREVER (the cache is
+        # durable) — round-8 advice; name length is not a constraint.
         plan_fp = hashlib.sha256(
             f"{schema_key}\n{canon}\n{files_key}".encode()
-        ).hexdigest()[:8]
+        ).hexdigest()[:16]
         suffix = f"{name}_{_safe_name(key)}_{n_buckets}_{plan_fp}"
-        table = f"bkt_{ns}_{suffix}"
-        final = os.path.join(base_dir, ns, suffix)
+        table = f"bkt_{ns}_{suffix}_b{base_fp}"
+        final = os.path.join(
+            _session_dir(ns_parent) if in_memory else ns_parent, suffix
+        )
         if spark.catalog.tableExists(table):
             out[name] = spark.table(table)
             continue
         if not os.path.exists(os.path.join(final, "_SUCCESS")):
-            _sweep_stale_tmp(os.path.dirname(final))
+            _sweep_stale(ns_parent)
             tmp = f"{final}.tmp.p{os.getpid()}"
             shutil.rmtree(tmp, ignore_errors=True)
             tmp_table = f"{table}_w{os.getpid()}"
@@ -160,20 +260,7 @@ def colocated_tables(
             )
             spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
             os.makedirs(os.path.dirname(final), exist_ok=True)
-            try:
-                os.rename(tmp, final)
-            except OSError:
-                # EITHER another process completed the same content key
-                # first (its directory is byte-equivalent — use it) OR
-                # a genuine failure (permissions, cross-device, ...).
-                # Only the former may be swallowed: registering a table
-                # over a missing/incomplete `final` would silently
-                # return 0 rows forever after. Either way the tmp copy
-                # is useless — remove it before propagating.
-                if not os.path.exists(os.path.join(final, "_SUCCESS")):
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    raise
-                shutil.rmtree(tmp, ignore_errors=True)
+            _self_healing_rename(tmp, final)
         # same (name, type) pairs as schema_key above — one source of
         # truth so the fingerprint can't desynchronize from the DDL
         schema_ddl = ", ".join(f"`{n}` {t}" for n, t in schema_pairs)

@@ -378,6 +378,84 @@ _R01_REFRESH: list[str] = [
 ]
 
 
+# Round-8 window (round-7 came back 50/50 green — THIRD consecutive
+# all-green round; zero reds ever). This is the ledger-finishing
+# window the round-7 verdict specified item-for-item, emitted by the
+# FIXED `python tools/freshness.py --propose` (the old proposer
+# starved rows-only/never-checked entries behind the paired backlog;
+# priority is now reds > errs > never-paired > never-rows-only >
+# all-stale oldest-first merged > oldest-fresh backfill):
+#   (a) the 7 never-windowed rows-only queries — their FIRST driver
+#       rows ever (the driver records `err:no_oracle` rows-only
+#       checks; each already has a numpy/pure-Python pytest gate);
+#   (b) the 14 remaining pre-r4 stale rows, oldest-first: 1 r01 + 3
+#       r02 + 10 r03 (of which 6 oracle-paired — the last paired rows
+#       older than r4);
+#   (c) 29 oldest r04 rows (registration order) as backfill,
+#       including `recursive_order_chains` (verdict item 7: its
+#       execution path was touched by the r7 conf-restore fix).
+# 7+14+29 = 50. After this window: zero queries without a driver row
+# ever, zero paired rows older than r4, oldest ledger row r04 with 19
+# members — the verdict's "done" criterion exactly. Steady state from
+# round 9 on: 50 slots / 219 queries ⇒ worst-case staleness ≤ 5
+# rounds (policy recorded in BASELINE.md).
+_ROUND8_WINDOW: list[str] = [
+    # (a) first-ever driver rows — rows-only by design
+    "pca_project",
+    "pagerank_parts",
+    "bpe_learn_merges",
+    "logreg_train",
+    "ndcg_eval",
+    "holt_forecast",
+    "forecast_backtest",
+    # (b) pre-r4 stale rows, oldest-first (rows-only + the 6 paired)
+    "approx_distinct",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "kmeans_embeddings",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "approx_percentiles",
+    "hll_sketch_rollup",
+    "source_temperature_resample",
+    "streaming_session_window",
+    "udaf_weighted_median",
+    "fuzzy_match_customers",
+    "grouped_map_ewma",
+    "flagship_schema_contract",
+    # (c) oldest r04 rows (registration order)
+    "pricing_summary",
+    "embedding_topk",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "geotab_connector_pipeline",
+    "dedup_clusters",
+    "ann_recall_eval",
+    "minhash_recall_eval",
+    "recursive_order_chains",
+    "boilerplate_ngram_ratio",
+    "vocab_coverage",
+    "quality_adaptive_filter",
+    "heavy_hitters",
+    "skyline_pareto",
+    "market_share",
+    "weighted_sample_topk",
+    "unigram_logprob",
+    "geofence_contains",
+    "time_weighted_avg",
+    "cross_corpus_dedup",
+    "jsonl_ingest",
+    "csv_ingest",
+    "retention_cohorts",
+    "token_entropy",
+    "triangle_count",
+    "lateral_top_orders",
+    "seasonal_zscore",
+    "orc_ingest",
+    "association_rules",
+]
+
+
 # Round-7 window (round-6 came back 50/50 green — second consecutive
 # all-green round). Per the round-6 verdict's #1 item this window is
 # purely a freshness refresh: the 50 OLDEST stale oracle-paired rows,
@@ -449,7 +527,8 @@ _ROUND7_WINDOW: list[str] = [
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     head_lists = (
-        _ROUND7_WINDOW
+        _ROUND8_WINDOW
+        + _ROUND7_WINDOW
         + _ROUND6_WINDOW
         + _ROUND_NEW
         + _ROUND6_CARRY
@@ -7697,9 +7776,12 @@ def q_semdedup_buckets(spark: SparkSession, sf: str) -> DataFrame:
     k-means cell count, must grow with n: dims = ceil(log2(n/125))
     clamped to [4, 24] keeps expected cell size ~125 vectors, so pair
     fan-out stays linear at any scale (measured post-fix: 14× → ~2×).
-    At ≤4k vectors (both driver-checked scales) dims = 4, identical to
-    the fixed 4-dim oracle. The sizing probe is one count + one
-    array-length min — bounded scalar collect."""
+    Oracle-parity margin: dims = 4 holds for n ≤ 2124 — at n = 2125,
+    (n//125 - 1).bit_length() = 5 and the fixed 4-dim SQL oracle would
+    diverge (round-8 advice: the old "≤4k" claim was wrong by 2×).
+    Both driver-checked fixtures (500 and 2000 vectors) sit inside the
+    real margin. The sizing probe is one count + one array-length min
+    — bounded scalar collect."""
     from etl_geotab_spark.operators.similarity import exact_cosine_pairs
 
     emb = _t(spark, sf, "embeddings")

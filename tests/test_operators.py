@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -1205,3 +1206,99 @@ def test_operator_surface_handles_empty_inputs(spark):
     ).count() == 0
     assert cosine_topk_blas(emb, emb, k=3).count() == 0
     assert connected_components(edges, "src", "dst").count() == 0
+
+
+# ----------------------------------------- bucketed cache hardening (r8)
+
+
+def _bkt_tables(spark):
+    return {t.name for t in spark.catalog.listTables() if t.name.startswith("bkt_")}
+
+
+def _drop_bkt_tables(spark):
+    for t in _bkt_tables(spark):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_colocated_tables_distinct_base_dirs(spark, tmp_path):
+    """round-8 advice: the catalog short-circuit must key on base_dir
+    too. Same session, same input, two different bases: the second
+    call must materialize under ITS base (not silently return the
+    first base's registration), so deleting base A cannot break the
+    handle served for base B."""
+    import shutil as _sh
+
+    from etl_geotab_spark.io import load_table
+    from etl_geotab_spark.operators.bucketed import colocated_tables
+
+    sf = "/root/testdata/sf0.001"
+    base_a = str(tmp_path / "bkt_a")
+    base_b = str(tmp_path / "bkt_b")
+    side = lambda: {"nation": (load_table(spark, sf, "nation"), "n_nationkey")}  # noqa: E731
+    _drop_bkt_tables(spark)
+    a = colocated_tables(spark, sf, base_a, side())["nation"]
+    n = a.count()
+    b = colocated_tables(spark, sf, base_b, side())["nation"]
+    assert os.path.isdir(base_b), "second base_dir was never written"
+    _sh.rmtree(base_a)  # the failure mode: b lazily reading base_a
+    assert b.count() == n
+
+
+def test_colocated_tables_in_memory_inputs_session_scoped(spark, tmp_path):
+    """round-8 advice: in-memory relations have process-unstable
+    fingerprints, so publishing them into the persistent cache leaks
+    one never-reusable directory per process. They must land in a
+    pid-stamped session dir (atexit-cleaned) instead, and the
+    persistent namespace must gain no completed dirs for them."""
+    from etl_geotab_spark.operators.bucketed import colocated_tables
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    base = str(tmp_path / "bkt")
+    _drop_bkt_tables(spark)
+    out = colocated_tables(spark, "sfMEM", base, {"side": (df, "k")})["side"]
+    assert sorted(r.k for r in out.collect()) == [1, 2]
+    ns_dir = os.path.join(base, "sfMEM")
+    top = os.listdir(ns_dir)
+    assert top == [f"session.p{os.getpid()}"], top
+    # and the session dir holds the completed copy
+    ses = os.path.join(ns_dir, top[0])
+    assert any(
+        os.path.exists(os.path.join(ses, d, "_SUCCESS"))
+        for d in os.listdir(ses)
+    )
+
+
+def test_colocated_tables_heals_wedged_final(spark, tmp_path):
+    """round-8 advice: a `final` dir that exists WITHOUT _SUCCESS
+    (interrupted cleanup / pre-round-7 layout) used to fail every
+    writer's rename with ENOTEMPTY forever. The writer must now claim
+    and remove the incomplete dir and retry — same rows out."""
+    from etl_geotab_spark.io import load_table
+    from etl_geotab_spark.operators.bucketed import colocated_tables
+
+    sf = "/root/testdata/sf0.001"
+    base = str(tmp_path / "bkt")
+    side = lambda: {"region": (load_table(spark, sf, "region"), "r_regionkey")}  # noqa: E731
+    _drop_bkt_tables(spark)
+    # discover the content-addressed final path via a clean run
+    first = colocated_tables(spark, sf, base, side())["region"]
+    n = first.count()
+    ns_dir = os.path.join(base, "sf0_001" if os.path.isdir(
+        os.path.join(base, "sf0_001")) else os.listdir(base)[0])
+    (final,) = [
+        os.path.join(ns_dir, d)
+        for d in os.listdir(ns_dir)
+        if d.startswith("region_")
+    ]
+    # wedge it: same path exists, no _SUCCESS, stray content inside
+    import shutil as _sh
+
+    _sh.rmtree(final)
+    os.makedirs(final)
+    with open(os.path.join(final, "stray.bin"), "w") as f:
+        f.write("not a bucket file")
+    _drop_bkt_tables(spark)  # force the write path (catalog miss)
+    healed = colocated_tables(spark, sf, base, side())["region"]
+    assert healed.count() == n
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(final, "stray.bin"))

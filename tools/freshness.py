@@ -14,10 +14,13 @@ mechanical and auditable:
   which are stale (latest row older than ``--fresh-horizon``);
 - proposes the NEXT 50-slot window with the standing priority order:
   (1) red/err rows from the latest round (must be re-verified after
-  fixes), (2) oracle-paired queries with no row ever, (3) stale
-  paired rows oldest-first, (4) stale rows-only rows (weakest signal:
-  the driver can only count rows for these). Registration order
-  breaks ties so the proposal is deterministic.
+  fixes), (2) queries with no driver row EVER, paired before
+  rows-only (no row at all is weaker evidence than any stale row),
+  (3) ALL stale rows oldest-first, paired and rows-only merged (the
+  round-7 judge caught the old proposer starving rows-only entries
+  behind the paired backlog forever), (4) backfill with the oldest
+  fresh rows across the whole registry. Registration order breaks
+  ties so the proposal is deterministic.
 
 Run: ``python tools/freshness.py [--fresh-horizon N] [--propose]``
 No Spark session needed — this reads JSON and imports the registry
@@ -137,14 +140,22 @@ def main() -> int:
           f"{len(stale_rows_only)} rows-only")
 
     # --- next-window proposal ---------------------------------------------
+    # Stale rows are ONE oldest-first tier, paired and rows-only
+    # merged: a separate trailing rows-only bucket never gets reached
+    # while any paired backlog exists (round-7 judge finding — the 7
+    # never-windowed and 8 stale rows-only queries were starved for
+    # seven straight rounds).
+    stale_all = sorted(
+        stale_paired + stale_rows_only,
+        key=lambda n: (ledger[n]["round"], names.index(n)),
+    )
     proposal: list[str] = []
     for bucket in (
         reds,
         errs,
         [n for n in never if n in paired],
-        stale_paired,
-        stale_rows_only,
         [n for n in never if n not in paired],
+        stale_all,
     ):
         for n in bucket:
             if n not in proposal:
@@ -155,9 +166,11 @@ def main() -> int:
             break
 
     if len(proposal) < WINDOW:
-        # everything is fresh — pad with the next-oldest fresh paired rows
+        # everything urgent is covered — pad with the next-oldest fresh
+        # rows across the WHOLE registry (steady state: 50 slots over
+        # every query ⇒ worst-case staleness = ceil(N/50) rounds)
         backfill = sorted(
-            (n for n in names if n in paired and n in ledger and n not in proposal),
+            (n for n in names if n in ledger and n not in proposal),
             key=lambda n: (ledger[n]["round"], names.index(n)),
         )
         proposal.extend(backfill[: WINDOW - len(proposal)])
