@@ -5,7 +5,20 @@
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {headline_name: sec, ...}, "sf": 0.1,
      "n_queries": 100, "runs": [N1, N2], "median_run_sec": M,
+     "shared_builds": {build_name: sec, ...},
      "tail_drift": D, "full": "BENCH_FULL.json"}
+
+``shared_builds`` (round-8, verdict item 3): the session-scoped
+materializations two+ queries share (`_dedup_labeled_table` — the
+pairs+CC clustering behind dedup_clusters/dedup_keep_best;
+`_ann_eval_table` — the triple index build behind ann_recall_eval/
+ndcg_eval) are built and timed in the preamble, so per-query numbers
+are MARGINAL costs. Previously whichever sharer ran first paid the
+build, and suite-order rotation made round-over-round per-query
+comparisons alias against ordering (r6: dedup_clusters paid 5.2 s;
+r7: dedup_keep_best paid 8.2-10.3 s — same plans). ``value`` still
+includes the shared-build seconds so run totals stay comparable with
+rounds ≤7 where the build was inside a query's number.
 
 The suite is measured ``$SPARK_GRAFT_BENCH_RUNS`` times (default 2),
 each run in its OWN subprocess/JVM (two passes in one JVM measurably
@@ -236,6 +249,29 @@ def run_one(sf_dir: str) -> dict:
     ).count()
     spark.catalog.clearCache()
 
+    # (f) session-shared materializations, TIMED and reported — see
+    # module docstring. Each bench run is its own process, so the
+    # PID-namespaced scratch is cold here and the build cost is real;
+    # paying it in the preamble makes every sharer's per-query number
+    # its marginal cost instead of a suite-order lottery.
+    from etl_geotab_spark.queries import _ann_eval_table, _dedup_labeled_table
+
+    shared_builds: dict[str, float] = {}
+    for bname, bfn in (
+        ("dedup_labeled_table", _dedup_labeled_table),
+        ("ann_eval_table", _ann_eval_table),
+    ):
+        t0 = time.time()
+        try:
+            force(bfn(spark, sf_dir))
+            shared_builds[bname] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error in shared build {bname}: {e}", file=sys.stderr)
+            shared_builds[bname] = -1.0
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        gc.collect()
+
     n_total = len(qs)
     checkpoints = {max(0, round(n_total * f) - 1) for f in (0.25, 0.5, 0.75, 1.0)}
     probe_sec(spark)  # compile the probe plan; baseline is the 2nd call
@@ -271,7 +307,7 @@ def run_one(sf_dir: str) -> dict:
     drift = (
         round(max(probes) / baseline_probe, 3) if baseline_probe > 0 else -1.0
     )
-    return {"timings": timings, "drift": drift}
+    return {"timings": timings, "drift": drift, "shared_builds": shared_builds}
 
 
 def main() -> None:
@@ -363,16 +399,35 @@ def main() -> None:
 
     run_timings = [r["timings"] for r in results]
     run_drifts = [r["drift"] for r in results]
+    run_builds = [r.get("shared_builds", {}) for r in results]
 
     # per-query best over runs; an error in ANY run keeps the -1 marker
     best: dict[str, float] = {}
     for name in run_timings[0]:
         vals = [rt[name] for rt in run_timings if name in rt]
         best[name] = -1.0 if any(v < 0 for v in vals) else round(min(vals), 3)
+    shared_builds: dict[str, float] = {}
+    for name in run_builds[0]:
+        vals = [rb[name] for rb in run_builds if name in rb]
+        shared_builds[name] = (
+            -1.0 if any(v < 0 for v in vals) else round(min(vals), 3)
+        )
+    # totals INCLUDE the shared-build seconds: rounds ≤7 paid these
+    # builds inside whichever sharer ran first, so excluding them here
+    # would fake a ~10 s round-over-round improvement
     runs_totals = [
-        round(sum(t for t in rt.values() if t >= 0), 3) for rt in run_timings
+        round(
+            sum(t for t in rt.values() if t >= 0)
+            + sum(t for t in rb.values() if t >= 0),
+            3,
+        )
+        for rt, rb in zip(run_timings, run_builds)
     ]
-    total = round(sum(t for t in best.values() if t >= 0), 3)
+    total = round(
+        sum(t for t in best.values() if t >= 0)
+        + sum(t for t in shared_builds.values() if t >= 0),
+        3,
+    )
     srt = sorted(runs_totals)
     median = round(
         srt[len(srt) // 2]
@@ -390,6 +445,8 @@ def main() -> None:
                  "queries": best, "sf": sf,
                  "runs": runs_totals, "median_run_sec": median,
                  "per_run_queries": run_timings,
+                 "shared_builds": shared_builds,
+                 "per_run_shared_builds": run_builds,
                  "tail_drift": tail_drift, "tail_drift_runs": run_drifts},
                 f,
                 indent=0,
@@ -410,6 +467,7 @@ def main() -> None:
                 "n_queries": len(best),
                 "runs": runs_totals,
                 "median_run_sec": median,
+                "shared_builds": shared_builds,
                 "tail_drift": tail_drift,
                 "full": "BENCH_FULL.json",
             }

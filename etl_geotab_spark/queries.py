@@ -11326,9 +11326,17 @@ def q_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     embedding_topk plan), one rank window, one vote aggregate.
     Exact-tier arithmetic keeps the whole eval value-hash-checkable;
     swap the candidate stream to LSH/IVF for the approximate version
-    and ndcg_eval/ann_recall_eval already price that substitution."""
+    and ndcg_eval/ann_recall_eval already price that substitution.
+
+    Probe side bounded per the SCALE.md §16 rule (round-8 lint
+    sweep): a fixed `% 100` stride makes probes ∝ n and the
+    broadcast-scored work n²/100 — the recurring quadratic class.
+    stride = max(100, n//20) caps probes at ~20 absolute; exactly
+    %100 at both driver-checked scales (n ≤ 2000), so the fixed SQL
+    oracle still matches bit-for-bit."""
     emb = _t(spark, sf, "embeddings")
-    q = emb.where(F.col("vec_id") % 100 == 0).select(
+    stride = max(100, _size_probe(spark, sf, "embeddings")[0] // 20)
+    q = emb.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("true_label"),
@@ -11872,7 +11880,12 @@ def q_quantized_rescore_topk(spark: SparkSession, sf: str) -> DataFrame:
         " cast(x as double) / nrm * 127.0) as bigint))"
     )
     q8 = normed.select("vec_id", "embedding", quant.alias("q"))
-    qs = q8.where(F.col("vec_id") % 100 == 0).select(
+    # probe side bounded per SCALE.md §16 (round-8 lint sweep): fixed
+    # %100 makes probes ∝ n ⇒ n²/100 phase-1 work; max(100, n//20)
+    # caps probes at ~20 absolute and equals %100 at driver scales
+    # (n ≤ 2000) so the fixed SQL oracle matches unchanged
+    stride = max(100, _size_probe(spark, sf, "embeddings")[0] // 20)
+    qs = q8.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("q").alias("qq"),

@@ -1,0 +1,95 @@
+"""§16 bounding-rule lint (SCALE.md): find literal modulo-stride
+sampling in the engine source.
+
+The scale-bug class that recurred FOUR times across rounds 4-7
+(semdedup fixed 16-cell bucketing, contrastive_pairs proportional
+anchor stride, contamination_overlap corpus-proportional bench grams,
+lsh/ivf probe sides — each cost a 10× stress failure): a filter like
+``col % <literal> == 0`` selects n/<literal> rows, i.e. a sample
+PROPORTIONAL to the corpus. Feed that sample into any pairwise stage
+(broadcast scoring, self-join, bucketed candidate join) and total
+work is n²/<literal> — quadratic, invisible at fixture scale. The
+§16 rule: every sample/cap/bucket-count must be ABSOLUTE or an
+explicit function of n that holds per-bucket mass constant (the
+blessed pattern: ``stride = max(<abs>, n // <k>)`` via the memoized
+size probe, clamped to the fixture value at driver-checked scales so
+fixed oracle SQL still matches).
+
+This lint makes the fifth recurrence impossible: it AST-scans the
+package for ``<expr> % <int literal> == 0`` comparisons and reports
+(function, literal, line). ``tests/test_scale_lint.py`` fails on any
+hit not in its justified allowlist — a new literal stride must either
+be rewritten onto the blessed pattern or argued (in code review, via
+the allowlist's justification string) to feed only linear consumers.
+
+Run standalone: ``python tools/scale_lint.py`` prints all hits.
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PACKAGE = os.path.join(REPO, "etl_geotab_spark")
+
+
+def find_literal_strides(
+    source: str, filename: str = "<string>"
+) -> list[tuple[str, int, int]]:
+    """All ``<expr> % <int literal> == 0`` comparisons in ``source``,
+    as (enclosing_function, literal, lineno). Module-level hits report
+    function ``<module>``. Only the ``== 0`` shape is flagged — that
+    is the sampling idiom; key-derivation uses of ``%`` (shard ids,
+    synthetic coordinates, hash mixing) don't compare to zero."""
+    tree = ast.parse(source, filename=filename)
+    hits: list[tuple[str, int, int]] = []
+
+    class V(ast.NodeVisitor):
+        def __init__(self) -> None:
+            self.stack = ["<module>"]
+
+        def visit_FunctionDef(self, node: ast.FunctionDef) -> None:
+            self.stack.append(node.name)
+            self.generic_visit(node)
+            self.stack.pop()
+
+        visit_AsyncFunctionDef = visit_FunctionDef  # type: ignore[assignment]
+
+        def visit_Compare(self, node: ast.Compare) -> None:
+            if (
+                isinstance(node.left, ast.BinOp)
+                and isinstance(node.left.op, ast.Mod)
+                and isinstance(node.left.right, ast.Constant)
+                and isinstance(node.left.right.value, int)
+                and len(node.ops) == 1
+                and isinstance(node.ops[0], ast.Eq)
+                and isinstance(node.comparators[0], ast.Constant)
+                and node.comparators[0].value == 0
+            ):
+                hits.append(
+                    (self.stack[-1], node.left.right.value, node.lineno)
+                )
+            self.generic_visit(node)
+
+    V().visit(tree)
+    return hits
+
+
+def scan_package() -> dict[str, list[tuple[str, int, int]]]:
+    """Scan every .py under etl_geotab_spark/; path → hits."""
+    out: dict[str, list[tuple[str, int, int]]] = {}
+    for path in sorted(glob.glob(os.path.join(PACKAGE, "**", "*.py"), recursive=True)):
+        with open(path) as f:
+            hits = find_literal_strides(f.read(), path)
+        if hits:
+            out[os.path.relpath(path, REPO)] = hits
+    return out
+
+
+if __name__ == "__main__":
+    for path, hits in scan_package().items():
+        print(path)
+        for fn, lit, ln in hits:
+            print(f"  {fn}: % {lit} == 0  (line {ln})")
