@@ -394,6 +394,13 @@ _R01_REFRESH: list[str] = [
 #   (c) 29 oldest r04 rows (registration order) as backfill,
 #       including `recursive_order_chains` (verdict item 7: its
 #       execution path was touched by the r7 conf-restore fix).
+#       Verdict item 7's other member, `bucketed_colocated_join`,
+#       cannot fit: it holds an r07 green row (fresh), and swapping it
+#       in would leave 20 r04 rows — breaking item 1's "≤19 members"
+#       done-criterion. Its cold-cache re-verification ran locally
+#       instead (cache dir removed, oracle PASS, round-8 session) and
+#       its r8 code change (operators/bucketed.py hardening) is
+#       covered by 7 pytest plan/storage assertions.
 # 7+14+29 = 50. After this window: zero queries without a driver row
 # ever, zero paired rows older than r4, oldest ledger row r04 with 19
 # members — the verdict's "done" criterion exactly. Steady state from
