@@ -106,6 +106,12 @@ STRESS = [
     "semdedup_buckets",
     "multimodal_decode_stats",
     "triangle_count",
+    # round-8 extension: the two probe sides the §16 lint caught
+    # (fixed %100 stride → probes ∝ n ⇒ n²/100 broadcast-scored work;
+    # now max(100, n//20) ⇒ ≤20 probes absolute) — measured so the
+    # boundedness claim is empirical, not static-analysis-only
+    "knn_accuracy",
+    "quantized_rescore_topk",
 ]
 DENSITY_BOUND = {"grid_spatial_join"}
 
