@@ -13,6 +13,13 @@ invocation.
 Local note: bucket files are written under a caller-supplied directory
 (tests/bench use a tmp dir); table entries go into the session's
 in-memory catalog, so no Hive metastore is needed.
+
+Concurrency validated empirically (round 8): 4 processes racing a COLD
+shared cache, and 3 processes racing PRE-WEDGED final dirs (stray
+content, no _SUCCESS — the state that used to wedge the key forever),
+both end with rc=0 everywhere, identical join results, exactly one
+completed directory per side, zero leftover tmp/stale entries, and the
+stray content gone.
 """
 
 from __future__ import annotations
