@@ -277,6 +277,12 @@ def run_one(sf_dir: str) -> dict:
         .count(),
         query_name=f"bench_warm_{os.getpid()}",
     ).count()
+    # drained and never read again — remove now (the pid-stamped name
+    # defeats overwrite-mode reclamation, so leaving it leaks one dir
+    # per bench subprocess)
+    import shutil as _sh
+
+    _sh.rmtree(_warm_dir, ignore_errors=True)
 
     # (f) session-shared materializations, TIMED and reported — see
     # module docstring. Each bench run is its own process, so the

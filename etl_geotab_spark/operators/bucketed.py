@@ -106,7 +106,7 @@ def _self_healing_rename(tmp: str, final: str) -> None:
     try:
         os.rename(tmp, final)
         return
-    except OSError as rename_err:
+    except OSError:
         success = os.path.join(final, "_SUCCESS")
         if os.path.exists(success):
             shutil.rmtree(tmp, ignore_errors=True)  # lost to a winner
@@ -133,12 +133,17 @@ def _self_healing_rename(tmp: str, final: str) -> None:
         try:
             os.rename(tmp, final)
             return
-        except OSError:
+        except OSError as retry_err:
             if os.path.exists(success):
                 shutil.rmtree(tmp, ignore_errors=True)  # winner raced in
                 return
             shutil.rmtree(tmp, ignore_errors=True)
-            raise rename_err from None
+            # raise the RETRY's error: after the heal removed the stale
+            # dir, the retry's failure (EACCES, EXDEV, ...) is the live
+            # problem — re-raising the first ENOTEMPTY would point the
+            # debugger at a directory that no longer exists. The first
+            # error stays attached as __context__ via normal chaining.
+            raise retry_err
 
 
 def colocated_tables(
@@ -232,8 +237,17 @@ def colocated_tables(
             except OSError:
                 return uri  # non-local URI: name-only identity
         files_key = "\n".join(sorted(_file_id(u) for u in df.inputFiles()))
+        # Line-anchored node-name match, NOT a substring test: a
+        # file-backed plan whose FILTER LITERAL happens to contain
+        # "LocalRelation" (e.g. a comment-column contains() predicate)
+        # must not be rerouted off the persistent cache (round-8
+        # review). In the canonicalized tree string, operator names
+        # appear only at the start of a line after the tree-drawing
+        # prefix (`+- `, `:- `, indentation); literals appear mid-line
+        # inside parentheses.
         in_memory = any(
-            m in canon for m in ("LocalRelation", "LogicalRDD", "ExistingRDD")
+            re.match(r"^[\s:+\-]*(LocalRelation|LogicalRDD|ExistingRDD)\b", ln)
+            for ln in canon.splitlines()
         )
         if in_memory:
             # in-memory relations have no input files and print WITHOUT

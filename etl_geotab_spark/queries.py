@@ -11338,9 +11338,13 @@ def q_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     Probe side bounded per the SCALE.md §16 rule (round-8 lint
     sweep): a fixed `% 100` stride makes probes ∝ n and the
     broadcast-scored work n²/100 — the recurring quadratic class.
-    stride = max(100, n//20) caps probes at ~20 absolute; exactly
-    %100 at both driver-checked scales (n ≤ 2000), so the fixed SQL
-    oracle still matches bit-for-bit."""
+    stride = max(100, n//20) caps probes at ~20 absolute; it equals
+    %100 exactly while n ≤ 2019 (boundary-exact: n = 2020 gives
+    stride 101 and the fixed %100 SQL oracle would diverge). The
+    driver's hash gate runs at sf0.01 (n = 500, wide margin); the
+    sf0.1 fixture (n = 2000) sits one regeneration step inside the
+    boundary — if embeddings fixtures ever grow past 2019 rows at an
+    oracle-checked scale, bump the SQL oracle's stride with it."""
     emb = _t(spark, sf, "embeddings")
     stride = max(100, _size_probe(spark, sf, "embeddings")[0] // 20)
     q = emb.where(F.col("vec_id") % stride == 0).select(
@@ -11889,8 +11893,10 @@ def q_quantized_rescore_topk(spark: SparkSession, sf: str) -> DataFrame:
     q8 = normed.select("vec_id", "embedding", quant.alias("q"))
     # probe side bounded per SCALE.md §16 (round-8 lint sweep): fixed
     # %100 makes probes ∝ n ⇒ n²/100 phase-1 work; max(100, n//20)
-    # caps probes at ~20 absolute and equals %100 at driver scales
-    # (n ≤ 2000) so the fixed SQL oracle matches unchanged
+    # caps probes at ~20 absolute and equals %100 exactly while
+    # n ≤ 2019 (boundary: n = 2020 ⇒ stride 101 ⇒ oracle divergence;
+    # oracle-checked n is 500 at sf0.01, 2000 at sf0.1 — see
+    # knn_accuracy's docstring for the regeneration caveat)
     stride = max(100, _size_probe(spark, sf, "embeddings")[0] // 20)
     qs = q8.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("query_id"),

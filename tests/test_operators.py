@@ -1281,10 +1281,12 @@ def test_colocated_tables_heals_wedged_final(spark, tmp_path):
     side = lambda: {"region": (load_table(spark, sf, "region"), "r_regionkey")}  # noqa: E731
     _drop_bkt_tables(spark)
     # discover the content-addressed final path via a clean run
+    from etl_geotab_spark.operators.bucketed import _safe_name
+
     first = colocated_tables(spark, sf, base, side())["region"]
     n = first.count()
-    ns_dir = os.path.join(base, "sf0_001" if os.path.isdir(
-        os.path.join(base, "sf0_001")) else os.listdir(base)[0])
+    ns_dir = os.path.join(base, _safe_name(sf.strip("/")))
+    assert os.path.isdir(ns_dir), os.listdir(base)
     (final,) = [
         os.path.join(ns_dir, d)
         for d in os.listdir(ns_dir)
@@ -1302,3 +1304,27 @@ def test_colocated_tables_heals_wedged_final(spark, tmp_path):
     assert healed.count() == n
     assert os.path.exists(os.path.join(final, "_SUCCESS"))
     assert not os.path.exists(os.path.join(final, "stray.bin"))
+
+
+def test_colocated_tables_literal_cannot_fake_in_memory(spark, tmp_path):
+    """round-8 review: in-memory detection is line-anchored on operator
+    NODES — a file-backed side whose filter literal contains
+    'LocalRelation' must stay on the persistent cross-process cache,
+    not get rerouted to the pid-scoped session dir."""
+    from etl_geotab_spark.io import load_table
+    from etl_geotab_spark.operators.bucketed import colocated_tables
+
+    sf = "/root/testdata/sf0.001"
+    base = str(tmp_path / "bkt")
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf, "nation").where(
+        ~F.col("n_name").contains("LocalRelation")
+    )
+    _drop_bkt_tables(spark)
+    out = colocated_tables(spark, sf, base, {"nation": (df, "n_nationkey")})
+    assert out["nation"].count() == 25
+    ns_dir = os.path.join(base, "root_testdata_sf0_001")
+    assert not any(
+        e.startswith("session.p") for e in os.listdir(ns_dir)
+    ), os.listdir(ns_dir)

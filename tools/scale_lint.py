@@ -30,19 +30,33 @@ from __future__ import annotations
 import ast
 import glob
 import os
+import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PACKAGE = os.path.join(REPO, "etl_geotab_spark")
 
 
+# engine-side string-expression entry points: a SQL-string stride
+# inside these runs ON SPARK and is the same quadratic class as the
+# Python-AST shape (round-8 review: the AST-only lint was blind to
+# F.expr("vec_id % 100 = 0")). DuckDB ORACLE strings are NOT flagged:
+# they are passed to `register(...)`, run only in DuckDB at sf0.01,
+# and legitimately mirror the engine's (justified) strides.
+_STR_EXPR_CALLS = {"expr", "selectExpr", "sql", "where", "filter"}
+_STR_STRIDE_RE = re.compile(r"%\s*(\d+)\s*==?\s*0")
+
+
 def find_literal_strides(
     source: str, filename: str = "<string>"
 ) -> list[tuple[str, int, int]]:
-    """All ``<expr> % <int literal> == 0`` comparisons in ``source``,
-    as (enclosing_function, literal, lineno). Module-level hits report
-    function ``<module>``. Only the ``== 0`` shape is flagged — that
-    is the sampling idiom; key-derivation uses of ``%`` (shard ids,
-    synthetic coordinates, hash mixing) don't compare to zero."""
+    """All ``<expr> % <int literal> == 0`` comparisons in ``source`` —
+    both as Python AST and inside string arguments of engine-side
+    expression calls (``F.expr``/``selectExpr``/``spark.sql``/string
+    ``where``/``filter``) — as (enclosing_function, literal, lineno).
+    Module-level hits report function ``<module>``. Only the ``== 0``
+    shape is flagged — that is the sampling idiom; key-derivation uses
+    of ``%`` (shard ids, synthetic coordinates, hash mixing) don't
+    compare to zero."""
     tree = ast.parse(source, filename=filename)
     hits: list[tuple[str, int, int]] = []
 
@@ -71,6 +85,28 @@ def find_literal_strides(
                 hits.append(
                     (self.stack[-1], node.left.right.value, node.lineno)
                 )
+            self.generic_visit(node)
+
+        def visit_Call(self, node: ast.Call) -> None:
+            name = None
+            if isinstance(node.func, ast.Attribute):
+                name = node.func.attr
+            elif isinstance(node.func, ast.Name):
+                name = node.func.id
+            if name in _STR_EXPR_CALLS:
+                for arg in list(node.args) + [kw.value for kw in node.keywords]:
+                    for const in ast.walk(arg):
+                        if isinstance(const, ast.Constant) and isinstance(
+                            const.value, str
+                        ):
+                            for m in _STR_STRIDE_RE.finditer(const.value):
+                                hits.append(
+                                    (
+                                        self.stack[-1],
+                                        int(m.group(1)),
+                                        const.lineno,
+                                    )
+                                )
             self.generic_visit(node)
 
     V().visit(tree)
