@@ -378,6 +378,80 @@ _R01_REFRESH: list[str] = [
 ]
 
 
+# Round-9 window — steady-state rotation, emitted VERBATIM by
+# `python tools/freshness.py --propose` per the round-8 verdict's
+# item 3 (the proposer was fixed in r8; its priority order is
+# reds > errs > never-checked > all-stale oldest-first):
+#   (a) `pca_project` — the repo's only red driver row ever
+#       (r08: the rows-only canonicalizer died on the raw
+#       `array<double>` proj8 column). Its output is now posexploded
+#       to scalar (vec_id, component_idx, loading) rows, and
+#       tests/test_registry_contract.py lints the whole rows-only
+#       tier against the failure class;
+#   (b) the 19 oldest ledger rows (r04 — the backfill tier the r8
+#       window left as the ledger floor), registration order;
+#   (c) 30 oldest r05 rows (registration order) as backfill.
+# 1+19+30 = 50. After this window: oldest ledger row r05 with 20
+# members; max staleness stays ≤ 4 rounds per the BASELINE.md r8
+# policy line. Registration order never changes; only the exported
+# ordering rotates.
+_ROUND9_WINDOW: list[str] = [
+    # (a) the one err row — front-loaded by the proposer
+    "pca_project",
+    # (b) the 19 r04 rows (ledger floor)
+    "volume_shipping",
+    "product_type_profit",
+    "important_parts",
+    "customer_order_distribution",
+    "promo_revenue_ratio",
+    "top_supplier_revenue",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "disjunctive_filter_revenue",
+    "idle_rich_customers",
+    "bloom_semi_join",
+    "zorder_cluster",
+    "repeated_spans",
+    "skew_profile",
+    "corpus_datacard",
+    "distribution_drift",
+    "dq_audit",
+    "join_cardinality_estimate",
+    "geotab_stream_pipeline",
+    # (c) the 30 oldest r05 rows (registration order)
+    "stateful_user_stats",
+    "incremental_agg_merge",
+    "embedding_quantize",
+    "semdedup_buckets",
+    "k_anonymity",
+    "readability_scores",
+    "trip_segmentation",
+    "event_debounce",
+    "geofence_dwell",
+    "cdc_apply",
+    "kmv_distinct",
+    "count_min_freq",
+    "event_transitions",
+    "table_stats",
+    "snapshot_diff",
+    "rolling_p95",
+    "nested_assembly",
+    "rollup_cascade",
+    "retention_purge",
+    "late_data_audit",
+    "asof_nearest_clicks",
+    "attribution_last_touch",
+    "interval_merge",
+    "bm25_search",
+    "schema_evolution",
+    "entity_resolution",
+    "decile_lift",
+    "ab_test_zscore",
+    "logodds_terms",
+    "zonemap_pruning_eval",
+]
+
+
 # Round-8 window (round-7 came back 50/50 green — THIRD consecutive
 # all-green round; zero reds ever). This is the ledger-finishing
 # window the round-7 verdict specified item-for-item, emitted by the
@@ -534,7 +608,8 @@ _ROUND7_WINDOW: list[str] = [
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     head_lists = (
-        _ROUND8_WINDOW
+        _ROUND9_WINDOW
+        + _ROUND8_WINDOW
         + _ROUND7_WINDOW
         + _ROUND6_WINDOW
         + _ROUND_NEW
@@ -7328,7 +7403,13 @@ def q_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     perturbs eigenvectors at ~1e-12 — cross-engine bit equality is not
     meaningful. Quality is pytest-gated against full-data numpy PCA
     (tests/test_pca_pagerank.py): same explained-variance spectrum,
-    |cos| ≈ 1 per component."""
+    |cos| ≈ 1 per component.
+
+    Output is one scalar row per (vector, component): the driver's
+    rows-only canonicalizer pandas-sorts every column, and a raw
+    ``array<double>`` column is unhashable there (the r8 err row) —
+    so the 8-vector is posexploded to ``(vec_id, component_idx,
+    loading)`` rather than returned as an array column."""
     from etl_geotab_spark.operators.pca import fit_pca, project
 
     emb = _spread(_t(spark, sf, "embeddings").select("vec_id", "embedding"))
@@ -7336,7 +7417,9 @@ def q_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     out = project(emb, mean, comps)
     return out.select(
         "vec_id",
-        F.expr("transform(proj, x -> round(x, 6))").alias("proj8"),
+        F.posexplode(F.expr("transform(proj, x -> round(x, 6))")).alias(
+            "component_idx", "loading"
+        ),
         F.lit(round(float(ratio.sum()), 6)).alias("explained_var_ratio"),
     )
 
