@@ -345,6 +345,24 @@ def run_one(sf_dir: str) -> dict:
     return {"timings": timings, "drift": drift, "shared_builds": shared_builds}
 
 
+def best_over_runs(per_run: list[dict[str, float]]) -> dict[str, float]:
+    """Per-key best over runs; an error in ANY run keeps the -1
+    marker. Iterates the UNION of keys across runs (round-9 advice:
+    keying off run 0 silently dropped any entry the first collected
+    run lacked, e.g. a mixed-version resume) and treats a key missing
+    from any run as an error — runs disagreeing on suite composition
+    must be loud, not averaged away."""
+    names = sorted({n for run in per_run for n in run})
+    out: dict[str, float] = {}
+    for name in names:
+        if not all(name in run for run in per_run):
+            out[name] = -1.0
+            continue
+        vals = [run[name] for run in per_run]
+        out[name] = -1.0 if any(v < 0 for v in vals) else round(min(vals), 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -436,17 +454,8 @@ def main() -> None:
     run_drifts = [r["drift"] for r in results]
     run_builds = [r.get("shared_builds", {}) for r in results]
 
-    # per-query best over runs; an error in ANY run keeps the -1 marker
-    best: dict[str, float] = {}
-    for name in run_timings[0]:
-        vals = [rt[name] for rt in run_timings if name in rt]
-        best[name] = -1.0 if any(v < 0 for v in vals) else round(min(vals), 3)
-    shared_builds: dict[str, float] = {}
-    for name in run_builds[0]:
-        vals = [rb[name] for rb in run_builds if name in rb]
-        shared_builds[name] = (
-            -1.0 if any(v < 0 for v in vals) else round(min(vals), 3)
-        )
+    best = best_over_runs(run_timings)
+    shared_builds = best_over_runs(run_builds)
     # totals INCLUDE the shared-build seconds: rounds ≤7 paid these
     # builds inside whichever sharer ran first, so excluding them here
     # would fake a ~10 s round-over-round improvement

@@ -44,6 +44,14 @@ def _safe_name(s: str) -> str:
 
 
 def _pid_alive(pid: int) -> bool:
+    """Safe-side liveness probe: EPERM (pid exists under another user)
+    counts as alive, so on a SHARED multi-user base_dir another user's
+    crashed dirs are never sweepable by this process, and pid
+    recycling can keep a dead writer's dirs 'alive' — the session-dir
+    unbounded-growth guarantee holds for same-user, non-recycled pids
+    (round-9 advice, accepted: deployments here are single-user; add
+    an age-based sweep fallback if a shared multi-user cache becomes a
+    real mode)."""
     try:
         os.kill(pid, 0)  # signal 0 = liveness probe only
         return True
@@ -63,16 +71,37 @@ def _sweep_stale(ns_dir: str) -> None:
     unique, so leaving them in the persistent cache grows disk
     unboundedly). Live processes' dirs are left alone; completed
     persistent (`_SUCCESS`-marked, content-addressed) directories are
-    never touched — persistence is their contract."""
+    never touched — persistence is their contract.
+
+    One rescue path (round-9 advice): a ``*.stale.p<pid>`` dir is a
+    healer's atomic claim of an apparently-incomplete final dir. If
+    the healer claimed a JUST-COMPLETED winner and crashed before
+    ``_self_healing_rename``'s restore step, the completed directory
+    is parked under the stale name — deleting it would destroy a
+    completed cache entry that a session may already have an external
+    table registered over. A dead-pid stale dir containing
+    ``_SUCCESS`` is therefore renamed back to its final path instead
+    of removed (unless the final path was refilled meanwhile, making
+    the claimed copy a redundant duplicate)."""
     try:
         entries = os.listdir(ns_dir)
     except OSError:
         return
     for e in entries:
-        m = re.fullmatch(r".+\.(?:tmp|stale)\.p(\d+)", e) or re.fullmatch(
+        m_stale = re.fullmatch(r"(.+)\.stale\.p(\d+)", e)
+        m_other = re.fullmatch(r".+\.tmp\.p(\d+)", e) or re.fullmatch(
             r"session\.p(\d+)", e
         )
-        if m and not _pid_alive(int(m.group(1))):
+        if m_stale and not _pid_alive(int(m_stale.group(2))):
+            path = os.path.join(ns_dir, e)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                try:
+                    os.rename(path, os.path.join(ns_dir, m_stale.group(1)))
+                    continue
+                except OSError:
+                    pass  # final refilled meanwhile: claimed copy redundant
+            shutil.rmtree(path, ignore_errors=True)
+        elif m_other and not _pid_alive(int(m_other.group(1))):
             shutil.rmtree(os.path.join(ns_dir, e), ignore_errors=True)
 
 

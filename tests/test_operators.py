@@ -1328,3 +1328,91 @@ def test_colocated_tables_literal_cannot_fake_in_memory(spark, tmp_path):
     assert not any(
         e.startswith("session.p") for e in os.listdir(ns_dir)
     ), os.listdir(ns_dir)
+
+
+def _dead_pid() -> int:
+    """A pid guaranteed dead: spawn a no-op child and reap it."""
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
+def test_sweep_stale_rescues_dead_healers_completed_claim(tmp_path):
+    """round-9 advice: if a healer claimed a just-completed winner
+    aside (rename final -> *.stale.p<pid>) and crashed before the
+    restore, the completed directory sits under the stale name. The
+    dead-pid sweep must rename it BACK to its final path — deleting it
+    would destroy a completed cache entry that a live session may have
+    an external table registered over."""
+    from etl_geotab_spark.operators.bucketed import _sweep_stale
+
+    ns = str(tmp_path / "ns")
+    pid = _dead_pid()
+    # (a) completed claim, final absent -> restored
+    stale = os.path.join(ns, f"side_k_8_abc.stale.p{pid}")
+    os.makedirs(stale)
+    open(os.path.join(stale, "_SUCCESS"), "w").close()
+    with open(os.path.join(stale, "part-0.parquet"), "w") as f:
+        f.write("bytes")
+    _sweep_stale(ns)
+    final = os.path.join(ns, "side_k_8_abc")
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    assert os.path.exists(os.path.join(final, "part-0.parquet"))
+    assert not os.path.exists(stale)
+    # (b) completed claim but final REFILLED meanwhile -> redundant
+    # duplicate removed, refilled final untouched
+    stale2 = os.path.join(ns, f"side_k_8_abc.stale.p{_dead_pid()}")
+    os.makedirs(stale2)
+    open(os.path.join(stale2, "_SUCCESS"), "w").close()
+    _sweep_stale(ns)
+    assert not os.path.exists(stale2)
+    assert os.path.exists(os.path.join(final, "part-0.parquet"))
+    # (c) incomplete dead claim (no _SUCCESS) -> removed as before
+    stale3 = os.path.join(ns, f"other_k_8_def.stale.p{_dead_pid()}")
+    os.makedirs(stale3)
+    _sweep_stale(ns)
+    assert not os.path.exists(stale3)
+    # (d) live-pid claim -> left alone (healer still running)
+    stale4 = os.path.join(ns, f"busy_k_8_fff.stale.p{os.getpid()}")
+    os.makedirs(stale4)
+    open(os.path.join(stale4, "_SUCCESS"), "w").close()
+    _sweep_stale(ns)
+    assert os.path.isdir(stale4)
+
+
+def test_session_dirs_vanish_under_bench_subprocess_topology(tmp_path):
+    """round-8 verdict item 7: the bench runs each pass in its own
+    subprocess/JVM. In-memory bucketed inputs land in per-process
+    session.p<pid> dirs with atexit cleanup — confirm that under the
+    real topology (two sequential subprocesses sharing one base_dir)
+    no session.p* dir survives and no persistent content key is
+    minted for the in-memory input."""
+    import subprocess
+    import sys
+
+    base = str(tmp_path / "bkt")
+    script = """
+import sys
+sys.path.insert(0, {repo!r})
+from etl_geotab_spark.session import get_spark
+from etl_geotab_spark.operators.bucketed import colocated_tables
+spark = get_spark("session-dir-census", shuffle_partitions=4)
+df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+out = colocated_tables(spark, "sfMEM", {base!r}, {{"side": (df, "k")}})
+assert sorted(r.k for r in out["side"].collect()) == [1, 2]
+spark.stop()
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+           base=base)
+    for _ in range(2):
+        r = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    ns_dir = os.path.join(base, "sfMEM")
+    census = os.listdir(ns_dir) if os.path.isdir(ns_dir) else []
+    assert not any(e.startswith("session.p") for e in census), census
+    # no persistent content dir was minted for the in-memory side
+    assert census == [], census

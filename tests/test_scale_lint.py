@@ -121,6 +121,28 @@ def test_lint_fires_on_sql_string_stride():
     ]
 
 
+def test_lint_fires_on_paren_and_function_form_strides():
+    """Round-9 advice: near-miss spellings of the same sampling idiom
+    — a parenthesized comparison operand, `pmod(...)`, `MOD(...)`
+    (any case), and a one-level-nested first argument — must all be
+    flagged; a sixth recurrence must not slip through on syntax."""
+    snippet = (
+        "def q_near_miss(spark, sf):\n"
+        "    a = df.where('(vec_id % 100) = 0')\n"
+        "    b = df.where('pmod(vec_id, 200) = 0')\n"
+        "    c = spark.sql('SELECT * FROM t WHERE MOD(k, 30) == 0')\n"
+        "    d = df.where('pmod(hash(doc_id), 400) = 0')\n"
+        "    return a\n"
+    )
+    hits = find_literal_strides(snippet)
+    assert [(f, l) for f, l, _ in hits] == [
+        ("q_near_miss", 100),
+        ("q_near_miss", 200),
+        ("q_near_miss", 30),
+        ("q_near_miss", 400),
+    ]
+
+
 def test_lint_ignores_key_derivation_blessed_pattern_and_oracles():
     """Non-sampling % uses (shard ids, hash mixing), the blessed
     variable-stride pattern, and DuckDB ORACLE SQL strings (passed to

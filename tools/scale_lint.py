@@ -43,7 +43,25 @@ PACKAGE = os.path.join(REPO, "etl_geotab_spark")
 # they are passed to `register(...)`, run only in DuckDB at sf0.01,
 # and legitimately mirror the engine's (justified) strides.
 _STR_EXPR_CALLS = {"expr", "selectExpr", "sql", "where", "filter"}
-_STR_STRIDE_RE = re.compile(r"%\s*(\d+)\s*==?\s*0")
+# Flagged string shapes (round-9 advice widened the scan):
+#   k % 100 = 0 | == 0        (the four historical regressions)
+#   (k % 100) = 0             (parenthesized comparison operand)
+#   pmod(k, 100) = 0 / MOD(k, 100) == 0   (function-form modulo; first
+#       argument may carry one nesting level of parens, e.g. hash(x))
+# NECESSARY-NOT-SUFFICIENT — known residual gaps, by design (each
+# would flag key-derivation far more often than sampling, destroying
+# the precision that keeps the allowlist honest; reviewers must still
+# read new sampling code):
+#   * strides assembled via f-strings/format/concat at runtime;
+#   * complement shapes (`% k != 0`, `% k <> 0`) and bucket selections
+#     (`% k < j`, `pmod(k, m) IN (...)`) — same class, not matched on
+#     either the AST or the string side;
+#   * modulo spelled via floor-division identities.
+_STR_STRIDE_RE = re.compile(
+    r"%\s*(\d+)\s*\)?\s*==?\s*0"
+    r"|\b(?:pmod|mod)\s*\((?:[^()]|\([^()]*\))*?,\s*(\d+)\s*\)\s*==?\s*0",
+    re.IGNORECASE,
+)
 
 
 def find_literal_strides(
@@ -103,7 +121,7 @@ def find_literal_strides(
                                 hits.append(
                                     (
                                         self.stack[-1],
-                                        int(m.group(1)),
+                                        int(m.group(1) or m.group(2)),
                                         const.lineno,
                                     )
                                 )
