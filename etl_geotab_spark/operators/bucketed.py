@@ -94,12 +94,21 @@ def _sweep_stale(ns_dir: str) -> None:
         )
         if m_stale and not _pid_alive(int(m_stale.group(2))):
             path = os.path.join(ns_dir, e)
+            final = os.path.join(ns_dir, m_stale.group(1))
             if os.path.exists(os.path.join(path, "_SUCCESS")):
                 try:
-                    os.rename(path, os.path.join(ns_dir, m_stale.group(1)))
+                    os.rename(path, final)
                     continue
                 except OSError:
-                    pass  # final refilled meanwhile: claimed copy redundant
+                    # Drop the claimed copy ONLY if the final path holds
+                    # a COMPLETED entry (refilled by a new winner — the
+                    # claim is a redundant duplicate). Any other rename
+                    # failure (final occupied by a no-_SUCCESS wedge,
+                    # EACCES, ...) keeps the claim for the next heal:
+                    # rmtree here would destroy the only completed copy
+                    # (round-9 review).
+                    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+                        continue
             shutil.rmtree(path, ignore_errors=True)
         elif m_other and not _pid_alive(int(m_other.group(1))):
             shutil.rmtree(os.path.join(ns_dir, e), ignore_errors=True)
@@ -300,8 +309,16 @@ def colocated_tables(
         if spark.catalog.tableExists(table):
             out[name] = spark.table(table)
             continue
-        if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        success_marker = os.path.join(final, "_SUCCESS")
+        if not os.path.exists(success_marker):
             _sweep_stale(ns_parent)
+        # re-check: the sweep may have RESCUED this very key (renamed a
+        # dead healer's completed claim back into place) — skipping the
+        # write then saves the module's most expensive operation, a
+        # full shuffle + bucketed rewrite that _self_healing_rename
+        # would discard as a loss to the restored winner (round-9
+        # review).
+        if not os.path.exists(success_marker):
             tmp = f"{final}.tmp.p{os.getpid()}"
             shutil.rmtree(tmp, ignore_errors=True)
             tmp_table = f"{table}_w{os.getpid()}"

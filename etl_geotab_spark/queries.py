@@ -7409,7 +7409,11 @@ def q_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     rows-only canonicalizer pandas-sorts every column, and a raw
     ``array<double>`` column is unhashable there (the r8 err row) —
     so the 8-vector is posexploded to ``(vec_id, component_idx,
-    loading)`` rather than returned as an array column."""
+    loading)`` rather than returned as an array column. OUTER
+    posexplode: ``project`` deliberately maps NULL input vectors to
+    NULL projections (operators/pca.py), and a plain posexplode would
+    silently drop those vec_ids from the output — the outer variant
+    keeps them as one (vec_id, NULL, NULL) row."""
     from etl_geotab_spark.operators.pca import fit_pca, project
 
     emb = _spread(_t(spark, sf, "embeddings").select("vec_id", "embedding"))
@@ -7417,9 +7421,9 @@ def q_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     out = project(emb, mean, comps)
     return out.select(
         "vec_id",
-        F.posexplode(F.expr("transform(proj, x -> round(x, 6))")).alias(
-            "component_idx", "loading"
-        ),
+        F.posexplode_outer(
+            F.expr("transform(proj, x -> round(x, 6))")
+        ).alias("component_idx", "loading"),
         F.lit(round(float(ratio.sum()), 6)).alias("explained_var_ratio"),
     )
 

@@ -1380,6 +1380,57 @@ def test_sweep_stale_rescues_dead_healers_completed_claim(tmp_path):
     open(os.path.join(stale4, "_SUCCESS"), "w").close()
     _sweep_stale(ns)
     assert os.path.isdir(stale4)
+    # (e) completed claim whose final path is occupied by a no-_SUCCESS
+    # wedge: restore rename fails, but the claim must be KEPT for the
+    # next heal — deleting it would destroy the only completed copy
+    # (round-9 review)
+    wedged = os.path.join(ns, "wedge_k_8_eee")
+    os.makedirs(wedged)
+    with open(os.path.join(wedged, "stray.bin"), "w") as f:
+        f.write("junk")
+    stale5 = os.path.join(ns, f"wedge_k_8_eee.stale.p{_dead_pid()}")
+    os.makedirs(stale5)
+    open(os.path.join(stale5, "_SUCCESS"), "w").close()
+    _sweep_stale(ns)
+    assert os.path.isdir(stale5), "completed claim destroyed behind a wedge"
+    assert os.path.isdir(wedged)
+
+
+def test_colocated_tables_rescue_skips_redundant_rewrite(spark, tmp_path):
+    """round-9 review: when _sweep_stale rescues the requested key (a
+    dead healer parked the completed dir under a stale name), the
+    caller must NOT pay a full bucketed rewrite — the restored winner
+    serves directly (bucket files byte-identical, not rewritten)."""
+    from etl_geotab_spark.io import load_table
+    from etl_geotab_spark.operators.bucketed import _safe_name, colocated_tables
+
+    sf = "/root/testdata/sf0.001"
+    base = str(tmp_path / "bkt")
+    side = lambda: {"region": (load_table(spark, sf, "region"), "r_regionkey")}  # noqa: E731
+    _drop_bkt_tables(spark)
+    first = colocated_tables(spark, sf, base, side())["region"]
+    n = first.count()
+    ns_dir = os.path.join(base, _safe_name(sf.strip("/")))
+    (final,) = [
+        os.path.join(ns_dir, d)
+        for d in os.listdir(ns_dir)
+        if d.startswith("region_")
+    ]
+    part = next(
+        os.path.join(final, f)
+        for f in os.listdir(final)
+        if f.endswith(".parquet")
+    )
+    sig = (os.stat(part).st_ino, os.stat(part).st_mtime_ns)
+    # simulate the crashed healer: completed dir parked under a
+    # dead-pid stale name, final path absent
+    os.rename(final, f"{final}.stale.p{_dead_pid()}")
+    _drop_bkt_tables(spark)  # force the storage path (catalog miss)
+    rescued = colocated_tables(spark, sf, base, side())["region"]
+    assert rescued.count() == n
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    # same inode + mtime = rescued, not rewritten
+    assert (os.stat(part).st_ino, os.stat(part).st_mtime_ns) == sig
 
 
 def test_session_dirs_vanish_under_bench_subprocess_topology(tmp_path):

@@ -74,6 +74,34 @@ class TestPCA:
         assert out[2] is None
         assert all(out[i] is not None for i in (1, 3, 4))
 
+    def test_query_preserves_null_vectors_as_rows(self, spark, tmp_path):
+        """round-9 review: q_pca_project posexplodes the projection to
+        scalar rows — it must use the OUTER variant so a NULL input
+        vector (which project() maps to a NULL projection) survives as
+        one (vec_id, NULL, NULL) row instead of vanishing."""
+        import os
+
+        from etl_geotab_spark.queries import queries
+
+        rows = [
+            (i, [float(i + j) for j in range(16)]) for i in range(12)
+        ] + [(99, None)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        fixture = str(tmp_path / "pca_fixture")
+        os.makedirs(fixture, exist_ok=True)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            fixture + "/embeddings.parquet"
+        )
+        out = queries()["pca_project"](spark, fixture).collect()
+        null_rows = [r for r in out if r.vec_id == 99]
+        assert len(null_rows) == 1
+        assert null_rows[0].component_idx is None
+        assert null_rows[0].loading is None
+        # real vectors: 8 scalar rows each
+        assert sum(1 for r in out if r.vec_id == 0) == 8
+
     def test_variance_concentrates(self, spark, sf_dir):
         df = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"

@@ -21,8 +21,6 @@ from pyspark.sql import types as T
 
 from etl_geotab_spark.queries import oracle_sql, queries
 
-SF_SMOKE = "/root/testdata/sf0.001"
-
 _COMPLEX = (T.ArrayType, T.MapType, T.StructType)
 
 
@@ -39,8 +37,8 @@ def _rows_only_names() -> list[str]:
 
 
 @pytest.mark.parametrize("name", _rows_only_names())
-def test_rows_only_schema_is_canonicalizable(spark, name):
-    df = queries()[name](spark, SF_SMOKE)
+def test_rows_only_schema_is_canonicalizable(spark, sf_dir, name):
+    df = queries()[name](spark, sf_dir)
     bad = _complex_columns(df.schema)
     assert not bad, (
         f"rows-only query {name!r} returns top-level complex column(s) "
