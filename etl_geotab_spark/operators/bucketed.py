@@ -20,6 +20,19 @@ content, no _SUCCESS — the state that used to wedge the key forever),
 both end with rc=0 everywhere, identical join results, exactly one
 completed directory per side, zero leftover tmp/stale entries, and the
 stray content gone.
+
+Round 9 added the dead-healer rescue (``_sweep_stale`` renames a
+dead-pid ``*.stale.p<pid>`` claim containing ``_SUCCESS`` back to its
+final path instead of deleting it) and race-validated it the same
+way: 3 processes racing a PRE-PARKED claim (completed dir renamed to
+a dead-pid stale name, final absent) — 4/4 runs end rc=0 everywhere,
+identical join counts, exactly one completed dir, zero leftovers, and
+the final dir keeps the ORIGINAL file inodes (rescued, not
+rewritten). The interleavings are safe by construction: the
+stale→final rename is atomic (one rescuer wins, losers see ENOENT and
+no-op), and a racer whose fresh write beats the rescue leaves the
+claim as a _SUCCESS-complete duplicate that the next sweep discards
+only after re-verifying final's completeness.
 """
 
 from __future__ import annotations
