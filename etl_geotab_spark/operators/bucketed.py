@@ -25,14 +25,15 @@ Round 9 added the dead-healer rescue (``_sweep_stale`` renames a
 dead-pid ``*.stale.p<pid>`` claim containing ``_SUCCESS`` back to its
 final path instead of deleting it) and race-validated it the same
 way: 3 processes racing a PRE-PARKED claim (completed dir renamed to
-a dead-pid stale name, final absent) — 4/4 runs end rc=0 everywhere,
-identical join counts, exactly one completed dir, zero leftovers, and
-the final dir keeps the ORIGINAL file inodes (rescued, not
-rewritten). The interleavings are safe by construction: the
-stale→final rename is atomic (one rescuer wins, losers see ENOENT and
-no-op), and a racer whose fresh write beats the rescue leaves the
-claim as a _SUCCESS-complete duplicate that the next sweep discards
-only after re-verifying final's completeness.
+a dead-pid stale name) — 6/6 runs with final absent and 3/3 with
+final re-occupied by a no-_SUCCESS wedge (the ``_rescue_claim``
+clear-and-retry path) end rc=0 everywhere, identical join counts,
+exactly one completed dir, zero leftovers, and the final dir keeps
+the ORIGINAL file inodes (rescued, not rewritten). The interleavings
+are safe by construction: every dir move is an atomic rename (one
+actor wins, losers see ENOENT/ENOTEMPTY and re-verify), and a
+completed copy is only ever deleted after confirming the final path
+verifiably holds a completed entry.
 """
 
 from __future__ import annotations
@@ -109,22 +110,60 @@ def _sweep_stale(ns_dir: str) -> None:
             path = os.path.join(ns_dir, e)
             final = os.path.join(ns_dir, m_stale.group(1))
             if os.path.exists(os.path.join(path, "_SUCCESS")):
-                try:
-                    os.rename(path, final)
+                if _rescue_claim(path, final):
                     continue
-                except OSError:
-                    # Drop the claimed copy ONLY if the final path holds
-                    # a COMPLETED entry (refilled by a new winner — the
-                    # claim is a redundant duplicate). Any other rename
-                    # failure (final occupied by a no-_SUCCESS wedge,
-                    # EACCES, ...) keeps the claim for the next heal:
-                    # rmtree here would destroy the only completed copy
-                    # (round-9 review).
-                    if not os.path.exists(os.path.join(final, "_SUCCESS")):
-                        continue
             shutil.rmtree(path, ignore_errors=True)
         elif m_other and not _pid_alive(int(m_other.group(1))):
             shutil.rmtree(os.path.join(ns_dir, e), ignore_errors=True)
+
+
+def _rescue_claim(path: str, final: str) -> bool:
+    """Restore a dead healer's COMPLETED claim (``path``, verified to
+    contain ``_SUCCESS``) to its ``final`` location. Returns True if
+    the claim must be KEPT (it was restored, or it is still the only
+    completed copy); False if it is a redundant duplicate safe to
+    remove (``final`` verifiably holds a completed entry).
+
+    If ``final`` is occupied by a no-``_SUCCESS`` wedge, the wedge is
+    claimed aside with OUR (live) pid, re-verified (it may be a winner
+    that completed mid-check), removed, and the restore retried —
+    otherwise the kept claim would never actually be restored: the
+    caller would pay a full rewrite and a later sweep would then
+    discard the preserved claim as a duplicate (round-9 review). A
+    crash mid-heal leaves only pid-stamped dirs this same sweep
+    handles: our no-_SUCCESS wedge claim is deleted once we're dead,
+    a completed claim is rescued."""
+    try:
+        os.rename(path, final)
+        return True
+    except OSError:
+        pass
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return False  # refilled by a winner: claim is a redundant dup
+    # final is (apparently) an incomplete wedge blocking the restore
+    wedge = f"{final}.stale.p{os.getpid()}"
+    try:
+        os.rename(final, wedge)
+    except OSError:
+        return True  # raced with another healer/writer: keep the claim
+    if os.path.exists(os.path.join(wedge, "_SUCCESS")):
+        # the occupant completed mid-check: put it back, claim is a dup
+        try:
+            os.rename(wedge, final)
+        except OSError:
+            # refilled AGAIN while we held the winner aside: the held
+            # copy is now the duplicate
+            shutil.rmtree(wedge, ignore_errors=True)
+        return False
+    shutil.rmtree(wedge, ignore_errors=True)
+    try:
+        os.rename(path, final)
+        return True
+    except OSError:
+        # a concurrent rescuer/writer claimed `path` or refilled
+        # `final` in the window; keep the claim unless final is
+        # verifiably complete
+        return not os.path.exists(os.path.join(final, "_SUCCESS"))
 
 
 def _session_dir(ns_parent: str) -> str:
@@ -176,9 +215,15 @@ def _self_healing_rename(tmp: str, final: str) -> None:
                 try:
                     os.rename(stale, final)
                 except OSError:
-                    # another writer refilled `final` meanwhile; the
-                    # claimed copy is a redundant duplicate
-                    shutil.rmtree(stale, ignore_errors=True)
+                    # drop the claimed copy ONLY if `final` verifiably
+                    # holds a completed refill (then it is a redundant
+                    # duplicate). On any other restore failure (exotic
+                    # EIO/EACCES with final absent) KEEP the claim —
+                    # it is the only completed copy, and the dead-pid
+                    # sweep rescues it after this process exits
+                    # (round-9 review: same invariant as _sweep_stale).
+                    if os.path.exists(os.path.join(final, "_SUCCESS")):
+                        shutil.rmtree(stale, ignore_errors=True)
             else:
                 shutil.rmtree(stale, ignore_errors=True)
         try:

@@ -1381,9 +1381,10 @@ def test_sweep_stale_rescues_dead_healers_completed_claim(tmp_path):
     _sweep_stale(ns)
     assert os.path.isdir(stale4)
     # (e) completed claim whose final path is occupied by a no-_SUCCESS
-    # wedge: restore rename fails, but the claim must be KEPT for the
-    # next heal — deleting it would destroy the only completed copy
-    # (round-9 review)
+    # wedge: the wedge is claimed aside and cleared, and the completed
+    # claim is RESTORED into place — never deleted, never left to be
+    # discarded as a duplicate after a redundant rewrite (round-9
+    # review, both passes)
     wedged = os.path.join(ns, "wedge_k_8_eee")
     os.makedirs(wedged)
     with open(os.path.join(wedged, "stray.bin"), "w") as f:
@@ -1391,9 +1392,13 @@ def test_sweep_stale_rescues_dead_healers_completed_claim(tmp_path):
     stale5 = os.path.join(ns, f"wedge_k_8_eee.stale.p{_dead_pid()}")
     os.makedirs(stale5)
     open(os.path.join(stale5, "_SUCCESS"), "w").close()
+    with open(os.path.join(stale5, "part-0.parquet"), "w") as f:
+        f.write("bucketdata")
     _sweep_stale(ns)
-    assert os.path.isdir(stale5), "completed claim destroyed behind a wedge"
-    assert os.path.isdir(wedged)
+    assert not os.path.exists(stale5)
+    assert os.path.exists(os.path.join(wedged, "_SUCCESS"))
+    assert os.path.exists(os.path.join(wedged, "part-0.parquet"))
+    assert not os.path.exists(os.path.join(wedged, "stray.bin"))
 
 
 def test_colocated_tables_rescue_skips_redundant_rewrite(spark, tmp_path):
