@@ -117,6 +117,48 @@ def _sweep_stale(ns_dir: str) -> None:
             shutil.rmtree(os.path.join(ns_dir, e), ignore_errors=True)
 
 
+def _clear_incomplete_final(final: str) -> bool:
+    """Shared crash-safety core for `_self_healing_rename` and
+    `_rescue_claim` (second round-9 review pass: two hand-maintained
+    copies of this machinery diverged within one commit — the
+    invariant now lives in one place). Atomically claim an apparently
+    incomplete ``final`` aside with OUR (live) pid, re-verify it (it
+    may be a winner that completed between the caller's check and the
+    claim — put it back), and clear it.
+
+    Returns True when ``final`` is left ABSENT — cleared, already
+    gone, or holding-aside a completed copy whose put-back failed
+    (kept as our live-pid stale claim; the post-exit sweep rescues
+    it) — so the caller may rename its own completed copy into place.
+    Returns False when ``final`` verifiably holds a COMPLETED entry.
+    INVARIANT: a completed copy is never deleted unless ``final``
+    verifiably holds a completed entry."""
+    success = os.path.join(final, "_SUCCESS")
+    aside = f"{final}.stale.p{os.getpid()}"
+    try:
+        os.rename(final, aside)
+    except OSError:
+        # already gone, or claimed by another healer mid-race
+        return not os.path.exists(success)
+    if os.path.exists(os.path.join(aside, "_SUCCESS")):
+        # the occupant completed mid-check: put it back
+        try:
+            os.rename(aside, final)
+            return False
+        except OSError:
+            if os.path.exists(success):
+                # refilled while we held the winner aside: the held
+                # copy is the redundant duplicate
+                shutil.rmtree(aside, ignore_errors=True)
+                return False
+            # exotic put-back failure with final absent: KEEP the held
+            # completed copy (live-pid claim, post-exit sweep rescues
+            # it) and let the caller fill final with its own copy
+            return True
+    shutil.rmtree(aside, ignore_errors=True)
+    return True
+
+
 def _rescue_claim(path: str, final: str) -> bool:
     """Restore a dead healer's COMPLETED claim (``path``, verified to
     contain ``_SUCCESS``) to its ``final`` location. Returns True if
@@ -124,15 +166,14 @@ def _rescue_claim(path: str, final: str) -> bool:
     completed copy); False if it is a redundant duplicate safe to
     remove (``final`` verifiably holds a completed entry).
 
-    If ``final`` is occupied by a no-``_SUCCESS`` wedge, the wedge is
-    claimed aside with OUR (live) pid, re-verified (it may be a winner
-    that completed mid-check), removed, and the restore retried —
+    If ``final`` is occupied by a no-``_SUCCESS`` wedge,
+    `_clear_incomplete_final` clears it and the restore is retried —
     otherwise the kept claim would never actually be restored: the
     caller would pay a full rewrite and a later sweep would then
     discard the preserved claim as a duplicate (round-9 review). A
     crash mid-heal leaves only pid-stamped dirs this same sweep
-    handles: our no-_SUCCESS wedge claim is deleted once we're dead,
-    a completed claim is rescued."""
+    handles: a no-_SUCCESS claim is deleted once its pid dies, a
+    completed claim is rescued."""
     try:
         os.rename(path, final)
         return True
@@ -140,22 +181,8 @@ def _rescue_claim(path: str, final: str) -> bool:
         pass
     if os.path.exists(os.path.join(final, "_SUCCESS")):
         return False  # refilled by a winner: claim is a redundant dup
-    # final is (apparently) an incomplete wedge blocking the restore
-    wedge = f"{final}.stale.p{os.getpid()}"
-    try:
-        os.rename(final, wedge)
-    except OSError:
-        return True  # raced with another healer/writer: keep the claim
-    if os.path.exists(os.path.join(wedge, "_SUCCESS")):
-        # the occupant completed mid-check: put it back, claim is a dup
-        try:
-            os.rename(wedge, final)
-        except OSError:
-            # refilled AGAIN while we held the winner aside: the held
-            # copy is now the duplicate
-            shutil.rmtree(wedge, ignore_errors=True)
-        return False
-    shutil.rmtree(wedge, ignore_errors=True)
+    if not _clear_incomplete_final(final):
+        return False  # the occupant was a completed winner after all
     try:
         os.rename(path, final)
         return True
@@ -201,31 +228,13 @@ def _self_healing_rename(tmp: str, final: str) -> None:
         if os.path.exists(success):
             shutil.rmtree(tmp, ignore_errors=True)  # lost to a winner
             return
-        # claim the (apparently incomplete) dir atomically before
-        # deleting — a blind rmtree(final) could race a winner's
-        # just-finished rename and destroy a completed directory
-        stale = f"{final}.stale.p{os.getpid()}"
-        try:
-            os.rename(final, stale)
-        except OSError:
-            stale = None  # already gone / claimed by another healer
-        if stale is not None:
-            if os.path.exists(os.path.join(stale, "_SUCCESS")):
-                # it WAS a winner completing mid-check: restore it
-                try:
-                    os.rename(stale, final)
-                except OSError:
-                    # drop the claimed copy ONLY if `final` verifiably
-                    # holds a completed refill (then it is a redundant
-                    # duplicate). On any other restore failure (exotic
-                    # EIO/EACCES with final absent) KEEP the claim —
-                    # it is the only completed copy, and the dead-pid
-                    # sweep rescues it after this process exits
-                    # (round-9 review: same invariant as _sweep_stale).
-                    if os.path.exists(os.path.join(final, "_SUCCESS")):
-                        shutil.rmtree(stale, ignore_errors=True)
-            else:
-                shutil.rmtree(stale, ignore_errors=True)
+        # claim-aside + re-verify + clear via the shared helper — a
+        # blind rmtree(final) could race a winner's just-finished
+        # rename and destroy a completed directory
+        if not _clear_incomplete_final(final):
+            # the occupant was a completed winner: ours is redundant
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
         try:
             os.rename(tmp, final)
             return

@@ -1401,6 +1401,41 @@ def test_sweep_stale_rescues_dead_healers_completed_claim(tmp_path):
     assert not os.path.exists(os.path.join(wedged, "stray.bin"))
 
 
+def test_clear_incomplete_final_branches(tmp_path):
+    """round-9 review (third pass): the shared claim-aside helper's
+    winner branch was previously unpinned — a completed occupant must
+    be restored untouched (return False), an incomplete wedge cleared
+    (return True), and an absent final reported clear (return True).
+    The invariant under test: a completed copy is never deleted unless
+    the final path verifiably holds a completed entry."""
+    from etl_geotab_spark.operators.bucketed import _clear_incomplete_final
+
+    ns = str(tmp_path / "ns")
+    os.makedirs(ns)
+    # (a) completed occupant: restored in place, same inode, False
+    final = os.path.join(ns, "side_k_8_aaa")
+    os.makedirs(final)
+    open(os.path.join(final, "_SUCCESS"), "w").close()
+    with open(os.path.join(final, "part-0.parquet"), "w") as f:
+        f.write("winner")
+    ino = os.stat(os.path.join(final, "part-0.parquet")).st_ino
+    assert _clear_incomplete_final(final) is False
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    assert os.stat(os.path.join(final, "part-0.parquet")).st_ino == ino
+    # no live-pid aside left behind by the restore round-trip
+    assert not os.path.exists(f"{final}.stale.p{os.getpid()}")
+    # (b) incomplete wedge: cleared, True
+    wedge = os.path.join(ns, "side_k_8_bbb")
+    os.makedirs(wedge)
+    with open(os.path.join(wedge, "stray.bin"), "w") as f:
+        f.write("junk")
+    assert _clear_incomplete_final(wedge) is True
+    assert not os.path.exists(wedge)
+    assert not os.path.exists(f"{wedge}.stale.p{os.getpid()}")
+    # (c) absent final: nothing to clear, True
+    assert _clear_incomplete_final(os.path.join(ns, "side_k_8_ccc")) is True
+
+
 def test_colocated_tables_rescue_skips_redundant_rewrite(spark, tmp_path):
     """round-9 review: when _sweep_stale rescues the requested key (a
     dead healer parked the completed dir under a stale name), the
