@@ -793,6 +793,25 @@ class GeotabDataSource(DataSource):
 
 
 def register_geotab_source(spark) -> None:
+    """Register the source AND satisfy its one load-bearing session
+    conf: ``GeotabReader.pushFilters`` (S2/S3 server-side pushdown,
+    task.ts:148-218's typed search objects) makes Spark REFUSE to even
+    initialize the reader unless
+    ``spark.sql.python.filterPushdown.enabled`` is true — under a
+    default-conf session every read (batch or ``readStream``) dies
+    with DATA_SOURCE_PUSHDOWN_DISABLED at plan time. Setting it here,
+    at the single chokepoint every consumer already calls, makes the
+    connector self-sufficient on any session (a bare driver session, a
+    real cluster whose session factory is not this repo's
+    ``session.py``) instead of silently depending on confs only our
+    own factories set. It is a runtime SQL conf, so post-session set
+    is effective; the try/except tolerates conf-locked environments,
+    where the subsequent read fails with Spark's own actionable
+    DATA_SOURCE_PUSHDOWN_DISABLED message rather than a new one."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     spark.dataSource.register(GeotabDataSource)
 
 
