@@ -378,6 +378,76 @@ _R01_REFRESH: list[str] = [
 ]
 
 
+# Round-10 window — the proposer's output (`python tools/freshness.py
+# --propose`: err rows > oldest-stale, here 1 err + 20 r05 + 29 r06)
+# with ONE deliberate swap mandated by the r9 verdict's
+# shared-component rule (SCALE.md §21): this round changes
+# `register_geotab_source` (the pushdown-conf fix), so its OTHER
+# dependent — `geotab_connector_pipeline`, green r08 and not
+# otherwise due — is pulled into the window right behind the erring
+# streaming twin, displacing the proposer's last r06 backfill entry
+# (`streaming_stream_join`, green r06, which rotates due at r11 with
+# the rest of its tier regardless). 1+1+20+28 = 50. After this
+# window: oldest ledger row r06; max staleness ≤ 4 rounds holds.
+_ROUND10_WINDOW: list[str] = [
+    # (a) the one err row (r09: DATA_SOURCE_PUSHDOWN_DISABLED, fixed
+    #     this round at the registration chokepoint)
+    "geotab_stream_pipeline",
+    # (b) shared-component rule: the batch twin of the changed source
+    "geotab_connector_pipeline",
+    # (c) the 20 r05 rows (ledger floor), proposer order
+    "null_safe_join",
+    "set_ops_multiset",
+    "partitioned_write_prune",
+    "linear_interpolate",
+    "streaming_sliding_window",
+    "compaction_plan",
+    "kaplan_meier",
+    "scd2_point_in_time",
+    "corrupt_record_audit",
+    "contrastive_pairs",
+    "training_batch_assembly",
+    "psi_drift",
+    "hotspot_regions",
+    "cusum_changepoint",
+    "boolean_retrieval",
+    "knn_accuracy",
+    "rolling_active_users",
+    "dedup_keep_best",
+    "quantized_rescore_topk",
+    "target_encoding",
+    # (d) the 28 oldest r06 rows (proposer order, minus the displaced
+    #     final entry)
+    "geotab_flagship",
+    "collect_array_agg",
+    "scan_filter_project",
+    "string_functions",
+    "math_functions",
+    "conditional_functions",
+    "json_functions",
+    "set_ops",
+    "distinct_values",
+    "text_stats",
+    "token_frequencies",
+    "percentiles",
+    "cube_agg",
+    "union_all_tagged",
+    "map_functions",
+    "struct_geojson",
+    "array_norms",
+    "haversine_distance",
+    "text_quality",
+    "multimodal_frame_sample",
+    "multimodal_decode_stats",
+    "range_join_events",
+    "salted_skew_join",
+    "chunk_documents",
+    "pivot_returnflag",
+    "grouping_sets",
+    "hash_sample",
+    "quality_filter_pipeline",
+]
+
 # Round-9 window — steady-state rotation, emitted VERBATIM by
 # `python tools/freshness.py --propose` per the round-8 verdict's
 # item 3 (the proposer was fixed in r8; its priority order is
@@ -608,7 +678,8 @@ _ROUND7_WINDOW: list[str] = [
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     head_lists = (
-        _ROUND9_WINDOW
+        _ROUND10_WINDOW
+        + _ROUND9_WINDOW
         + _ROUND8_WINDOW
         + _ROUND7_WINDOW
         + _ROUND6_WINDOW
