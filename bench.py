@@ -363,6 +363,51 @@ def best_over_runs(per_run: list[dict[str, float]]) -> dict[str, float]:
     return out
 
 
+def aggregate_runs(
+    run_timings: list[dict[str, float]],
+    run_builds: list[dict[str, float]],
+) -> tuple[dict, dict, list[float], float, float, list[str]]:
+    """Fold per-run timings into the reported aggregates so EVERY
+    total covers the SAME query set. ``best_over_runs`` marks a key
+    that errored or is missing from any run as -1 and ``value``
+    excludes it — per-run totals and the median must exclude that
+    key's seconds too, or in a mixed-version resume the headline and
+    the run totals silently measure different suites (round-10
+    advice). Returns (best, shared_builds, runs_totals, total,
+    median, dropped_keys); callers report ``dropped_keys`` loudly."""
+    best = best_over_runs(run_timings)
+    shared_builds = best_over_runs(run_builds)
+    best_valid = {n for n, v in best.items() if v >= 0}
+    builds_valid = {n for n, v in shared_builds.items() if v >= 0}
+    dropped = sorted(
+        (set(best) - best_valid) | (set(shared_builds) - builds_valid)
+    )
+    # totals INCLUDE the shared-build seconds: rounds ≤7 paid these
+    # builds inside whichever sharer ran first, so excluding them here
+    # would fake a ~10 s round-over-round improvement
+    runs_totals = [
+        round(
+            sum(t for n, t in rt.items() if n in best_valid and t >= 0)
+            + sum(t for n, t in rb.items() if n in builds_valid and t >= 0),
+            3,
+        )
+        for rt, rb in zip(run_timings, run_builds)
+    ]
+    total = round(
+        sum(t for t in best.values() if t >= 0)
+        + sum(t for t in shared_builds.values() if t >= 0),
+        3,
+    )
+    srt = sorted(runs_totals)
+    median = round(
+        srt[len(srt) // 2]
+        if len(srt) % 2
+        else (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2,
+        3,
+    )
+    return best, shared_builds, runs_totals, total, median, dropped
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -454,31 +499,15 @@ def main() -> None:
     run_drifts = [r["drift"] for r in results]
     run_builds = [r.get("shared_builds", {}) for r in results]
 
-    best = best_over_runs(run_timings)
-    shared_builds = best_over_runs(run_builds)
-    # totals INCLUDE the shared-build seconds: rounds ≤7 paid these
-    # builds inside whichever sharer ran first, so excluding them here
-    # would fake a ~10 s round-over-round improvement
-    runs_totals = [
-        round(
-            sum(t for t in rt.values() if t >= 0)
-            + sum(t for t in rb.values() if t >= 0),
-            3,
+    best, shared_builds, runs_totals, total, median, dropped = aggregate_runs(
+        run_timings, run_builds
+    )
+    if dropped:
+        print(
+            f"bench: {len(dropped)} key(s) errored or missing in some "
+            f"run(s); excluded from ALL totals: {dropped}",
+            file=sys.stderr,
         )
-        for rt, rb in zip(run_timings, run_builds)
-    ]
-    total = round(
-        sum(t for t in best.values() if t >= 0)
-        + sum(t for t in shared_builds.values() if t >= 0),
-        3,
-    )
-    srt = sorted(runs_totals)
-    median = round(
-        srt[len(srt) // 2]
-        if len(srt) % 2
-        else (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2,
-        3,
-    )
     tail_drift = max(run_drifts)
 
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import atexit
 import hashlib
+import itertools
 import os
 import re
 import shutil
@@ -51,6 +52,16 @@ from etl_geotab_spark.io import write_bucketed_external
 # session dirs whose atexit cleanup is already registered (one
 # registration per directory, however many sides land in it)
 _SESSION_DIRS_CLEANED: set[str] = set()
+
+# monotonic suffix for healer claim-aside names: a pid alone is NOT
+# unique within a process's lifetime — an earlier exotic put-back
+# failure can legitimately KEEP a completed copy under this pid's
+# aside name for the same key, and a later claim's rename onto that
+# occupied path would fail ENOTEMPTY while `final` is still present
+# (round-10 advice). A per-claim sequence number makes every aside
+# path fresh, so the initial claim rename can only fail when `final`
+# itself is gone.
+_ASIDE_SEQ = itertools.count()
 
 
 def _safe_name(s: str) -> str:
@@ -102,7 +113,9 @@ def _sweep_stale(ns_dir: str) -> None:
     except OSError:
         return
     for e in entries:
-        m_stale = re.fullmatch(r"(.+)\.stale\.p(\d+)", e)
+        # healer asides carry a per-claim sequence suffix since r10
+        # (`.stale.p<pid>.<seq>`); pre-r10 dirs without one still match
+        m_stale = re.fullmatch(r"(.+)\.stale\.p(\d+)(?:\.\d+)?", e)
         m_other = re.fullmatch(r".+\.tmp\.p(\d+)", e) or re.fullmatch(
             r"session\.p(\d+)", e
         )
@@ -134,11 +147,14 @@ def _clear_incomplete_final(final: str) -> bool:
     INVARIANT: a completed copy is never deleted unless ``final``
     verifiably holds a completed entry."""
     success = os.path.join(final, "_SUCCESS")
-    aside = f"{final}.stale.p{os.getpid()}"
+    aside = f"{final}.stale.p{os.getpid()}.{next(_ASIDE_SEQ)}"
     try:
         os.rename(final, aside)
     except OSError:
-        # already gone, or claimed by another healer mid-race
+        # aside is freshly-named, so the only expected failure is
+        # `final` already gone / claimed by another healer mid-race;
+        # anything exotic (EACCES, ...) leaves final present and the
+        # caller's retry surfaces it loudly
         return not os.path.exists(success)
     if os.path.exists(os.path.join(aside, "_SUCCESS")):
         # the occupant completed mid-check: put it back

@@ -1422,8 +1422,9 @@ def test_clear_incomplete_final_branches(tmp_path):
     assert _clear_incomplete_final(final) is False
     assert os.path.exists(os.path.join(final, "_SUCCESS"))
     assert os.stat(os.path.join(final, "part-0.parquet")).st_ino == ino
-    # no live-pid aside left behind by the restore round-trip
-    assert not os.path.exists(f"{final}.stale.p{os.getpid()}")
+    # no aside of ANY name left behind by the restore round-trip
+    # (asides are sequence-suffixed since r10, so glob, don't guess)
+    assert not [e for e in os.listdir(ns) if ".stale.p" in e], os.listdir(ns)
     # (b) incomplete wedge: cleared, True
     wedge = os.path.join(ns, "side_k_8_bbb")
     os.makedirs(wedge)
@@ -1431,9 +1432,25 @@ def test_clear_incomplete_final_branches(tmp_path):
         f.write("junk")
     assert _clear_incomplete_final(wedge) is True
     assert not os.path.exists(wedge)
-    assert not os.path.exists(f"{wedge}.stale.p{os.getpid()}")
+    assert not [e for e in os.listdir(ns) if ".stale.p" in e], os.listdir(ns)
     # (c) absent final: nothing to clear, True
     assert _clear_incomplete_final(os.path.join(ns, "side_k_8_ccc")) is True
+    # (d) round-10 advice: a PRE-EXISTING self-owned aside for the
+    # same key (a prior exotic put-back-failure keep — completed copy
+    # parked under our live pid) must not wedge a later claim of an
+    # incomplete final: the fresh sequence suffix keeps the claim
+    # rename off the occupied path, so the clear still succeeds and
+    # the kept completed copy survives for the post-exit sweep.
+    kept = os.path.join(ns, f"side_k_8_ddd.stale.p{os.getpid()}")
+    os.makedirs(kept)
+    open(os.path.join(kept, "_SUCCESS"), "w").close()
+    wedge2 = os.path.join(ns, "side_k_8_ddd")
+    os.makedirs(wedge2)
+    with open(os.path.join(wedge2, "stray.bin"), "w") as f:
+        f.write("junk")
+    assert _clear_incomplete_final(wedge2) is True
+    assert not os.path.exists(wedge2)
+    assert os.path.exists(os.path.join(kept, "_SUCCESS"))  # keep intact
 
 
 def test_colocated_tables_rescue_skips_redundant_rewrite(spark, tmp_path):

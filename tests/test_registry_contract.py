@@ -10,8 +10,12 @@ into an ``err`` (the round-8 ``pca_project`` red, the repo's first).
 
 This lint makes the second instance impossible: every rows-only
 query's output schema must be scalar at the top level. It builds each
-plan at sf0.001 (schema comes from analysis; no collect) so it also
-doubles as a plan-constructibility smoke for the rows-only tier.
+plan at sf0.001, so it also doubles as a plan-constructibility smoke
+for the rows-only tier. Mostly that is analysis-only (no jobs), but
+not action-free: some queries run bounded driver work during plan
+CONSTRUCTION (e.g. ``pca_project``'s dim²-bounded Gramian collect +
+driver eigh happen inside ``fit_pca`` before the returned plan
+exists), so expect a few Spark jobs while this test runs.
 """
 
 from __future__ import annotations
