@@ -375,6 +375,8 @@ def aggregate_runs(
     the run totals silently measure different suites (round-10
     advice). Returns (best, shared_builds, runs_totals, total,
     median, dropped_keys); callers report ``dropped_keys`` loudly."""
+    if not run_timings:
+        raise ValueError("aggregate_runs: no runs to aggregate")
     best = best_over_runs(run_timings)
     shared_builds = best_over_runs(run_builds)
     best_valid = {n for n, v in best.items() if v >= 0}
@@ -517,6 +519,7 @@ def main() -> None:
                 {"metric": "total_query_sec", "value": total, "unit": "sec",
                  "queries": best, "sf": sf,
                  "runs": runs_totals, "median_run_sec": median,
+                 "dropped": dropped,
                  "per_run_queries": run_timings,
                  "shared_builds": shared_builds,
                  "per_run_shared_builds": run_builds,
@@ -537,7 +540,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "sf": sf,
-                "n_queries": len(best),
+                # count only the keys `value` actually covers — dropped
+                # (-1) keys are excluded from every total, so counting
+                # them here would re-create the mixed-suite mismatch
+                "n_queries": sum(1 for v in best.values() if v >= 0),
+                "dropped": dropped,
                 "runs": runs_totals,
                 "median_run_sec": median,
                 "shared_builds": shared_builds,

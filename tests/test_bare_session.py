@@ -75,12 +75,16 @@ except Exception as exc:  # noqa: BLE001 - classify below
         raise
 
 # --- the engine's own entry points must EACH self-satisfy their
-# confs: register_geotab_source sets the gate, so the same family
-# that ERRORed in CORRECTNESS_r09 now initializes and returns rows.
-# The gate conf is RESET before every member — a session-sticky conf
-# set by an earlier query must not green-wash a later one (that
-# cross-query masking is precisely how the batch twin hid the
-# streaming twin's regression through all of round 8).
+# confs. Two of the three legs exercise the pushdown gate through
+# register_geotab_source (geotab_connector_pipeline batch reads, and
+# geotab_stream_pipeline — the query that ERRORed in CORRECTNESS_r09);
+# geotab_flagship never touches the Python data source — it is here as
+# the fixture-read leg (load_table's NTZ/nanos conf self-sufficiency
+# and UTC timestamp semantics on a bare session). The gate conf is
+# RESET before every member — a session-sticky conf set by an earlier
+# query must not green-wash a later one (that cross-query masking is
+# precisely how the batch twin hid the streaming twin's regression
+# through all of round 8).
 from etl_geotab_spark import queries as q
 
 registry = q.queries()

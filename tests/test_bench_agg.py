@@ -88,3 +88,12 @@ def test_aggregate_runs_clean_suite_unchanged():
     assert runs_totals == [17.0, 16.5]
     assert total == 15.5
     assert median == 16.75
+
+
+def test_aggregate_runs_empty_is_loud():
+    import pytest
+
+    from bench import aggregate_runs
+
+    with pytest.raises(ValueError, match="no runs"):
+        aggregate_runs([], [])
