@@ -1399,6 +1399,19 @@ def test_sweep_stale_rescues_dead_healers_completed_claim(tmp_path):
     assert os.path.exists(os.path.join(wedged, "_SUCCESS"))
     assert os.path.exists(os.path.join(wedged, "part-0.parquet"))
     assert not os.path.exists(os.path.join(wedged, "stray.bin"))
+    # (f) r10 aside format (`.stale.p<pid>.<seq>`): a dead completed
+    # claim is rescued and a dead incomplete one removed, same as the
+    # unsuffixed pre-r10 names above
+    stale6 = os.path.join(ns, f"newfmt_k_8_ggg.stale.p{_dead_pid()}.3")
+    os.makedirs(stale6)
+    open(os.path.join(stale6, "_SUCCESS"), "w").close()
+    stale7 = os.path.join(ns, f"newfmt_k_8_hhh.stale.p{_dead_pid()}.12")
+    os.makedirs(stale7)
+    _sweep_stale(ns)
+    assert not os.path.exists(stale6)
+    assert os.path.exists(os.path.join(ns, "newfmt_k_8_ggg", "_SUCCESS"))
+    assert not os.path.exists(stale7)
+    assert not os.path.exists(os.path.join(ns, "newfmt_k_8_hhh"))
 
 
 def test_clear_incomplete_final_branches(tmp_path):
