@@ -378,6 +378,76 @@ _R01_REFRESH: list[str] = [
 ]
 
 
+# Round-11 window — the proposer's output (`python tools/freshness.py
+# --propose`: the full 22-query r06 tier — the last rows at the
+# 4-round staleness edge — then the 28 oldest r07 rows) with ONE
+# deliberate swap mandated by the r10 verdict's item 2:
+# `bucketed_colocated_join` (r07 green, the only code path in the
+# repo whose cross-process cache REUSE branch has zero driver
+# evidence — operators/bucketed.py external-table registration over
+# shared content-addressed files) is pulled in, displacing the
+# proposer's LAST r07 backfill entry (`mode_median`, r07 green, which
+# rotates due at r12 with the rest of its tier regardless). Its query
+# now pins the reuse branch in the compared output itself: a
+# `cache_reused` column the oracle fixes to TRUE, so the green row IS
+# the recorded statement of which branch executed. 22+27+1 = 50.
+# After this window: oldest ledger row r07; staleness ≤ 4 holds.
+_ROUND11_WINDOW: list[str] = [
+    # (a) the 22-query r06 tier, proposer order
+    "streaming_stream_join",
+    "tfidf_top_terms",
+    "sessionize_events",
+    "interval_overlap_join",
+    "gap_fill_forward",
+    "grid_spatial_join",
+    "stratified_sample",
+    "bigram_pmi",
+    "pack_sequences",
+    "streaming_dedup_keys",
+    "variant_shred",
+    "upsert_orders",
+    "scd2_user_history",
+    "global_rownum_orders",
+    "ohlc_downsample",
+    "funnel_conversion",
+    "time_range_moving_avg",
+    "chi_square_independence",
+    "spearman_correlation",
+    "winsorized_stats",
+    "cohens_kappa",
+    "keyset_pagination",
+    # (b) the 27 oldest r07 rows, proposer order
+    "dedup_latest_events",
+    "group_agg_minmax",
+    "rollup_orders",
+    "join_large_fact",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dims",
+    "asof_join_events_orders",
+    "date_functions",
+    "window_rank",
+    "window_lag_lead",
+    "window_running_agg",
+    "topk_global",
+    "topk_per_group",
+    "dedup_exact_docs",
+    "tumbling_window",
+    "correlated_subquery",
+    "sliding_window",
+    "session_window",
+    "streaming_tumbling_window",
+    "multimodal_metadata",
+    "exists_subquery",
+    "in_subquery",
+    "string_agg_sorted",
+    "window_distribution",
+    "conditional_agg",
+    # (c) the swap: the r10 verdict's one genuine coverage target
+    "bucketed_colocated_join",
+]
+
 # Round-10 window — the proposer's output (`python tools/freshness.py
 # --propose`: err rows > oldest-stale, here 1 err + 20 r05 + 29 r06)
 # with ONE deliberate swap mandated by the r9 verdict's
@@ -678,7 +748,8 @@ _ROUND7_WINDOW: list[str] = [
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     head_lists = (
-        _ROUND10_WINDOW
+        _ROUND11_WINDOW
+        + _ROUND10_WINDOW
         + _ROUND9_WINDOW
         + _ROUND8_WINDOW
         + _ROUND7_WINDOW
@@ -4781,7 +4852,8 @@ def q_vin_filter(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
            round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
-             AS revenue
+             AS revenue,
+           TRUE AS cache_reused
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -4793,21 +4865,39 @@ def q_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
     with no Exchange above either scan (tests/test_operators assert the
     plan). Amortization contract: every downstream join/agg on
     o_orderkey reuses the on-disk partitioning — this is Spark's answer
-    to the reference's persistent keyed Map (task.ts:221-229)."""
+    to the reference's persistent keyed Map (task.ts:221-229).
+
+    The joined frame is built from the cache REUSE branch by
+    construction (round-10 verdict item 2: that branch — external-table
+    registration over pre-existing completed content-addressed files —
+    had race/pytest coverage but no driver-recorded evidence): the
+    first `colocated_tables` call warms the persistent cache (cold
+    write, or itself a reuse when a prior process already paid it),
+    the catalog registrations are then dropped to put THIS session in
+    the exact state a fresh session on a warm shared cache sees, and
+    the second call must re-register over the existing files without
+    rewriting. The branch actually taken is pinned into the COMPARED
+    output as `cache_reused`, which the oracle fixes to TRUE — a cold
+    or catalog-short-circuit second call hash-mismatches, so a green
+    driver row IS the evidence the reuse branch executed."""
     import tempfile
 
     from etl_geotab_spark.operators.bucketed import colocated_tables
 
     base = os.path.join(tempfile.gettempdir(), "etl_geotab_buckets")
-    t = colocated_tables(
-        spark,
-        sf,
-        base,
-        {
-            "orders": (_t(spark, sf, "orders"), "o_orderkey"),
-            "lineitem": (_t(spark, sf, "lineitem"), "l_orderkey"),
-        },
-    )
+    sides = lambda: {  # noqa: E731 - two structurally identical calls
+        "orders": (_t(spark, sf, "orders"), "o_orderkey"),
+        "lineitem": (_t(spark, sf, "lineitem"), "l_orderkey"),
+    }
+    warm: dict[str, dict[str, str]] = {}
+    colocated_tables(spark, sf, base, sides(), info_out=warm)
+    for side in warm.values():
+        spark.sql(f"DROP TABLE IF EXISTS {side['table']}")
+    info: dict[str, dict[str, str]] = {}
+    t = colocated_tables(spark, sf, base, sides(), info_out=info)
+    reused = all(v["branch"] == "reuse" for v in info.values()) and len(
+        info
+    ) == 2
     o, li = t["orders"], t["lineitem"]
     j = o.join(li, o.o_orderkey == li.l_orderkey)
     return j.groupBy("o_orderpriority").agg(
@@ -4815,6 +4905,7 @@ def q_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 2
         ).alias("revenue"),
+        F.lit(reused).alias("cache_reused"),
     )
 
 
