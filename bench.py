@@ -124,6 +124,33 @@ HEADLINE = [
     "ndcg_eval",
 ]
 
+# Which per-query timings consume each shared-build materialization
+# (see run_one's preamble): when a build key is dropped from the
+# totals, these queries' retained timings may reflect a degraded or
+# failed build in the run where it errored — main() flags them on
+# stderr (round-10 advice). Keep in sync with the (bname, bfn) tuples
+# in run_one.
+SHARED_BUILD_CONSUMERS = {
+    "dedup_labeled_table": ("dedup_clusters", "dedup_keep_best"),
+    "ann_eval_table": ("ann_recall_eval", "ndcg_eval"),
+}
+
+
+def tainted_consumers(
+    dropped: list[str], best: dict[str, float]
+) -> list[str]:
+    """Queries whose RETAINED timings consumed a shared build that was
+    dropped (errored/missing in some run): their numbers may reflect a
+    degraded-build path in that run. Consumers that were themselves
+    dropped (best < 0) are already excluded from every total, so only
+    retained ones are worth flagging."""
+    return sorted(
+        qn
+        for bk in dropped
+        for qn in SHARED_BUILD_CONSUMERS.get(bk, ())
+        if best.get(qn, -1.0) >= 0
+    )
+
 
 def force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
@@ -510,6 +537,20 @@ def main() -> None:
             f"run(s); excluded from ALL totals: {dropped}",
             file=sys.stderr,
         )
+        # round-10 advice: a dropped SHARED-BUILD key means its
+        # consumers ran against a degraded/failed-build path in that
+        # run, but their own timings stay in every total — flag them
+        # so a reader of the totals knows which query numbers may mix
+        # states (dropping them too would hide that the queries
+        # themselves still produced timings worth inspecting).
+        tainted = tainted_consumers(dropped, best)
+        if tainted:
+            print(
+                "bench: dropped shared-build key(s) have consumers "
+                f"whose retained timings may reflect a degraded-build "
+                f"path: {tainted}",
+                file=sys.stderr,
+            )
     tail_drift = max(run_drifts)
 
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")

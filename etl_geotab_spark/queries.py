@@ -380,18 +380,27 @@ _R01_REFRESH: list[str] = [
 
 # Round-11 window — the proposer's output (`python tools/freshness.py
 # --propose`: the full 22-query r06 tier — the last rows at the
-# 4-round staleness edge — then the 28 oldest r07 rows) with ONE
-# deliberate swap mandated by the r10 verdict's item 2:
-# `bucketed_colocated_join` (r07 green, the only code path in the
-# repo whose cross-process cache REUSE branch has zero driver
-# evidence — operators/bucketed.py external-table registration over
-# shared content-addressed files) is pulled in, displacing the
-# proposer's LAST r07 backfill entry (`mode_median`, r07 green, which
-# rotates due at r12 with the rest of its tier regardless). Its query
-# now pins the reuse branch in the compared output itself: a
-# `cache_reused` column the oracle fixes to TRUE, so the green row IS
-# the recorded statement of which branch executed. 22+27+1 = 50.
-# After this window: oldest ledger row r07; staleness ≤ 4 holds.
+# 4-round staleness edge — then the 28 oldest r07 rows) with THREE
+# documented swaps, displacing the proposer's three LAST (lowest-
+# priority) r07 backfill entries (`mode_median`, `conditional_agg`,
+# `window_distribution` — all r07 green, rotating due at r12 with the
+# rest of their tier regardless):
+# 1. `bucketed_colocated_join` (r10 verdict item 2: the only code
+#    path in the repo whose cross-process cache REUSE branch had zero
+#    driver evidence — operators/bucketed.py external-table
+#    registration over shared content-addressed files). Its query now
+#    pins the reuse branch in the compared output itself: a
+#    `cache_reused` column the oracle fixes to TRUE, so the green row
+#    IS the recorded statement of which branch executed.
+# 2.+3. `geotab_connector_pipeline` / `geotab_stream_pipeline` —
+#    shared-component rule (SCALE.md §21): this round touches
+#    `register_geotab_source` (the swallowed conf-set exception is now
+#    debug-logged, r10 advice), so both dependents' driver rows must
+#    postdate the change even though the edit is exception-path-only.
+# 22+25+3 = 50. After this window: oldest ledger row r07 (22 rows,
+# none touching a shared component changed since); staleness ≤ 4
+# holds, and the whole ledger postdates r8's pushFilters change at
+# r12 when that last tier rotates.
 _ROUND11_WINDOW: list[str] = [
     # (a) the 22-query r06 tier, proposer order
     "streaming_stream_join",
@@ -442,10 +451,12 @@ _ROUND11_WINDOW: list[str] = [
     "exists_subquery",
     "in_subquery",
     "string_agg_sorted",
-    "window_distribution",
-    "conditional_agg",
-    # (c) the swap: the r10 verdict's one genuine coverage target
+    # (c) the swaps: the r10 verdict's one genuine coverage target,
+    #     then the shared-component dependents of this round's
+    #     register_geotab_source edit
     "bucketed_colocated_join",
+    "geotab_connector_pipeline",
+    "geotab_stream_pipeline",
 ]
 
 # Round-10 window — the proposer's output (`python tools/freshness.py

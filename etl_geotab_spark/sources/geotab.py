@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import time
 from dataclasses import dataclass
 from typing import Any, Iterator
@@ -807,11 +808,20 @@ def register_geotab_source(spark) -> None:
     own factories set. It is a runtime SQL conf, so post-session set
     is effective; the try/except tolerates conf-locked environments,
     where the subsequent read fails with Spark's own actionable
-    DATA_SOURCE_PUSHDOWN_DISABLED message rather than a new one."""
+    DATA_SOURCE_PUSHDOWN_DISABLED message rather than a new one. The
+    swallowed exception is logged at debug level (round-10 advice: a
+    silent blanket pass would also hide an unexpected failure class —
+    e.g. a stopped/invalid session handle — and the later read error
+    would then point away from the real cause)."""
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    except Exception:
-        pass
+    except Exception as exc:  # noqa: BLE001 - tolerated, but recorded
+        logging.getLogger(__name__).debug(
+            "register_geotab_source: could not set "
+            "spark.sql.python.filterPushdown.enabled (conf-locked "
+            "environment, or an unusable session handle): %s",
+            exc,
+        )
     spark.dataSource.register(GeotabDataSource)
 
 

@@ -47,9 +47,14 @@ spark = (
     .config("spark.ui.showConsoleProgress", "false")
     .getOrCreate()
 )
-assert (
-    spark.conf.get("spark.sql.python.filterPushdown.enabled") == "false"
-), "session is not bare: the pushdown gate conf is already on"
+# Bare-ness canary, not a hard failure (round-10 advice): if a future
+# Spark release ships this default as "true", the regression class the
+# connector lint guards (readers dying under the DEFAULT conf)
+# disappears with it — skip loudly instead of reporting a broken lint.
+if spark.conf.get("spark.sql.python.filterPushdown.enabled") != "false":
+    print("BARE_SKIP_PUSHDOWN_DEFAULT_ALREADY_TRUE")
+    spark.stop()
+    raise SystemExit(0)
 
 # --- failing-by-construction: a pushFilters reader registered WITHOUT
 # the register_geotab_source chokepoint must die at reader init under
@@ -104,23 +109,121 @@ spark.stop()
 """
 
 
-def test_connector_family_on_bare_default_conf_session():
-    """The r9 regression, machine-checked: flagship + batch connector
-    + streaming connector all run on a default-conf session, with the
-    bare-ness of the session itself asserted by a probe that MUST
-    fail (a pushdown reader registered without the chokepoint)."""
-    script = _BARE_SCRIPT.format(repo=REPO, sf="/root/testdata/sf0.001")
-    r = subprocess.run(
+# Round-11 (r10 verdict item 3): the self-scaffolded streaming family.
+# `streaming_stream_join` / `streaming_dedup_keys` / `stateful_user_stats`
+# build their own readStream plumbing OUTSIDE the connector registration
+# path the lint above covers; the r10 full-registry sweep ran them bare
+# once as a one-off — this makes that coverage a repeatable gate. Their
+# load-bearing confs are the fixture-read pair (`inferTimestampNTZ`,
+# `nanosAsLong`), self-set by `load_table` at the read chokepoint; both
+# are RESET before every member so a session-sticky set by an earlier
+# query cannot green-wash a later one (the r8 masking mechanism). The
+# bare-ness canary here is schema-shaped: a DIRECT parquet read of the
+# events fixture on a truly default-conf session must surface
+# `timestamp_ntz` (the factory/load_table path surfaces `timestamp`).
+_BARE_STREAMING_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("bare-session-streaming-lint")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate()
+)
+# --- failing-by-construction canary: the default-conf read must show
+# the BARE schema. If a future Spark default reads these as session-tz
+# TIMESTAMP natively, the conf-dependency class this lint guards is
+# gone — skip loudly (round-10 advice pattern).
+bare_ts = (
+    spark.read.parquet({sf!r} + "/events.parquet").schema["ts"].dataType
+).simpleString()
+if bare_ts != "timestamp_ntz":
+    print("BARE_SKIP_NTZ_DEFAULT_CHANGED", bare_ts)
+    spark.stop()
+    raise SystemExit(0)
+
+from etl_geotab_spark import queries as q
+
+registry = q.queries()
+for name in (
+    "streaming_stream_join",
+    "streaming_dedup_keys",
+    "stateful_user_stats",
+):
+    for conf in (
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.python.filterPushdown.enabled",
+    ):
+        spark.conf.unset(conf)
+    assert (
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+        == "true"
+    ), "unset did not restore the Spark default"
+    rows = registry[name](spark, {sf!r}).collect()
+    assert rows, (name, "returned no rows")
+    print("BARE_OK", name, len(rows))
+spark.stop()
+"""
+
+
+def _run_bare(script: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
         [sys.executable, "-c", script],
         capture_output=True,
         text=True,
         timeout=420,
         cwd=REPO,
     )
+
+
+def _assert_bare_ok(r, names, skip_marker):
+    import pytest
+
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
-    for name in (
-        "geotab_flagship",
-        "geotab_connector_pipeline",
-        "geotab_stream_pipeline",
-    ):
+    if skip_marker in r.stdout:
+        pytest.skip(
+            f"{skip_marker}: Spark's own default now satisfies the "
+            "conf this lint guards — the regression class is gone"
+        )
+    for name in names:
         assert f"BARE_OK {name}" in r.stdout, (name, r.stdout[-2000:])
+
+
+def test_connector_family_on_bare_default_conf_session():
+    """The r9 regression, machine-checked: flagship + batch connector
+    + streaming connector all run on a default-conf session, with the
+    bare-ness of the session itself asserted by a probe that MUST
+    fail (a pushdown reader registered without the chokepoint)."""
+    script = _BARE_SCRIPT.format(repo=REPO, sf="/root/testdata/sf0.001")
+    _assert_bare_ok(
+        _run_bare(script),
+        (
+            "geotab_flagship",
+            "geotab_connector_pipeline",
+            "geotab_stream_pipeline",
+        ),
+        "BARE_SKIP_PUSHDOWN_DEFAULT_ALREADY_TRUE",
+    )
+
+
+def test_streaming_family_on_bare_default_conf_session():
+    """r10 verdict item 3: the streams that scaffold their own
+    readStream path (outside the connector chokepoint) run on a
+    default-conf session, fixture-read confs reset before each."""
+    script = _BARE_STREAMING_SCRIPT.format(
+        repo=REPO, sf="/root/testdata/sf0.001"
+    )
+    _assert_bare_ok(
+        _run_bare(script),
+        (
+            "streaming_stream_join",
+            "streaming_dedup_keys",
+            "stateful_user_stats",
+        ),
+        "BARE_SKIP_NTZ_DEFAULT_CHANGED",
+    )

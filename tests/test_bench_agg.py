@@ -90,6 +90,48 @@ def test_aggregate_runs_clean_suite_unchanged():
     assert median == 16.75
 
 
+def test_tainted_consumers_flags_retained_sharers_only():
+    """round-10 advice: a dropped shared-build key's consumers keep
+    their timings in the totals — they must be surfaced as possibly
+    reflecting a degraded-build path; consumers that were themselves
+    dropped are already out of every total and stay unflagged."""
+    from bench import tainted_consumers
+
+    best = {
+        "dedup_clusters": 3.0,
+        "dedup_keep_best": -1.0,  # itself dropped
+        "ann_recall_eval": 2.0,
+    }
+    assert tainted_consumers(["dedup_labeled_table"], best) == [
+        "dedup_clusters"
+    ]
+    # both builds dropped: union of retained consumers, sorted
+    assert tainted_consumers(
+        ["ann_eval_table", "dedup_labeled_table"], best
+    ) == ["ann_recall_eval", "dedup_clusters"]
+    # a dropped plain query (not a build) flags nothing
+    assert tainted_consumers(["pricing_summary"], best) == []
+    assert tainted_consumers([], best) == []
+
+
+def test_shared_build_consumers_in_sync_with_registry():
+    """The map's build keys must match run_one's (bname, bfn) tuples
+    and every consumer must be a registered query — keeps the flag
+    from rotting as the suite evolves."""
+    import inspect
+
+    import bench
+    from etl_geotab_spark import queries as q
+
+    src = inspect.getsource(bench.run_one)
+    for bk in bench.SHARED_BUILD_CONSUMERS:
+        assert f'"{bk}"' in src, bk
+    registered = set(q.queries())
+    for consumers in bench.SHARED_BUILD_CONSUMERS.values():
+        for qn in consumers:
+            assert qn in registered, qn
+
+
 def test_aggregate_runs_empty_is_loud():
     import pytest
 
