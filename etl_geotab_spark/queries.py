@@ -425,7 +425,8 @@ _ROUND11_WINDOW: list[str] = [
     "winsorized_stats",
     "cohens_kappa",
     "keyset_pagination",
-    # (b) the 27 oldest r07 rows, proposer order
+    # (b) the 25 oldest r07 rows, proposer order (28 proposed, minus
+    #     the 3 displaced by the swaps below)
     "dedup_latest_events",
     "group_agg_minmax",
     "rollup_orders",

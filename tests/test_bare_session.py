@@ -181,14 +181,48 @@ def _run_bare(script: str) -> subprocess.CompletedProcess:
     )
 
 
-def _assert_bare_ok(r, names, skip_marker):
+def _env_conf_pollution(key: str) -> str | None:
+    """A skip marker can mean two very different things: Spark's OWN
+    default changed (the guarded regression class is genuinely gone →
+    skip), or THIS BOX sets the conf via spark-defaults.conf /
+    SPARK_CONF_DIR (the lint's bare-session premise is broken and the
+    gate would silently stop running → that must FAIL, not skip —
+    review follow-up on the round-10 advice change). Probe the
+    defaults files for the key to tell them apart."""
+    for d in (
+        os.environ.get("SPARK_CONF_DIR"),
+        os.path.join(os.environ.get("SPARK_HOME", ""), "conf"),
+    ):
+        if not d:
+            continue
+        p = os.path.join(d, "spark-defaults.conf")
+        try:
+            with open(p) as f:
+                for ln in f:
+                    if ln.strip().startswith(key):
+                        return f"{p}: {ln.strip()}"
+        except OSError:
+            pass
+    return None
+
+
+def _assert_bare_ok(r, names, skip_marker, guarded_conf):
     import pytest
 
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
     if skip_marker in r.stdout:
+        pollution = _env_conf_pollution(guarded_conf)
+        assert pollution is None, (
+            f"{skip_marker}, but {guarded_conf} is set by this box's "
+            f"spark-defaults ({pollution}) — the session is polluted, "
+            "not bare, and the conf-independence gate would silently "
+            "stop running here. Clean the environment conf instead of "
+            "skipping."
+        )
         pytest.skip(
-            f"{skip_marker}: Spark's own default now satisfies the "
-            "conf this lint guards — the regression class is gone"
+            f"{skip_marker}: no environment conf sets {guarded_conf}, "
+            "so Spark's own default now satisfies the conf this lint "
+            "guards — the regression class is gone upstream"
         )
     for name in names:
         assert f"BARE_OK {name}" in r.stdout, (name, r.stdout[-2000:])
@@ -208,6 +242,7 @@ def test_connector_family_on_bare_default_conf_session():
             "geotab_stream_pipeline",
         ),
         "BARE_SKIP_PUSHDOWN_DEFAULT_ALREADY_TRUE",
+        "spark.sql.python.filterPushdown.enabled",
     )
 
 
@@ -226,4 +261,5 @@ def test_streaming_family_on_bare_default_conf_session():
             "stateful_user_stats",
         ),
         "BARE_SKIP_NTZ_DEFAULT_CHANGED",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
     )

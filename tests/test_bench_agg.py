@@ -115,17 +115,23 @@ def test_tainted_consumers_flags_retained_sharers_only():
 
 
 def test_shared_build_consumers_in_sync_with_registry():
-    """The map's build keys must match run_one's (bname, bfn) tuples
-    and every consumer must be a registered query — keeps the flag
-    from rotting as the suite evolves."""
+    """The map's build keys must EQUAL run_one's (bname, bfn) tuple
+    set — both directions, so adding a build to run_one without a
+    consumers entry fails here instead of silently never flagging its
+    consumers (review follow-up) — and every consumer must be a
+    registered query."""
     import inspect
+    import re
 
     import bench
     from etl_geotab_spark import queries as q
 
     src = inspect.getsource(bench.run_one)
-    for bk in bench.SHARED_BUILD_CONSUMERS:
-        assert f'"{bk}"' in src, bk
+    run_one_builds = set(re.findall(r'\("([a-z_]+)", _[a-z_]+\)', src))
+    assert run_one_builds == set(bench.SHARED_BUILD_CONSUMERS), (
+        run_one_builds,
+        set(bench.SHARED_BUILD_CONSUMERS),
+    )
     registered = set(q.queries())
     for consumers in bench.SHARED_BUILD_CONSUMERS.values():
         for qn in consumers:
