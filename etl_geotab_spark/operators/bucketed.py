@@ -290,6 +290,20 @@ def colocated_tables(
     driver-recorded evidence, so `q_bucketed_colocated_join` now pins
     the branch into its compared output via this report.
 
+    ``"write"`` label nuance (round-11 advice): the label describes
+    the work THIS process paid, not the provenance of the data finally
+    registered. If ``_self_healing_rename`` loses the race — a
+    concurrent winner's (or rescued dead healer's) completed directory
+    is already in place — this process's freshly written buckets are
+    discarded and the registration lands on the winner's restored
+    files, yet the branch still reads ``"write"``. ``"reuse"`` and
+    ``"catalog"`` carry no such ambiguity (no write happened, the data
+    can only be the shared directory's), which is why the driver
+    evidence above asserts on ``"reuse"``. A caller that needs
+    "this registration serves MY bytes" must not assert ``"write"``;
+    under the content-addressed key the distinction is unobservable in
+    the data anyway (same fingerprint → same bytes).
+
     Isolation + amortization (round-7 rework — the cache is
     CONTENT-ADDRESSED and shared across processes; round-8 advice
     hardening noted inline):

@@ -378,6 +378,76 @@ _R01_REFRESH: list[str] = [
 ]
 
 
+# Round-12 window — the proposer's output verbatim (`python
+# tools/freshness.py --propose`: the full 24-query r07 tier — the
+# whole remaining ledger floor — then the 26 oldest r08 rows), ZERO
+# swaps. No shared component changes this round: the round-12 code
+# edits are the r11 ADVICE items (a tests-only probe extension in
+# test_bare_session.py, a docstring-only nuance note on
+# `colocated_tables`' info_out, and prose/comment miscount fixes),
+# none of which alters an executed path of any query, so the §21
+# shared-component rule binds nothing and the proposer's
+# oldest-first order stands untouched. 24+26 = 50. After this
+# window: the r07 tier is fully cleared and the oldest ledger row is
+# r08 — the MILESTONE (SCALE.md §22): every driver row in the ledger
+# now postdates the r8 pushFilters change, the last shared-component
+# change that ever invalidated recorded rows. Remaining r08 tier (22
+# rows) + r09 tier rotate next, oldest-first.
+_ROUND12_WINDOW: list[str] = [
+    # (a) the 24-query r07 tier (the ledger floor), proposer order
+    "window_distribution",
+    "conditional_agg",
+    "mode_median",
+    "posexplode_terms",
+    "doc_winnow_fingerprints",
+    "histogram_buckets",
+    "regex_token_ops",
+    "linear_fit_stats",
+    "zscore_outliers",
+    "unpivot_metrics",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue",
+    "returned_item_report",
+    "profile_lineitem",
+    "pii_redact",
+    "repetition_ratio",
+    "contamination_overlap",
+    "dedup_normalized",
+    "train_val_test_split",
+    "embedding_centroid_distance",
+    "mad_outliers",
+    "vin_filter",
+    "udtf_top_terms",
+    # (b) the 26 oldest r08 rows, proposer order
+    "pricing_summary",
+    "embedding_topk",
+    "approx_distinct",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_near_dup",
+    "dedup_clusters",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "approx_percentiles",
+    "hll_sketch_rollup",
+    "kmeans_embeddings",
+    "source_temperature_resample",
+    "ann_recall_eval",
+    "minhash_recall_eval",
+    "streaming_session_window",
+    "udaf_weighted_median",
+    "fuzzy_match_customers",
+    "grouped_map_ewma",
+    "flagship_schema_contract",
+    "recursive_order_chains",
+    "boilerplate_ngram_ratio",
+    "vocab_coverage",
+    "quality_adaptive_filter",
+    "heavy_hitters",
+]
+
 # Round-11 window — the proposer's output (`python tools/freshness.py
 # --propose`: the full 22-query r06 tier — the last rows at the
 # 4-round staleness edge — then the 28 oldest r07 rows) with THREE
@@ -397,10 +467,14 @@ _R01_REFRESH: list[str] = [
 #    `register_geotab_source` (the swallowed conf-set exception is now
 #    debug-logged, r10 advice), so both dependents' driver rows must
 #    postdate the change even though the edit is exception-path-only.
-# 22+25+3 = 50. After this window: oldest ledger row r07 (22 rows,
-# none touching a shared component changed since); staleness ≤ 4
-# holds, and the whole ledger postdates r8's pushFilters change at
-# r12 when that last tier rotates.
+# 22+25+3 = 50. After this window: oldest ledger row r07 — **24**
+# rows, none touching a shared component changed since (r11 advice
+# corrected the original "22" miscount here: the window cleared 48
+# stale rows, not 50 — the two geotab swaps were r10-fresh, and
+# bucketed_colocated_join, though slotted as a swap, was itself an
+# r07 row, so 72 pre-r11 stale − 48 = 24). Staleness ≤ 4 holds, and
+# the whole ledger postdates r8's pushFilters change at r12 when
+# that last tier rotates.
 _ROUND11_WINDOW: list[str] = [
     # (a) the 22-query r06 tier, proposer order
     "streaming_stream_join",
@@ -760,7 +834,8 @@ _ROUND7_WINDOW: list[str] = [
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     head_lists = (
-        _ROUND11_WINDOW
+        _ROUND12_WINDOW
+        + _ROUND11_WINDOW
         + _ROUND10_WINDOW
         + _ROUND9_WINDOW
         + _ROUND8_WINDOW

@@ -185,10 +185,16 @@ def _env_conf_pollution(key: str) -> str | None:
     """A skip marker can mean two very different things: Spark's OWN
     default changed (the guarded regression class is genuinely gone →
     skip), or THIS BOX sets the conf via spark-defaults.conf /
-    SPARK_CONF_DIR (the lint's bare-session premise is broken and the
-    gate would silently stop running → that must FAIL, not skip —
-    review follow-up on the round-10 advice change). Probe the
-    defaults files for the key to tell them apart."""
+    SPARK_CONF_DIR / PYSPARK_SUBMIT_ARGS (the lint's bare-session
+    premise is broken and the gate would silently stop running → that
+    must FAIL, not skip — review follow-up on the round-10 advice
+    change). Probe the defaults files AND the submit-args env var for
+    the key to tell them apart (r11 advice: a box injecting the conf
+    via ``PYSPARK_SUBMIT_ARGS="... --conf key=true ..."`` pollutes
+    every in-process session just like spark-defaults.conf does)."""
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    if key in submit_args:
+        return f"PYSPARK_SUBMIT_ARGS: {submit_args.strip()}"
     for d in (
         os.environ.get("SPARK_CONF_DIR"),
         os.path.join(os.environ.get("SPARK_HOME", ""), "conf"),
