@@ -1,0 +1,174 @@
+"""The SCALE.md §21 shared-component rule as a machine check
+(tools/window_guard.py + DEPMAP.json from tools/depmap.py).
+
+Unit tier: the material-change classifier on synthetic module pairs —
+docstrings/comments must be invisible, body/assignment/import/decorator
+changes must attribute to the right top-level symbols.
+
+Integration tier (real git history, no Spark session):
+- guard vs the CURRENT round base must be clean (this round's diff is
+  advice prose/tests/window-ordering only);
+- guard vs the ROUND-10 base must re-derive, from the diff alone, the
+  exact §21 pull set the round-11 window included by hand
+  (`bucketed_colocated_join` for the `colocated_tables` info_out
+  change; both geotab pipelines for the `register_geotab_source`
+  logging edit) — and flag them as violations because the round-12
+  window correctly no longer carries them.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import window_guard as wg  # noqa: E402
+
+
+# ------------------------------------------------------------- units
+
+
+def test_docstring_and_comment_changes_are_invisible():
+    base = '''
+"""Module doc."""
+X = 1
+
+def f(a):
+    """old doc."""
+    # old comment
+    return a + X
+'''
+    cur = '''
+"""Rewritten module doc."""
+X = 1
+
+def f(a):
+    """completely new doc, new length."""
+    # new comment, different text
+    return a + X
+'''
+    defs, binds, other = wg.classify_module_change(base, cur)
+    assert (defs, binds, other) == (set(), set(), False)
+
+
+def test_body_change_flags_only_the_changed_def():
+    base = "def f(a):\n    return a + 1\n\ndef g(a):\n    return a - 1\n"
+    cur = "def f(a):\n    return a + 2\n\ndef g(a):\n    return a - 1\n"
+    defs, binds, other = wg.classify_module_change(base, cur)
+    assert defs == {"f"} and not binds and not other
+
+
+def test_added_and_removed_defs_are_changed():
+    defs, _, _ = wg.classify_module_change(
+        "def f():\n    pass\n", "def g():\n    pass\n"
+    )
+    assert defs == {"f", "g"}
+
+
+def test_nested_closure_change_attributes_to_toplevel():
+    base = (
+        "def outer():\n"
+        "    def cb(x):\n"
+        "        return x + 1\n"
+        "    return cb\n"
+    )
+    cur = base.replace("x + 1", "x + 2")
+    defs, _, _ = wg.classify_module_change(base, cur)
+    assert defs == {"outer"}
+
+
+def test_assignment_change_attributes_to_referencing_defs():
+    base = "THRESH = 3\n\ndef uses():\n    return THRESH\n\ndef clean():\n    return 0\n"
+    cur = base.replace("THRESH = 3", "THRESH = 4")
+    defs, binds, other = wg.classify_module_change(base, cur)
+    assert not defs and binds == {"THRESH"} and not other
+    assert wg._referencing_defs(cur, binds) == {"uses"}
+
+
+def test_decorator_constant_reference_is_attributed():
+    # the oracle-SQL pattern: @register("q", _SQL) — a changed SQL
+    # constant must implicate the decorated query function
+    src = (
+        "_SQL = 'select 1 AS one'\n"
+        "def register(n, o):\n"
+        "    return lambda f: f\n"
+        "@register('q_x', _SQL)\n"
+        "def q_x(spark, sf):\n"
+        "    return None\n"
+    )
+    assert "q_x" in wg._referencing_defs(src, {"_SQL"})
+
+
+def test_import_rebind_is_a_changed_name():
+    base = "from .operators.asof import asof_join\n"
+    cur = "from .operators.rangejoin import asof_join\n"
+    _, binds, _ = wg.classify_module_change(base, cur)
+    assert binds == {"asof_join"}
+
+
+def test_module_level_statement_diff_is_conservative():
+    base = "import os\nprint('setup A')\n"
+    cur = "import os\nprint('setup B')\n"
+    defs, binds, other = wg.classify_module_change(base, cur)
+    assert other and not defs and not binds
+
+
+def test_relative_import_resolution():
+    src = "from .operators.dedup import THRESH as T\nfrom . import io\n"
+    got = wg._imported_bindings(src, "etl_geotab_spark.queries")
+    assert ("T", "etl_geotab_spark.operators.dedup", "THRESH") in got
+
+
+# ------------------------------------------------- integration (git)
+
+
+def _run(base=None):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = wg.run_guard(base=base)
+    return rc, buf.getvalue()
+
+
+def test_guard_clean_against_current_round_base():
+    rc, out = _run()
+    assert rc == 0, out
+
+
+def test_guard_rederives_the_r11_manual_pull_set_from_history():
+    """Diffing from the round-10 close: the r11 code changes
+    (colocated_tables info_out, register_geotab_source logging) must
+    implicate exactly the queries the r11 window pulled by hand — and
+    since the round-12 window correctly dropped them, the guard must
+    report them as (historical) violations."""
+    r10 = "f691110"
+    rc, out = _run(base=r10)
+    assert rc == 1, out
+    for q in (
+        "bucketed_colocated_join",
+        "geotab_connector_pipeline",
+        "geotab_stream_pipeline",
+    ):
+        assert q in out, (q, out)
+
+
+def test_depmap_matches_registry():
+    import json
+
+    with open(os.path.join(REPO, "DEPMAP.json")) as f:
+        doc = json.load(f)
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    assert set(doc["queries"]) == set(names)
+    # every query at least depends on its own registry function
+    for q, deps in doc["queries"].items():
+        assert any(
+            d.startswith("etl_geotab_spark/queries.py::q_") for d in deps
+        ), q
