@@ -158,6 +158,51 @@ def test_guard_rederives_the_r11_manual_pull_set_from_history():
         assert q in out, (q, out)
 
 
+def _propose(*extra):
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "tools/freshness.py", "--propose", *extra],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    ).stdout
+    names = []
+    in_prop = False
+    for ln in out.splitlines():
+        if ln.startswith("proposed next window"):
+            in_prop = True
+            continue
+        if in_prop and ln.startswith("  "):
+            names.append(ln.strip().split()[0])
+    return out, names
+
+
+def test_freshness_proposer_matches_committed_round12_window():
+    """With a clean §21 tier (this round's diff implicates nothing),
+    the proposer must reproduce the committed window verbatim — the
+    proposal IS the window, no manual edits."""
+    import etl_geotab_spark.queries as q
+
+    out, names = _propose()
+    assert "WARNING" not in out, out
+    assert names == q._ROUND12_WINDOW
+
+
+def test_freshness_proposer_frontloads_guard_tier_from_history():
+    """Replaying the round-10 base: the three §21 pulls the r11 window
+    included by hand must now lead the proposal, tagged with their
+    attribution."""
+    out, names = _propose("--guard-base", "f691110")
+    assert set(names[:3]) == {
+        "bucketed_colocated_join",
+        "geotab_connector_pipeline",
+        "geotab_stream_pipeline",
+    }, names[:5]
+    assert "§21: depends on changed" in out
+    assert len(names) == 50 and len(set(names)) == 50
+
+
 def test_depmap_matches_registry():
     import json
 

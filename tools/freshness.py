@@ -13,14 +13,18 @@ mechanical and auditable:
   which oracle-paired queries have never been inside a window, and
   which are stale (latest row older than ``--fresh-horizon``);
 - proposes the NEXT 50-slot window with the standing priority order:
-  (1) red/err rows from the latest round (must be re-verified after
-  fixes), (2) queries with no driver row EVER, paired before
-  rows-only (no row at all is weaker evidence than any stale row),
-  (3) ALL stale rows oldest-first, paired and rows-only merged (the
-  round-7 judge caught the old proposer starving rows-only entries
-  behind the paired backlog forever), (4) backfill with the oldest
-  fresh rows across the whole registry. Registration order breaks
-  ties so the proposal is deterministic.
+  (0) §21 shared-component pulls — queries tools/window_guard.py
+  implicates from the diff against the last round-close commit
+  (round 12: the swaps rounds 10/11 applied by hand are now computed
+  and front-loaded, so the proposal IS the window, not a base for
+  manual edits), (1) red/err rows from the latest round (must be
+  re-verified after fixes), (2) queries with no driver row EVER,
+  paired before rows-only (no row at all is weaker evidence than any
+  stale row), (3) ALL stale rows oldest-first, paired and rows-only
+  merged (the round-7 judge caught the old proposer starving
+  rows-only entries behind the paired backlog forever), (4) backfill
+  with the oldest fresh rows across the whole registry. Registration
+  order breaks ties so the proposal is deterministic.
 
 Run: ``python tools/freshness.py [--fresh-horizon N] [--propose]``
 No Spark session needed — this reads JSON and imports the registry
@@ -90,6 +94,12 @@ def main() -> int:
         action="store_true",
         help="print the proposed next 50-slot window, one name per line",
     )
+    ap.add_argument(
+        "--guard-base",
+        default=None,
+        help="override the §21 tier's diff base commit (default: the "
+        "last round-close commit; used by tests to replay history)",
+    )
     args = ap.parse_args()
 
     ledger = load_ledger()
@@ -149,8 +159,27 @@ def main() -> int:
         stale_paired + stale_rows_only,
         key=lambda n: (ledger[n]["round"], names.index(n)),
     )
+    # tier 0: §21 shared-component pulls — mandatory regardless of
+    # freshness (a dependent's old green row says nothing about the
+    # changed code). Soft-fail loudly: a broken guard must not hide
+    # the rest of the report, but a silent skip could under-propose.
+    guard_reasons: dict[str, str] = {}
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import window_guard  # noqa: PLC0415
+
+        _, guard_reasons, _ = window_guard.compute_implicated(
+            base=args.guard_base
+        )
+        implicated = [n for n in names if n in guard_reasons]
+    except Exception as ex:  # noqa: BLE001
+        implicated = []
+        print(f"WARNING: §21 guard tier unavailable ({ex}) — the "
+              "proposal below may be missing MANDATORY pulls; run "
+              "tools/window_guard.py before adopting it")
     proposal: list[str] = []
     for bucket in (
+        implicated,
         reds,
         errs,
         [n for n in never if n in paired],
@@ -180,6 +209,8 @@ def main() -> int:
         for n in proposal:
             e = ledger.get(n)
             tag = f"r{e['round']:02d}:{e['status']}" if e else "never"
+            if n in guard_reasons:
+                tag += f" §21: {guard_reasons[n]}"
             print(f"  {n}  [{tag}]")
     return 0
 

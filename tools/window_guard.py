@@ -227,11 +227,20 @@ def _src_now(path: str) -> str | None:
 # -------------------------------------------------------------- main
 
 
-def run_guard(base: str | None = None, verbose: bool = True) -> int:
-    def say(*a):
-        if verbose:
-            print(*a)
+class StaleDepmap(RuntimeError):
+    pass
 
+
+def compute_implicated(
+    base: str | None = None, say=lambda *a: None
+) -> tuple[str, dict[str, str], list[str]]:
+    """→ (base commit, {implicated query: reason}, registry order).
+
+    The §21 computation without the window comparison — importable by
+    tools/freshness.py so the window PROPOSER front-loads mandatory
+    pulls instead of only the guard rejecting their absence after the
+    fact. Raises StaleDepmap when DEPMAP.json no longer matches the
+    registry."""
     base = base or round_base_commit()
     say(f"base: {base[:12]} ({_git('log', '-1', '--format=%s', base).strip()})")
 
@@ -244,14 +253,12 @@ def run_guard(base: str | None = None, verbose: bool = True) -> int:
 
     registry_names = list(entrymod.queries())
     if set(registry_names) != set(depmap):
-        say(
+        raise StaleDepmap(
             "DEPMAP.json is stale: registry/depmap key mismatch "
             f"(+{sorted(set(registry_names) - set(depmap))[:5]} "
             f"-{sorted(set(depmap) - set(registry_names))[:5]}). "
             "Regenerate: python tools/depmap.py"
         )
-        return 2
-    window = set(registry_names[:WINDOW_SIZE])
 
     changed_files = changed_package_files(base)
     say(f"changed package files since base: {changed_files or 'none'}")
@@ -324,7 +331,20 @@ def run_guard(base: str | None = None, verbose: bool = True) -> int:
                 implicated.setdefault(
                     q, f"touches {path} (module-level statement diff)"
                 )
+    return base, implicated, registry_names
 
+
+def run_guard(base: str | None = None, verbose: bool = True) -> int:
+    def say(*a):
+        if verbose:
+            print(*a)
+
+    try:
+        base, implicated, registry_names = compute_implicated(base, say)
+    except StaleDepmap as ex:
+        say(str(ex))
+        return 2
+    window = set(registry_names[:WINDOW_SIZE])
     violations = sorted(set(implicated) - window)
     say(
         f"implicated queries: {len(implicated)}; "
