@@ -203,6 +203,28 @@ def test_freshness_proposer_frontloads_guard_tier_from_history():
     assert len(names) == 50 and len(set(names)) == 50
 
 
+def test_guard_fails_closed_when_depmap_predates_base():
+    """A depmap generated BEFORE the diff base can be missing
+    dependency edges whose creating change is outside the examined
+    diff — the guard must demand regeneration (rc 2), not run."""
+    import json
+    import subprocess
+
+    with open(os.path.join(REPO, "DEPMAP.json")) as f:
+        gen = json.load(f)["_meta"]["generated_at_commit"]
+    # any commit strictly after the generation commit works as a base
+    newer = subprocess.run(
+        ["git", "log", "--format=%H", f"{gen}..HEAD"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    ).stdout.split()
+    if not newer:
+        pytest.skip("depmap generated at HEAD — no newer base to test with")
+    rc, out = _run(base=newer[0])
+    assert rc == 2 and "does not descend" in out, (rc, out)
+
+
 def test_depmap_matches_registry():
     import json
 

@@ -259,6 +259,23 @@ def compute_implicated(
             f"-{sorted(set(depmap) - set(registry_names))[:5]}). "
             "Regenerate: python tools/depmap.py"
         )
+    # the map must postdate the base: the guard is sound under a
+    # same-keys stale map only for edges that existed at generation
+    # time — a dependency edge added BEFORE base (thus outside the
+    # examined diff) by a depmap generated even earlier would be
+    # invisible. Regeneration is ~3 min; fail closed.
+    gen = depmap_doc.get("_meta", {}).get("generated_at_commit", "")
+    if gen:
+        anc = subprocess.run(
+            ["git", "merge-base", "--is-ancestor", base, gen], cwd=REPO
+        )
+        if anc.returncode != 0:
+            raise StaleDepmap(
+                f"DEPMAP.json was generated at {gen[:12]}, which does "
+                f"not descend from the diff base {base[:12]} — "
+                "dependency edges added before the base may be "
+                "missing. Regenerate: python tools/depmap.py"
+            )
 
     changed_files = changed_package_files(base)
     say(f"changed package files since base: {changed_files or 'none'}")
