@@ -49,6 +49,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW_SIZE = 50  # the driver verifies a 50-query prefix per round
 PKG = "etl_geotab_spark"
 ENTRY = "__spark_entry__.py"
+DEPMAP_PATH = os.path.join(REPO, "DEPMAP.json")  # patchable in tests
 
 
 # ---------------------------------------------------------------- AST
@@ -244,7 +245,7 @@ def compute_implicated(
     base = base or round_base_commit()
     say(f"base: {base[:12]} ({_git('log', '-1', '--format=%s', base).strip()})")
 
-    with open(os.path.join(REPO, "DEPMAP.json")) as f:
+    with open(DEPMAP_PATH) as f:
         depmap_doc = json.load(f)
     depmap: dict[str, list[str]] = depmap_doc["queries"]
 
@@ -264,18 +265,38 @@ def compute_implicated(
     # time — a dependency edge added BEFORE base (thus outside the
     # examined diff) by a depmap generated even earlier would be
     # invisible. Regeneration is ~3 min; fail closed.
+    # Soundness: with base an ancestor of gen, every package change the
+    # map missed is inside the examined diff (only over-implication is
+    # possible). Otherwise the map is still sound iff package content
+    # is IDENTICAL at gen and base (no edge could differ) — this is
+    # the common round-boundary case, where the driver's round-close
+    # commit moves the base past gen while touching only result JSONs.
     gen = depmap_doc.get("_meta", {}).get("generated_at_commit", "")
     if gen:
         anc = subprocess.run(
             ["git", "merge-base", "--is-ancestor", base, gen], cwd=REPO
         )
         if anc.returncode != 0:
-            raise StaleDepmap(
-                f"DEPMAP.json was generated at {gen[:12]}, which does "
-                f"not descend from the diff base {base[:12]} — "
-                "dependency edges added before the base may be "
-                "missing. Regenerate: python tools/depmap.py"
-            )
+            try:
+                pkg_delta = [
+                    p
+                    for p in _git(
+                        "diff", "--name-only", gen, base
+                    ).splitlines()
+                    if p.endswith(".py")
+                    and (p.startswith(PKG + "/") or p == ENTRY)
+                ]
+            except RuntimeError:
+                pkg_delta = ["<gen commit unknown to this clone>"]
+            if pkg_delta:
+                raise StaleDepmap(
+                    f"DEPMAP.json was generated at {gen[:12]}, which "
+                    f"does not descend from the diff base {base[:12]} "
+                    f"and package files differ between them "
+                    f"({pkg_delta[:5]}) — dependency edges added "
+                    "before the base may be missing. Regenerate: "
+                    "python tools/depmap.py"
+                )
 
     changed_files = changed_package_files(base)
     say(f"changed package files since base: {changed_files or 'none'}")
