@@ -259,6 +259,22 @@ def test_guard_tolerates_older_gen_when_package_content_identical(
     assert rc in (0, 1) and "does not descend" not in out, (rc, out)
 
 
+def test_guard_fails_closed_on_dirty_generation(tmp_path, monkeypatch):
+    """A map traced from a dirty package tree has a generation commit
+    that doesn't reflect the traced code — the soundness checks can't
+    reason from it, so the guard must demand a clean regeneration."""
+    import json
+
+    with open(os.path.join(REPO, "DEPMAP.json")) as f:
+        doc = json.load(f)
+    doc["_meta"]["dirty_package_files"] = ["etl_geotab_spark/io.py"]
+    fake = tmp_path / "DEPMAP.json"
+    fake.write_text(json.dumps(doc))
+    monkeypatch.setattr(wg, "DEPMAP_PATH", str(fake))
+    rc, out = _run()
+    assert rc == 2 and "dirty package tree" in out, (rc, out)
+
+
 def test_depmap_matches_registry():
     import json
 

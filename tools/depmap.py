@@ -117,9 +117,23 @@ def main() -> int:
     rev = subprocess.run(
         ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
     ).stdout.strip()
+    # the guard's ancestry/content soundness checks reason from the
+    # generation COMMIT; uncommitted package edits at generation time
+    # would make that commit a lie, so record them — the guard fails
+    # closed on a map generated from a dirty package tree.
+    dirty = [
+        ln[3:]
+        for ln in subprocess.run(
+            ["git", "status", "--porcelain", "--", "etl_geotab_spark",
+             "__spark_entry__.py"],
+            capture_output=True, text=True, cwd=REPO,
+        ).stdout.splitlines()
+        if ln.strip()
+    ]
     out = {
         "_meta": {
             "generated_at_commit": rev,
+            "dirty_package_files": dirty,
             "sf_dir": sf_dir,
             "n_queries": len(depmap),
             "granularity": "top-level symbol (file::symbol)",

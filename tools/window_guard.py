@@ -271,6 +271,15 @@ def compute_implicated(
     # is IDENTICAL at gen and base (no edge could differ) — this is
     # the common round-boundary case, where the driver's round-close
     # commit moves the base past gen while touching only result JSONs.
+    dirty = depmap_doc.get("_meta", {}).get("dirty_package_files", [])
+    if dirty:
+        raise StaleDepmap(
+            "DEPMAP.json was generated from a dirty package tree "
+            f"({dirty[:5]}) — its generation commit does not reflect "
+            "the traced code, so the soundness checks below cannot "
+            "reason from it. Commit first, then regenerate: "
+            "python tools/depmap.py"
+        )
     gen = depmap_doc.get("_meta", {}).get("generated_at_commit", "")
     if gen:
         anc = subprocess.run(
