@@ -387,7 +387,10 @@ _R01_REFRESH: list[str] = [
 # `colocated_tables`' info_out, and prose/comment miscount fixes),
 # none of which alters an executed path of any query, so the §21
 # shared-component rule binds nothing and the proposer's
-# oldest-first order stands untouched. 24+26 = 50. After this
+# oldest-first order stands untouched — verified MECHANICALLY this
+# round: `python tools/window_guard.py` (new; SCALE.md §23) diffs the
+# worktree against the r11 round-close commit on docstring-stripped
+# ASTs and reports zero implicated queries. 24+26 = 50. After this
 # window: the r07 tier is fully cleared and the oldest ledger row is
 # r08 — the MILESTONE (SCALE.md §22): every driver row in the ledger
 # now postdates the r8 pushFilters change, the last shared-component

@@ -7,7 +7,9 @@ strings/ints/timestamps; exact for doubles too — our queries are
 engineered to be bit-deterministic cross-engine, so any float diff is
 a real bug, not noise).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [query ...] [--window]
+(--window = the driver-verified 50-query prefix, i.e. this round's
+rotation window)
 """
 
 from __future__ import annotations
@@ -100,7 +102,11 @@ def normalize(rows, columns):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    window = "--window" in args
+    if window:
+        args.remove("--window")
+    only = set(args)
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -111,6 +117,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if window:
+        # the driver-verified prefix (the round's rotation window) —
+        # pre-validate exactly what the driver will record
+        only |= set(list(qs)[:50])
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
