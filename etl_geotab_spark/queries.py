@@ -378,6 +378,77 @@ _R01_REFRESH: list[str] = [
 ]
 
 
+# Round-13 window — the proposer's output verbatim (`python
+# tools/freshness.py --propose`: the full 22-query r08 tier — the
+# whole remaining ledger floor — then the 28 oldest r09 rows), ZERO
+# swaps. The §21 guard ran before adoption (`python
+# tools/window_guard.py` against the r12 round-close base f993f14):
+# DEPMAP.json was regenerated first because the map predated the
+# base (`_ordered_names`-only queries.py edit at r12 close — the
+# guard correctly failed closed on that), and the fresh map reports
+# zero changed package files, zero implicated queries, so the
+# proposer's oldest-first order stands untouched. 22+28 = 50. After
+# this window: the r08 tier is fully cleared and the oldest ledger
+# row is r09 — staleness ≤ 4 rounds holds everywhere, and the
+# whole-ledger-postdates-pushFilters milestone (SCALE.md §22)
+# carries forward. Remaining r09 tier (21 rows) + r10 tier rotate
+# next, oldest-first.
+_ROUND13_WINDOW: list[str] = [
+    # (a) the 22-query r08 tier (the ledger floor), proposer order:
+    #     16 oracle-paired, then the 6 rows-only members
+    "skyline_pareto",
+    "market_share",
+    "weighted_sample_topk",
+    "unigram_logprob",
+    "geofence_contains",
+    "time_weighted_avg",
+    "cross_corpus_dedup",
+    "jsonl_ingest",
+    "csv_ingest",
+    "retention_cohorts",
+    "token_entropy",
+    "triangle_count",
+    "lateral_top_orders",
+    "seasonal_zscore",
+    "orc_ingest",
+    "association_rules",
+    "pagerank_parts",
+    "bpe_learn_merges",
+    "logreg_train",
+    "ndcg_eval",
+    "holt_forecast",
+    "forecast_backtest",
+    # (b) the 28 oldest r09 rows, proposer order
+    "stateful_user_stats",
+    "incremental_agg_merge",
+    "volume_shipping",
+    "product_type_profit",
+    "important_parts",
+    "customer_order_distribution",
+    "promo_revenue_ratio",
+    "top_supplier_revenue",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "disjunctive_filter_revenue",
+    "idle_rich_customers",
+    "bloom_semi_join",
+    "zorder_cluster",
+    "embedding_quantize",
+    "repeated_spans",
+    "pca_project",
+    "skew_profile",
+    "corpus_datacard",
+    "distribution_drift",
+    "dq_audit",
+    "join_cardinality_estimate",
+    "semdedup_buckets",
+    "k_anonymity",
+    "readability_scores",
+    "trip_segmentation",
+    "event_debounce",
+    "geofence_dwell",
+]
+
 # Round-12 window — the proposer's output verbatim (`python
 # tools/freshness.py --propose`: the full 24-query r07 tier — the
 # whole remaining ledger floor — then the 26 oldest r08 rows), ZERO
@@ -837,7 +908,8 @@ _ROUND7_WINDOW: list[str] = [
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     head_lists = (
-        _ROUND12_WINDOW
+        _ROUND13_WINDOW
+        + _ROUND12_WINDOW
         + _ROUND11_WINDOW
         + _ROUND10_WINDOW
         + _ROUND9_WINDOW

