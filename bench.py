@@ -6,7 +6,16 @@
      "queries": {headline_name: sec, ...}, "sf": 0.1,
      "n_queries": 100, "runs": [N1, N2], "median_run_sec": M,
      "shared_builds": {build_name: sec, ...},
-     "tail_drift": D, "full": "BENCH_FULL.json"}
+     "tail_drift": D, "boxcal": {"py_pre": ..., "np_pre": ...,
+     "mp_pre": ..., "py_post": ..., "np_post": ..., "mp_post": ...},
+     "full": "BENCH_FULL.json"}
+
+``boxcal`` (round-13): a deterministic CPU microbenchmark measured in
+the parent process immediately before the first run and after the
+last, so every recorded bench total carries the speed of the box that
+produced it (see ``boxcal()``). Round-over-round comparisons can then
+separate "the box got slower" from "the code got slower" by
+measurement instead of by diff-reasoning.
 
 ``shared_builds`` (round-8, verdict item 3): the session-scoped
 materializations two+ queries share (`_dedup_labeled_table` — the
@@ -155,6 +164,87 @@ def tainted_consumers(
 def force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def boxcal() -> dict[str, float]:
+    """Deterministic CPU microbenchmark — the box-speed scalar that
+    rides along in the bench JSON so cross-round comparisons are
+    normalizable by MEASUREMENT, not by reasoning about the diff.
+
+    Motivation (round 13): a byte-identical code state benched
+    261-397 s total across same-day invocations; the standing
+    >10%-spread policy adjudicated that as box noise, but the only
+    evidence was "the window guard proves zero executed statements
+    changed, so it must be the box". This scalar records the box
+    itself: a round whose totals move together with ``boxcal`` moved
+    because the box did.
+
+    Two fixed probes, each best-of-N (a one-off scheduler blip or GC
+    pause hits one sample; a genuinely slow/stolen box keeps all
+    slow — same rationale as ``probe_sec``'s best-of-2):
+
+    - ``py_sec`` — 10M-iteration integer multiply-accumulate in pure
+      CPython, best-of-2: single-core speed including hypervisor
+      steal and frequency throttling.
+    - ``np_sec`` — fixed 512x512 float64 matmul (numpy/BLAS),
+      best-of-3: the vectorized path, sensitive to multi-core
+      contention when BLAS threads.
+    - ``mp_sec`` — 2x cpu_count() five-M-iteration loops over a
+      cpu_count()-process pool, single-shot wall seconds: the
+      ALL-CORES probe. Round-13 measured a suite running 50% slow
+      while ``py_sec`` stayed nominal — a 1-thread probe can always
+      be scheduled on an oversubscribed host; only demanding every
+      core at once (which is what local[32] Spark does) exposes the
+      contention. On an idle box mp_sec ≈ 2x the per-task loop time
+      (two full waves); rising mp_sec with flat py_sec reads as
+      host-level multicore contention. -1.0 if the pool fails.
+
+    Runs outside Spark, before the JVM exists — it measures the box,
+    not the engine."""
+    import numpy as np
+
+    py_best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        acc = 0
+        for i in range(10_000_000):
+            acc += i * i
+        py_best = min(py_best, time.time() - t0)
+
+    mat = np.arange(512 * 512, dtype=np.float64).reshape(512, 512)
+    mat /= 1.0e6
+    np_best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        (mat @ mat).sum()
+        np_best = min(np_best, time.time() - t0)
+
+    mp_sec = -1.0
+    try:
+        import multiprocessing as mp
+
+        ncpu = os.cpu_count() or 1
+        t0 = time.time()
+        with mp.Pool(ncpu) as pool:
+            pool.map(_boxcal_task, range(2 * ncpu))
+        mp_sec = round(time.time() - t0, 3)
+    except Exception as e:  # keep the bench alive on any pool failure
+        print(f"bench: boxcal mp probe failed: {e}", file=sys.stderr)
+
+    return {
+        "py_sec": round(py_best, 3),
+        "np_sec": round(np_best, 4),
+        "mp_sec": mp_sec,
+    }
+
+
+def _boxcal_task(_i: int) -> int:
+    """Per-process unit of boxcal's all-cores probe (module-level so
+    multiprocessing can pickle it)."""
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    return acc
 
 
 def probe_sec(spark) -> float:
@@ -468,6 +558,11 @@ def main() -> None:
     # every box measured so far (run ≈ 75 s warmup + 240-350 s suite)
     # with one-run degradation only under ~2x external slowdown.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    # Box-speed scalar, sampled OUTSIDE the wall budget (it measures
+    # the box, not the suite) immediately before the first run and
+    # again after the last — pre/post so load arriving or leaving
+    # mid-bench is visible as a pre-vs-post split.
+    cal_pre = boxcal()
     t_start = time.time()
     results: list[dict] = []
     if n_runs == 1:
@@ -524,6 +619,16 @@ def main() -> None:
             print("bench: every run failed", file=sys.stderr)
             sys.exit(1)
 
+    cal_post = boxcal()
+    boxcal_rec = {
+        "py_pre": cal_pre["py_sec"],
+        "np_pre": cal_pre["np_sec"],
+        "mp_pre": cal_pre["mp_sec"],
+        "py_post": cal_post["py_sec"],
+        "np_post": cal_post["np_sec"],
+        "mp_post": cal_post["mp_sec"],
+    }
+
     run_timings = [r["timings"] for r in results]
     run_drifts = [r["drift"] for r in results]
     run_builds = [r.get("shared_builds", {}) for r in results]
@@ -564,7 +669,8 @@ def main() -> None:
                  "per_run_queries": run_timings,
                  "shared_builds": shared_builds,
                  "per_run_shared_builds": run_builds,
-                 "tail_drift": tail_drift, "tail_drift_runs": run_drifts},
+                 "tail_drift": tail_drift, "tail_drift_runs": run_drifts,
+                 "boxcal": boxcal_rec},
                 f,
                 indent=0,
                 sort_keys=True,
@@ -590,6 +696,7 @@ def main() -> None:
                 "median_run_sec": median,
                 "shared_builds": shared_builds,
                 "tail_drift": tail_drift,
+                "boxcal": boxcal_rec,
                 "full": "BENCH_FULL.json",
             }
         )

@@ -145,3 +145,41 @@ def test_aggregate_runs_empty_is_loud():
 
     with pytest.raises(ValueError, match="no runs"):
         aggregate_runs([], [])
+
+
+def test_boxcal_shape_and_determinism_of_keys():
+    """round-13: the box-speed scalar embedded in every bench record.
+    Timings themselves are box-dependent (no value assertions beyond
+    positivity); the contract is the shape — two fixed probes, finite
+    positive floats, JSON-serializable — and that the CLI wrapper
+    (tools/boxcal.py) exposes the same function."""
+    import json
+
+    from bench import boxcal
+
+    cal = boxcal()
+    assert set(cal) == {"py_sec", "np_sec", "mp_sec"}
+    for k in ("py_sec", "np_sec"):
+        assert isinstance(cal[k], float) and 0.0 < cal[k] < 120.0
+    # the all-cores probe may report -1.0 when the pool cannot start
+    assert cal["mp_sec"] == -1.0 or 0.0 < cal["mp_sec"] < 300.0
+    json.dumps(cal)  # must be a plain JSON scalar dict
+
+
+def test_boxcal_cli_prints_one_json_line():
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "boxcal.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    line = out.stdout.strip().splitlines()[-1]
+    cal = json.loads(line)
+    assert set(cal) == {"py_sec", "np_sec", "mp_sec"}
