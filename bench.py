@@ -7,8 +7,8 @@
      "n_queries": 100, "runs": [N1, N2], "median_run_sec": M,
      "shared_builds": {build_name: sec, ...},
      "tail_drift": D, "boxcal": {"py_pre": ..., "np_pre": ...,
-     "mp_pre": ..., "py_post": ..., "np_post": ..., "mp_post": ...},
-     "full": "BENCH_FULL.json"}
+     "bw_pre": ..., "mp_pre": ..., "py_post": ..., "np_post": ...,
+     "bw_post": ..., "mp_post": ...}, "full": "BENCH_FULL.json"}
 
 ``boxcal`` (round-13): a deterministic CPU microbenchmark measured in
 the parent process immediately before the first run and after the
@@ -198,6 +198,11 @@ def boxcal() -> dict[str, float]:
       contention. On an idle box mp_sec ≈ 2x the per-task loop time
       (two full waves); rising mp_sec with flat py_sec reads as
       host-level multicore contention. -1.0 if the pool fails.
+    - ``bw_sec`` — 256 MB float64 copy into a pre-faulted
+      destination, best-of-3: DRAM bandwidth, the dimension Spark
+      shuffles and row-to-columnar transposes saturate but every
+      cache-resident compute probe misses (round-13 idle reference
+      ≈ 0.07 s ≈ 7 GB/s single-thread).
 
     Runs outside Spark, before the JVM exists — it measures the box,
     not the engine."""
@@ -219,6 +224,16 @@ def boxcal() -> dict[str, float]:
         (mat @ mat).sum()
         np_best = min(np_best, time.time() - t0)
 
+    src = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MB
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # fault both in so timing excludes allocation
+    bw_best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.copyto(dst, src)
+        bw_best = min(bw_best, time.time() - t0)
+    del src, dst
+
     mp_sec = -1.0
     try:
         import multiprocessing as mp
@@ -234,6 +249,7 @@ def boxcal() -> dict[str, float]:
     return {
         "py_sec": round(py_best, 3),
         "np_sec": round(np_best, 4),
+        "bw_sec": round(bw_best, 4),
         "mp_sec": mp_sec,
     }
 
@@ -623,9 +639,11 @@ def main() -> None:
     boxcal_rec = {
         "py_pre": cal_pre["py_sec"],
         "np_pre": cal_pre["np_sec"],
+        "bw_pre": cal_pre["bw_sec"],
         "mp_pre": cal_pre["mp_sec"],
         "py_post": cal_post["py_sec"],
         "np_post": cal_post["np_sec"],
+        "bw_post": cal_post["bw_sec"],
         "mp_post": cal_post["mp_sec"],
     }
 

@@ -158,8 +158,8 @@ def test_boxcal_shape_and_determinism_of_keys():
     from bench import boxcal
 
     cal = boxcal()
-    assert set(cal) == {"py_sec", "np_sec", "mp_sec"}
-    for k in ("py_sec", "np_sec"):
+    assert set(cal) == {"py_sec", "np_sec", "bw_sec", "mp_sec"}
+    for k in ("py_sec", "np_sec", "bw_sec"):
         assert isinstance(cal[k], float) and 0.0 < cal[k] < 120.0
     # the all-cores probe may report -1.0 when the pool cannot start
     assert cal["mp_sec"] == -1.0 or 0.0 < cal["mp_sec"] < 300.0
@@ -182,4 +182,4 @@ def test_boxcal_cli_prints_one_json_line():
     assert out.returncode == 0, out.stderr[-500:]
     line = out.stdout.strip().splitlines()[-1]
     cal = json.loads(line)
-    assert set(cal) == {"py_sec", "np_sec", "mp_sec"}
+    assert set(cal) == {"py_sec", "np_sec", "bw_sec", "mp_sec"}
