@@ -8,14 +8,26 @@
      "shared_builds": {build_name: sec, ...},
      "tail_drift": D, "boxcal": {"py_pre": ..., "np_pre": ...,
      "bw_pre": ..., "mp_pre": ..., "py_post": ..., "np_post": ...,
-     "bw_post": ..., "mp_post": ...}, "full": "BENCH_FULL.json"}
+     "bw_post": ..., "mp_post": ..., "sustain_first5": ...,
+     "sustain_last5": ..., "sustain_ratio": ...},
+     "full": "BENCH_FULL.json"}
 
-``boxcal`` (round-13): a deterministic CPU microbenchmark measured in
-the parent process immediately before the first run and after the
-last, so every recorded bench total carries the speed of the box that
-produced it (see ``boxcal()``). Round-over-round comparisons can then
-separate "the box got slower" from "the code got slower" by
-measurement instead of by diff-reasoning.
+``boxcal`` (round-13; definitions live in tools/boxcal.py since r14
+so the ad-hoc CLI stays pyspark-free): a deterministic CPU
+microbenchmark measured in the parent process immediately before the
+first run and after the last, so every recorded bench total carries
+the speed of the box that produced it (see ``tools.boxcal.boxcal``).
+Round-over-round comparisons can then separate "the box got slower"
+from "the code got slower" by measurement instead of by
+diff-reasoning. Since r14 the record also carries the ~13 s SUSTAINED
+all-cores probe (``tools.boxcal.sustain_probe``), run once before
+run 1: round 13's burst probes stayed nominal while the sustained
+suite ran 25-40% slow, so the ramp detector that matches that
+symptom now rides in-record. Comparability note: the r14 probe fixes
+(BLAS warm-up before np's timed best-of-3; mp pool created+warmed
+outside the timed region) mean np_*/mp_* values are only comparable
+within r14+ records — r13's np_pre/mp_* include one-time setup cost
+by construction.
 
 ``shared_builds`` (round-8, verdict item 3): the session-scoped
 materializations two+ queries share (`_dedup_labeled_table` — the
@@ -66,6 +78,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_geotab_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
+
+# The box-speed probes live in a dependency-free module so the ad-hoc
+# CLI (tools/boxcal.py) never pays this file's pyspark import (r13
+# ADVICE); re-exported here so `from bench import boxcal` keeps
+# working for tests and older tooling.
+from tools.boxcal import boxcal, sustain_probe  # noqa: E402,F401
 
 # One representative per operator family (SURVEY.md §2), weighted
 # toward the expensive similarity / streaming / connector paths the
@@ -164,103 +182,6 @@ def tainted_consumers(
 def force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
-
-
-def boxcal() -> dict[str, float]:
-    """Deterministic CPU microbenchmark — the box-speed scalar that
-    rides along in the bench JSON so cross-round comparisons are
-    normalizable by MEASUREMENT, not by reasoning about the diff.
-
-    Motivation (round 13): a byte-identical code state benched
-    261-397 s total across same-day invocations; the standing
-    >10%-spread policy adjudicated that as box noise, but the only
-    evidence was "the window guard proves zero executed statements
-    changed, so it must be the box". This scalar records the box
-    itself: a round whose totals move together with ``boxcal`` moved
-    because the box did.
-
-    Two fixed probes, each best-of-N (a one-off scheduler blip or GC
-    pause hits one sample; a genuinely slow/stolen box keeps all
-    slow — same rationale as ``probe_sec``'s best-of-2):
-
-    - ``py_sec`` — 10M-iteration integer multiply-accumulate in pure
-      CPython, best-of-2: single-core speed including hypervisor
-      steal and frequency throttling.
-    - ``np_sec`` — fixed 512x512 float64 matmul (numpy/BLAS),
-      best-of-3: the vectorized path, sensitive to multi-core
-      contention when BLAS threads.
-    - ``mp_sec`` — 2x cpu_count() five-M-iteration loops over a
-      cpu_count()-process pool, single-shot wall seconds: the
-      ALL-CORES probe. Round-13 measured a suite running 50% slow
-      while ``py_sec`` stayed nominal — a 1-thread probe can always
-      be scheduled on an oversubscribed host; only demanding every
-      core at once (which is what local[32] Spark does) exposes the
-      contention. On an idle box mp_sec ≈ 2x the per-task loop time
-      (two full waves); rising mp_sec with flat py_sec reads as
-      host-level multicore contention. -1.0 if the pool fails.
-    - ``bw_sec`` — 256 MB float64 copy into a pre-faulted
-      destination, best-of-3: DRAM bandwidth, the dimension Spark
-      shuffles and row-to-columnar transposes saturate but every
-      cache-resident compute probe misses (round-13 idle reference
-      ≈ 0.07 s ≈ 7 GB/s single-thread).
-
-    Runs outside Spark, before the JVM exists — it measures the box,
-    not the engine."""
-    import numpy as np
-
-    py_best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        acc = 0
-        for i in range(10_000_000):
-            acc += i * i
-        py_best = min(py_best, time.time() - t0)
-
-    mat = np.arange(512 * 512, dtype=np.float64).reshape(512, 512)
-    mat /= 1.0e6
-    np_best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        (mat @ mat).sum()
-        np_best = min(np_best, time.time() - t0)
-
-    src = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MB
-    dst = np.empty_like(src)
-    np.copyto(dst, src)  # fault both in so timing excludes allocation
-    bw_best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        np.copyto(dst, src)
-        bw_best = min(bw_best, time.time() - t0)
-    del src, dst
-
-    mp_sec = -1.0
-    try:
-        import multiprocessing as mp
-
-        ncpu = os.cpu_count() or 1
-        t0 = time.time()
-        with mp.Pool(ncpu) as pool:
-            pool.map(_boxcal_task, range(2 * ncpu))
-        mp_sec = round(time.time() - t0, 3)
-    except Exception as e:  # keep the bench alive on any pool failure
-        print(f"bench: boxcal mp probe failed: {e}", file=sys.stderr)
-
-    return {
-        "py_sec": round(py_best, 3),
-        "np_sec": round(np_best, 4),
-        "bw_sec": round(bw_best, 4),
-        "mp_sec": mp_sec,
-    }
-
-
-def _boxcal_task(_i: int) -> int:
-    """Per-process unit of boxcal's all-cores probe (module-level so
-    multiprocessing can pickle it)."""
-    acc = 0
-    for i in range(5_000_000):
-        acc += i * i
-    return acc
 
 
 def probe_sec(spark) -> float:
@@ -579,6 +500,18 @@ def main() -> None:
     # again after the last — pre/post so load arriving or leaving
     # mid-bench is visible as a pre-vs-post split.
     cal_pre = boxcal()
+    # Sustained all-cores probe, once before run 1, also outside the
+    # wall budget (r13 verdict item 3): §24's negative result was
+    # that every short-burst probe stayed nominal while the sustained
+    # 32-thread suite ran 25-40% slow — the ~13 s 20-wave ramp
+    # detector is the probe that matches that symptom, so it must be
+    # in the bench record for slow-box adjudication to be complete.
+    # Skippable via SPARK_GRAFT_BENCH_SUSTAIN=0 for quick local
+    # iteration; the driver's per-round record always carries it.
+    if os.environ.get("SPARK_GRAFT_BENCH_SUSTAIN", "1") != "0":
+        sustain = sustain_probe()
+    else:
+        sustain = {}
     t_start = time.time()
     results: list[dict] = []
     if n_runs == 1:
@@ -646,6 +579,10 @@ def main() -> None:
         "bw_post": cal_post["bw_sec"],
         "mp_post": cal_post["mp_sec"],
     }
+    if sustain:
+        boxcal_rec["sustain_first5"] = sustain["sustain_first5_per_wave"]
+        boxcal_rec["sustain_last5"] = sustain["sustain_last5_per_wave"]
+        boxcal_rec["sustain_ratio"] = sustain["sustain_ratio"]
 
     run_timings = [r["timings"] for r in results]
     run_drifts = [r["drift"] for r in results]

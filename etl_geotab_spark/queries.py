@@ -378,6 +378,78 @@ _R01_REFRESH: list[str] = [
 ]
 
 
+# Round-14 window — the proposer's output verbatim (`python
+# tools/freshness.py --propose`: the full 21-query r09 tier — the
+# whole remaining ledger floor — then the 29 oldest r10 rows), ZERO
+# swaps. The §21 guard ran before adoption (`python
+# tools/window_guard.py 98c41d7` against the r13 round-close base):
+# DEPMAP.json was regenerated first because the map predated the
+# base (`_ROUND13_WINDOW`-only queries.py edit at r13 close — the
+# proposer correctly warned on that), and the fresh map reports
+# zero changed package files, zero implicated queries, so the
+# proposer's oldest-first order stands untouched. 21+29 = 50. After
+# this window: the r09 tier is fully cleared and the oldest ledger
+# row is r10 — staleness ≤ 4 rounds holds everywhere. The window
+# includes `zonemap_pruning_eval`, the r13 verdict's perf watch item
+# (2.27→4.85 s on the slow r13 box); its r14 best-of-pair is
+# recorded alongside the boxcal fields per the adjudication
+# protocol. Remaining r10 tier (19 rows) + r11 tier rotate next,
+# oldest-first.
+_ROUND14_WINDOW: list[str] = [
+    # (a) the 21-query r09 tier (the ledger floor), proposer order
+    "cdc_apply",
+    "kmv_distinct",
+    "count_min_freq",
+    "event_transitions",
+    "table_stats",
+    "snapshot_diff",
+    "rolling_p95",
+    "nested_assembly",
+    "rollup_cascade",
+    "retention_purge",
+    "late_data_audit",
+    "asof_nearest_clicks",
+    "attribution_last_touch",
+    "interval_merge",
+    "bm25_search",
+    "schema_evolution",
+    "entity_resolution",
+    "decile_lift",
+    "ab_test_zscore",
+    "logodds_terms",
+    "zonemap_pruning_eval",
+    # (b) the 29 oldest r10 rows, proposer order
+    "geotab_flagship",
+    "collect_array_agg",
+    "scan_filter_project",
+    "string_functions",
+    "math_functions",
+    "conditional_functions",
+    "json_functions",
+    "set_ops",
+    "distinct_values",
+    "text_stats",
+    "token_frequencies",
+    "percentiles",
+    "cube_agg",
+    "union_all_tagged",
+    "map_functions",
+    "struct_geojson",
+    "array_norms",
+    "haversine_distance",
+    "text_quality",
+    "multimodal_frame_sample",
+    "multimodal_decode_stats",
+    "range_join_events",
+    "salted_skew_join",
+    "chunk_documents",
+    "pivot_returnflag",
+    "grouping_sets",
+    "hash_sample",
+    "quality_filter_pipeline",
+    "null_safe_join",
+]
+
 # Round-13 window — the proposer's output verbatim (`python
 # tools/freshness.py --propose`: the full 22-query r08 tier — the
 # whole remaining ledger floor — then the 28 oldest r09 rows), ZERO
@@ -908,7 +980,8 @@ _ROUND7_WINDOW: list[str] = [
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     head_lists = (
-        _ROUND13_WINDOW
+        _ROUND14_WINDOW
+        + _ROUND13_WINDOW
         + _ROUND12_WINDOW
         + _ROUND11_WINDOW
         + _ROUND10_WINDOW

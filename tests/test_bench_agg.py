@@ -183,3 +183,60 @@ def test_boxcal_cli_prints_one_json_line():
     line = out.stdout.strip().splitlines()[-1]
     cal = json.loads(line)
     assert set(cal) == {"py_sec", "np_sec", "bw_sec", "mp_sec"}
+
+
+def test_boxcal_module_imports_without_pyspark():
+    """r13 ADVICE: the ad-hoc box-speed CLI must not pay (or depend
+    on) the multi-second pyspark/__spark_entry__ import — the probe
+    definitions live in tools/boxcal.py and that module must be
+    importable with pyspark absent from sys.modules afterwards."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '.'); import tools.boxcal; "
+            "assert 'pyspark' not in sys.modules, 'pyspark leaked'; "
+            "assert 'bench' not in sys.modules, 'bench leaked'; "
+            "print('clean')",
+        ],
+        cwd=str(repo),
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert out.stdout.strip() == "clean"
+
+
+def test_sustain_probe_shape():
+    """r13 verdict item 3: the sustained all-cores probe rides in the
+    bench record, so its shape is a contract — four keys, finite
+    floats, ratio consistent with first5/last5 (or the -1.0 failure
+    sentinel quartet). Short wave count to keep the test cheap; the
+    semantics (warm wave discarded, per-wave timing) don't depend on
+    the count."""
+    import json
+
+    from tools.boxcal import sustain_probe
+
+    s = sustain_probe(waves=6)
+    assert set(s) == {
+        "sustain_first5_per_wave",
+        "sustain_last5_per_wave",
+        "sustain_ratio",
+        "sustain_waves",
+    }
+    json.dumps(s)
+    if s["sustain_waves"] == -1.0:  # pool failure path
+        assert all(v == -1.0 for v in s.values())
+    else:
+        assert s["sustain_waves"] == 6.0
+        assert 0.0 < s["sustain_first5_per_wave"] < 300.0
+        assert 0.0 < s["sustain_last5_per_wave"] < 300.0
+        expected = s["sustain_last5_per_wave"] / s["sustain_first5_per_wave"]
+        assert abs(s["sustain_ratio"] - expected) < 0.02
