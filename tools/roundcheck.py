@@ -1,0 +1,130 @@
+"""The round-close checklist as one runner — every renewal gate the
+per-round process demands (VERDICT "Next round" sections, SCALE.md
+§21-25), executed in dependency order with a one-line verdict per
+gate, so a round cannot close with a renewal silently forgotten.
+
+Gates, in order (each is an existing tool — this runner adds no new
+checking logic, only the choreography):
+
+  guard          tools/window_guard.py — §21 shared-component rule:
+                 every query implicated by the diff since the last
+                 round-close rides the current window prefix.
+  window-oracle  tools/check_oracle.py --window at sf0.01 — the
+                 driver-t2 replica over the 50-query rotation window.
+  audit          tools/explain_audit.py — plan invariants (pushdown,
+                 pruned ReadSchema, broadcast, no nested loops).
+  lint           tools/scale_lint.py — harness-contract lint.
+  pytest         python -m pytest tests/ — the full unit/semantics
+                 suite.
+  full-oracle    [--full only] check_oracle over ALL paired queries
+                 at sf0.01 — the §22 "renew anyway" whole-registry
+                 record.
+
+Usage:
+    python tools/roundcheck.py                 # fast gates
+    python tools/roundcheck.py --full          # + whole-registry oracle
+    python tools/roundcheck.py --only guard,lint
+    python tools/roundcheck.py --list          # print gate registry
+
+Exit 0 iff every selected gate passed. Wall cost: fast set ≈ 25 min
+(pytest ≈ 9.5 min, window oracle ≈ 4 min, audit ≈ 4 min, guard ≈ 1 min
+on a fresh DEPMAP); --full adds ≈ 12 min. Runs gates SEQUENTIALLY on
+purpose — two Spark suites sharing the box corrupt each other's
+timings and the pytest suite assumes a quiet box for its own probes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# name -> (argv, description). Order is execution order: cheap,
+# diff-shaped gates first so a broken round fails in seconds, the
+# whole-registry oracle last because it subsumes window-oracle.
+GATES: dict[str, tuple[list[str], str]] = {
+    "guard": (
+        [sys.executable, "tools/window_guard.py"],
+        "§21 shared-component rule (implicated ⊆ window)",
+    ),
+    "lint": (
+        [sys.executable, "tools/scale_lint.py"],
+        "harness-contract lint",
+    ),
+    "window-oracle": (
+        [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.01", "--window"],
+        "driver-t2 replica over the rotation window",
+    ),
+    "audit": (
+        [sys.executable, "tools/explain_audit.py"],
+        "plan invariants",
+    ),
+    "pytest": (
+        [sys.executable, "-m", "pytest", "tests/", "-q"],
+        "full unit/semantics suite",
+    ),
+    "full-oracle": (
+        [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.01"],
+        "whole-registry oracle (§22 renewal)",
+    ),
+}
+FAST = [g for g in GATES if g != "full-oracle"]
+
+
+def run_gate(name: str) -> tuple[bool, float, str]:
+    argv, _ = GATES[name]
+    t0 = time.time()
+    r = subprocess.run(
+        argv, cwd=REPO, capture_output=True, text=True
+    )
+    dt = time.time() - t0
+    # the one-line verdict: last STDOUT line (where every gate prints
+    # its "all green"/"clean" summary); stderr only as a fallback —
+    # Spark's WARN chatter lands there and would mask the verdict
+    tail = r.stdout.strip().splitlines() or r.stderr.strip().splitlines()
+    return r.returncode == 0, dt, tail[-1] if tail else ""
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--full", action="store_true", help="include full-oracle")
+    ap.add_argument("--only", help="comma-separated gate subset")
+    ap.add_argument("--list", action="store_true", help="print gates and exit")
+    args = ap.parse_args(argv)
+
+    if args.list:
+        for name, (_, desc) in GATES.items():
+            print(f"{name:14} {desc}")
+        return 0
+
+    if args.only:
+        selected = [g.strip() for g in args.only.split(",") if g.strip()]
+        unknown = [g for g in selected if g not in GATES]
+        if unknown:
+            print(f"roundcheck: unknown gate(s) {unknown}; "
+                  f"known: {list(GATES)}", file=sys.stderr)
+            return 2
+    else:
+        selected = list(GATES) if args.full else FAST
+
+    failed = []
+    for name in selected:
+        ok, dt, last = run_gate(name)
+        mark = "PASS" if ok else "FAIL"
+        print(f"{mark}  {name:14} {dt:7.1f}s  {last}")
+        sys.stdout.flush()
+        if not ok:
+            failed.append(name)
+    if failed:
+        print(f"\nroundcheck: {len(failed)} gate(s) FAILED: {failed}")
+        return 1
+    print(f"\nroundcheck: all {len(selected)} gate(s) green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
