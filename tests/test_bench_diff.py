@@ -75,7 +75,7 @@ def test_fmt_boxcal_flags_pre_r14_record():
         "sustain_ratio": 1.0,
     }
     lines = "\n".join(fmt_boxcal(new, old))
-    assert "not recorded (pre-r14)" in lines
+    assert "not recorded" in lines
     assert "compare py/bw only" in lines
     # both modern -> no warning
     lines2 = "\n".join(fmt_boxcal(new, dict(new)))

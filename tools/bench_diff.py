@@ -126,7 +126,10 @@ def fmt_boxcal(cur_b: dict, base_b: dict) -> list[str]:
                 f" ratio {b.get('sustain_ratio')}"
             )
         else:
-            lines.append(f"  sustain ({side}): not recorded (pre-r14)")
+            lines.append(
+                f"  sustain ({side}): not recorded "
+                "(pre-r14 record, or skipped via env)"
+            )
     pre_r14 = [
         s
         for s, b in (("base", base_b), ("cur", cur_b))
