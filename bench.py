@@ -583,6 +583,12 @@ def main() -> None:
         boxcal_rec["sustain_first5"] = sustain["sustain_first5_per_wave"]
         boxcal_rec["sustain_last5"] = sustain["sustain_last5_per_wave"]
         boxcal_rec["sustain_ratio"] = sustain["sustain_ratio"]
+    else:
+        # stamp WHY the sustain fields are absent — without this an
+        # env-skipped r14+ record is indistinguishable from a pre-r14
+        # record, and bench_diff would wrongly tell the adjudicator
+        # to distrust its (fully comparable) np/mp values
+        boxcal_rec["sustain_skipped"] = True
 
     run_timings = [r["timings"] for r in results]
     run_drifts = [r["drift"] for r in results]

@@ -224,6 +224,9 @@ def test_sustain_probe_shape():
 
     from tools.boxcal import sustain_probe
 
+    # waves < 2 -> the failure quartet, never a crash
+    assert all(v == -1.0 for v in sustain_probe(waves=1).values())
+
     s = sustain_probe(waves=6)
     assert set(s) == {
         "sustain_first5_per_wave",

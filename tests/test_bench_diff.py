@@ -115,3 +115,22 @@ def test_cli_against_committed_history():
     )
     assert out.returncode in (0, 1), out.stderr[-500:]
     assert "best-of-pair ratio" in out.stdout
+
+
+def test_singleton_run_never_consistent():
+    """A budget-gated invocation records one run; a single valid
+    measurement cannot support a CONSISTENT claim (the r13-verdict
+    evidence shape needs at least two runs over threshold), so the
+    rc-1 gate must not fire on it."""
+    base = _rec({"a": 1.0})
+    cur = _rec({"a": 2.5}, per_run=[{"a": 2.5}])
+    consistent, one_run, _ = classify_outliers(cur, base, 2.0)
+    assert consistent == [] and [e[0] for e in one_run] == ["a"]
+
+
+def test_sustain_skipped_stamp_not_mistaken_for_pre_r14():
+    skipped = {"py_pre": 0.6, "py_post": 0.6, "sustain_skipped": True}
+    modern = {"py_pre": 0.6, "py_post": 0.6, "sustain_ratio": 1.0}
+    lines = "\n".join(fmt_boxcal(modern, skipped))
+    assert "skipped via env" in lines
+    assert "compare py/bw only" not in lines  # np/mp stay trusted

@@ -43,9 +43,17 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# boxcal keys that only exist since the r14 probe fixes; their absence
-# marks a pre-r14 record, whose np/mp values are not comparable.
+# boxcal keys that only exist since the r14 probe fixes. A record is
+# r14+ if it has sustain values OR the explicit sustain_skipped stamp
+# (bench.py writes one or the other since r14); only a record with
+# NEITHER predates the probe fixes and has non-comparable np/mp.
 _SUSTAIN_KEYS = ("sustain_first5", "sustain_last5", "sustain_ratio")
+
+
+def _is_r14_plus(b: dict) -> bool:
+    return b.get("sustain_skipped") is True or any(
+        k in b for k in _SUSTAIN_KEYS
+    )
 _PROBE_ORDER = ("py", "np", "bw", "mp")
 
 
@@ -73,10 +81,12 @@ def classify_outliers(
 ) -> tuple[list, list, list]:
     """(consistent_regressions, one_run_regressions, improvements);
     each entry is (name, base_best, cur_best, ratio, per_run). Ratios
-    compare BESTS; consistency asks whether EVERY current run (not
-    just the best) sits above threshold× the baseline best — the
-    one-run shape is already absorbed by best-of-pair and is noise by
-    construction."""
+    compare BESTS; consistency asks whether EVERY current run — and
+    at least two of them — sits above threshold× the baseline best;
+    the one-run shape is already absorbed by best-of-pair and is
+    noise by construction, and a single valid measurement (budget-
+    gated invocation, or dropped in the other run) can never support
+    a consistency claim."""
     cur_q, base_q = cur["queries"], base["queries"]
     per_run = cur.get("per_run_queries", [])
     consistent, one_run, improved = [], [], []
@@ -92,7 +102,11 @@ def classify_outliers(
         ]
         if ratio > threshold:
             rec = (name, bb, cb, ratio, runs)
-            if runs and all(v > threshold * bb for v in runs):
+            # a CONSISTENT claim needs at least two independent runs
+            # over threshold (the r13-verdict evidence shape); a
+            # budget-gated single-run invocation, or a query dropped
+            # in the other run, can only ever support a blip claim
+            if len(runs) >= 2 and all(v > threshold * bb for v in runs):
                 consistent.append(rec)
             else:
                 one_run.append(rec)
@@ -125,15 +139,17 @@ def fmt_boxcal(cur_b: dict, base_b: dict) -> list[str]:
                 f" last5 {b.get('sustain_last5')}"
                 f" ratio {b.get('sustain_ratio')}"
             )
-        else:
+        elif b.get("sustain_skipped"):
             lines.append(
-                f"  sustain ({side}): not recorded "
-                "(pre-r14 record, or skipped via env)"
+                f"  sustain ({side}): skipped via env "
+                "(np/mp still comparable)"
             )
+        else:
+            lines.append(f"  sustain ({side}): not recorded (pre-r14)")
     pre_r14 = [
         s
         for s, b in (("base", base_b), ("cur", cur_b))
-        if not any(k in b for k in _SUSTAIN_KEYS)
+        if not _is_r14_plus(b)
     ]
     if pre_r14:
         lines.append(

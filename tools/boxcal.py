@@ -178,11 +178,22 @@ def sustain_probe(waves: int = SUSTAIN_WAVES) -> dict[str, float]:
     One discarded warm-up wave runs before the timed waves so pool
     worker spin-up (fork cost of the parent's footprint — large when
     called from bench.py after the pyspark import) never lands in
-    wave 1 and fakes a ramp-DOWN. All values -1.0 if the pool fails
-    (the bench record must survive any probe failure)."""
+    wave 1 and fakes a ramp-DOWN. The early/late windows never
+    overlap: their width is min(5, waves // 2), so a short-waves run
+    compares genuinely-early vs genuinely-late waves instead of
+    averaging a real ramp away through shared members. All values
+    -1.0 if the pool fails or waves < 2 (the bench record must
+    survive any probe failure)."""
     import multiprocessing as mp
     import os
 
+    if waves < 2:  # no disjoint early/late windows possible
+        return {
+            "sustain_first5_per_wave": -1.0,
+            "sustain_last5_per_wave": -1.0,
+            "sustain_ratio": -1.0,
+            "sustain_waves": -1.0,
+        }
     try:
         ncpu = os.cpu_count() or 1
         wave_secs: list[float] = []
@@ -200,8 +211,9 @@ def sustain_probe(waves: int = SUSTAIN_WAVES) -> dict[str, float]:
             "sustain_ratio": -1.0,
             "sustain_waves": -1.0,
         }
-    head = wave_secs[:5]
-    tail = wave_secs[-5:]
+    k = min(5, waves // 2)  # disjoint early/late windows, always
+    head = wave_secs[:k]
+    tail = wave_secs[-k:]
     first5 = sum(head) / len(head)
     last5 = sum(tail) / len(tail)
     return {

@@ -9,11 +9,11 @@ checking logic, only the choreography):
   guard          tools/window_guard.py — §21 shared-component rule:
                  every query implicated by the diff since the last
                  round-close rides the current window prefix.
+  lint           tools/scale_lint.py — harness-contract lint.
   window-oracle  tools/check_oracle.py --window at sf0.01 — the
                  driver-t2 replica over the 50-query rotation window.
   audit          tools/explain_audit.py — plan invariants (pushdown,
                  pruned ReadSchema, broadcast, no nested loops).
-  lint           tools/scale_lint.py — harness-contract lint.
   pytest         python -m pytest tests/ — the full unit/semantics
                  suite.
   full-oracle    [--full only] check_oracle over ALL paired queries
@@ -75,18 +75,27 @@ GATES: dict[str, tuple[list[str], str]] = {
 FAST = [g for g in GATES if g != "full-oracle"]
 
 
-def run_gate(name: str) -> tuple[bool, float, str]:
+def run_gate(name: str) -> tuple[bool, float, str, str]:
+    """(ok, seconds, verdict_line, failure_diag). The verdict line is
+    the last STDOUT line (where every gate prints its "all green"/
+    "clean" summary); stderr only as a fallback — Spark's WARN
+    chatter lands there and would mask the verdict. On failure the
+    tail of the COMBINED output rides along so a multi-minute gate's
+    traceback is never thrown away (the crash usually lands on
+    stderr after progress lines on stdout)."""
     argv, _ = GATES[name]
     t0 = time.time()
     r = subprocess.run(
         argv, cwd=REPO, capture_output=True, text=True
     )
     dt = time.time() - t0
-    # the one-line verdict: last STDOUT line (where every gate prints
-    # its "all green"/"clean" summary); stderr only as a fallback —
-    # Spark's WARN chatter lands there and would mask the verdict
     tail = r.stdout.strip().splitlines() or r.stderr.strip().splitlines()
-    return r.returncode == 0, dt, tail[-1] if tail else ""
+    verdict = tail[-1] if tail else ""
+    diag = ""
+    if r.returncode != 0:
+        combined = (r.stdout + "\n--- stderr ---\n" + r.stderr).strip()
+        diag = "\n".join(combined.splitlines()[-20:])
+    return r.returncode == 0, dt, verdict, diag
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -113,9 +122,13 @@ def main(argv: list[str] | None = None) -> int:
 
     failed = []
     for name in selected:
-        ok, dt, last = run_gate(name)
+        ok, dt, last, diag = run_gate(name)
         mark = "PASS" if ok else "FAIL"
         print(f"{mark}  {name:14} {dt:7.1f}s  {last}")
+        if diag:
+            print(f"---- {name} failure tail " + "-" * 30)
+            print(diag)
+            print("-" * 54)
         sys.stdout.flush()
         if not ok:
             failed.append(name)
