@@ -226,8 +226,8 @@ _ROUND_NEW: list[str] = [
 # Oracle-paired but past the 50-cutoff this round: pure-expression
 # stats queries with no operator file behind them — least likely to
 # regress, so they give up their slots to the operator-bearing set.
-# ROUND-6 ROTATION TODO: these five (plus any round-5 red rows) head
-# the round-6 window for their first-ever CORRECTNESS rows.
+# (Historical: these headed the round-6 window for their first-ever
+# CORRECTNESS rows; the freshness proposer has owned rotation since.)
 _ROUND6_CARRY: list[str] = [
     "chi_square_independence",
     "cohens_kappa",
@@ -377,6 +377,74 @@ _R01_REFRESH: list[str] = [
     "text_quality",
 ]
 
+
+# Round-15 window — the proposer's output verbatim (`python
+# tools/freshness.py --propose`: the full 19-query r10 tier — the
+# whole remaining ledger floor — then the 31 oldest r11 rows), ZERO
+# swaps, exactly as the r14 verdict item 1 prescribed. The §21 guard
+# ran before adoption (`python tools/window_guard.py 9b958a5`
+# against the r14 round-close base — the last code-state commit the
+# driver's CORRECTNESS_r14 validated): zero changed package files,
+# zero implicated queries, so the proposer's oldest-first order
+# stands untouched and no DEPMAP regen was required (the committed
+# map postdates the base). 19+31 = 50. After this window: the r10
+# tier is fully cleared and the oldest ledger row is r11 —
+# staleness ≤ 4 rounds holds everywhere. Remaining r11 tier
+# (19 rows) + r12 tier rotate next, oldest-first.
+_ROUND15_WINDOW: list[str] = [
+    # (a) the 19-query r10 tier (the ledger floor), proposer order
+    "set_ops_multiset",
+    "partitioned_write_prune",
+    "linear_interpolate",
+    "streaming_sliding_window",
+    "compaction_plan",
+    "kaplan_meier",
+    "scd2_point_in_time",
+    "corrupt_record_audit",
+    "contrastive_pairs",
+    "training_batch_assembly",
+    "psi_drift",
+    "hotspot_regions",
+    "cusum_changepoint",
+    "boolean_retrieval",
+    "knn_accuracy",
+    "rolling_active_users",
+    "dedup_keep_best",
+    "quantized_rescore_topk",
+    "target_encoding",
+    # (b) the 31 oldest r11 rows, proposer order
+    "dedup_latest_events",
+    "group_agg_minmax",
+    "rollup_orders",
+    "join_large_fact",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dims",
+    "asof_join_events_orders",
+    "date_functions",
+    "window_rank",
+    "window_lag_lead",
+    "window_running_agg",
+    "topk_global",
+    "topk_per_group",
+    "dedup_exact_docs",
+    "tumbling_window",
+    "correlated_subquery",
+    "sliding_window",
+    "session_window",
+    "streaming_tumbling_window",
+    "geotab_connector_pipeline",
+    "multimodal_metadata",
+    "exists_subquery",
+    "in_subquery",
+    "string_agg_sorted",
+    "streaming_stream_join",
+    "tfidf_top_terms",
+    "sessionize_events",
+    "interval_overlap_join",
+    "gap_fill_forward",
+]
 
 # Round-14 window — the proposer's output verbatim (`python
 # tools/freshness.py --propose`: the full 21-query r09 tier — the
@@ -980,7 +1048,8 @@ _ROUND7_WINDOW: list[str] = [
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     head_lists = (
-        _ROUND14_WINDOW
+        _ROUND15_WINDOW
+        + _ROUND14_WINDOW
         + _ROUND13_WINDOW
         + _ROUND12_WINDOW
         + _ROUND11_WINDOW
