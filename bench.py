@@ -579,10 +579,16 @@ def main() -> None:
         "bw_post": cal_post["bw_sec"],
         "mp_post": cal_post["mp_sec"],
     }
-    if sustain:
+    if sustain and sustain.get("sustain_ratio", -1.0) >= 0:
         boxcal_rec["sustain_first5"] = sustain["sustain_first5_per_wave"]
         boxcal_rec["sustain_last5"] = sustain["sustain_last5_per_wave"]
         boxcal_rec["sustain_ratio"] = sustain["sustain_ratio"]
+    elif sustain:
+        # the probe ran but failed/timed out (boxcal's -1.0 sentinel
+        # quartet) — stamp the failure explicitly instead of recording
+        # -1.0 as if measured, which an adjudicator reading the diff
+        # report could misread as a (nonsensical) numeric ratio
+        boxcal_rec["sustain_failed"] = True
     else:
         # stamp WHY the sustain fields are absent — without this an
         # env-skipped r14+ record is indistinguishable from a pre-r14

@@ -134,3 +134,65 @@ def test_sustain_skipped_stamp_not_mistaken_for_pre_r14():
     lines = "\n".join(fmt_boxcal(modern, skipped))
     assert "skipped via env" in lines
     assert "compare py/bw only" not in lines  # np/mp stay trusted
+
+
+def test_sustain_failure_rendered_not_numeric():
+    """r14 advice: a failed sustain probe must read as a failure, not
+    as ratio -1.0 an adjudicator could misparse. Both the explicit
+    r15+ stamp and a legacy record that captured the -1.0 sentinel
+    quartet render as FAILED; np/mp stay trusted (r14+ record)."""
+    failed_stamp = {"py_pre": 0.6, "py_post": 0.6, "sustain_failed": True}
+    legacy_sentinel = {
+        "py_pre": 0.6,
+        "py_post": 0.6,
+        "sustain_first5": -1.0,
+        "sustain_last5": -1.0,
+        "sustain_ratio": -1.0,
+    }
+    modern = {"py_pre": 0.6, "py_post": 0.6, "sustain_ratio": 1.0}
+    for bad in (failed_stamp, legacy_sentinel):
+        lines = "\n".join(fmt_boxcal(modern, bad))
+        assert "probe FAILED" in lines
+        assert "ratio -1.0" not in lines
+        assert "compare py/bw only" not in lines
+
+
+def test_broken_pipe_preserves_gate_verdict(tmp_path):
+    """r14 advice: `bench_diff ... | head -1` must still exit 1 when a
+    CONSISTENT regression was detected — only the printing, never the
+    verdict, is forgiven on a closed pipe."""
+    base_p = tmp_path / "base.json"
+    cur_p = tmp_path / "cur.json"
+    base_p.write_text(json.dumps(_rec({"a": 1.0})))
+    cur_p.write_text(
+        json.dumps(
+            _rec({"a": 3.0}, per_run=[{"a": 3.0}, {"a": 3.1}])
+        )
+    )
+    script = (
+        f"{sys.executable} {REPO / 'tools' / 'bench_diff.py'} "
+        f"{base_p} --current {cur_p} | head -1; "
+        'echo "RC=${PIPESTATUS[0]}"'
+    )
+    out = subprocess.run(
+        ["/bin/bash", "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert "RC=1" in out.stdout, out.stdout + out.stderr
+
+
+def test_default_baseline_is_round_close_commit():
+    """With no baseline argument the report adjudicates against the
+    driver's last round-close commit — the exact comparison the
+    roundcheck bench-diff gate needs."""
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "bench_diff.py")],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode in (0, 1), out.stderr[-500:]
+    assert "baseline: rev " in out.stdout
+    assert "best-of-pair ratio" in out.stdout

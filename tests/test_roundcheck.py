@@ -15,14 +15,17 @@ from tools.roundcheck import FAST, GATES, main  # noqa: E402
 
 
 def test_gate_registry_shape():
-    # full-oracle is the only non-fast gate, and execution order puts
-    # the diff-shaped gates (guard, lint) before the Spark suites
-    assert set(FAST) == set(GATES) - {"full-oracle"}
+    # full-oracle and bench-diff are the only non-fast gates (the
+    # latter needs a fresh worktree BENCH_FULL.json to mean anything),
+    # and execution order puts the diff-shaped gates (guard, lint)
+    # before the Spark suites
+    assert set(FAST) == set(GATES) - {"full-oracle", "bench-diff"}
     names = list(GATES)
     assert names.index("guard") < names.index("window-oracle")
     assert names.index("lint") < names.index("pytest")
-    for argv, desc in GATES.values():
+    for argv, desc, timeout_s in GATES.values():
         assert argv[0] == sys.executable and desc
+        assert timeout_s >= 300  # generous: ~3x documented wall cost
 
 
 def test_unknown_gate_rejected(capsys):
@@ -47,3 +50,38 @@ def test_cheap_gate_runs_end_to_end():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "all 1 gate(s) green" in out.stdout
+
+
+def test_bench_diff_gate_runs_end_to_end():
+    """The r14 verdict's item 2: the round-over-round bench
+    adjudication rides roundcheck as a selectable gate. Against the
+    committed BENCH_FULL.json (same record as the round-close
+    baseline at round start) it must run and pass through the
+    subprocess path."""
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "roundcheck.py"),
+         "--only", "bench-diff"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "bench-diff" in out.stdout
+    assert "all 1 gate(s) green" in out.stdout
+
+
+def test_gate_timeout_reported_not_hung(monkeypatch):
+    """A wedged gate must surface as a TIMEOUT verdict line, not
+    block the checklist forever (r14 advice)."""
+    import tools.roundcheck as rc
+
+    monkeypatch.setitem(
+        rc.GATES,
+        "lint",
+        ([sys.executable, "-c", "import time; print('x'); time.sleep(30)"],
+         "wedged stand-in", 2),
+    )
+    ok, dt, verdict, diag = rc.run_gate("lint")
+    assert not ok
+    assert dt < 10
+    assert "TIMEOUT after 2s" in verdict

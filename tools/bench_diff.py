@@ -28,9 +28,15 @@ window guard (code side) and boxcal (box side) let you adjudicate
 with.
 
 Usage:
+    python tools/bench_diff.py                      # vs last round-close
     python tools/bench_diff.py 98c41d7              # vs rev's record
     python tools/bench_diff.py /path/BENCH_FULL.json
     python tools/bench_diff.py 98c41d7 --threshold 1.5
+
+With no baseline argument, the driver's last round-close commit
+(subject ``round N: …`` — the commit that carries the round's
+BENCH_FULL.json) is used, which makes the bare invocation exactly the
+round-over-round adjudication roundcheck's bench-diff gate runs.
 """
 
 from __future__ import annotations
@@ -51,10 +57,33 @@ _SUSTAIN_KEYS = ("sustain_first5", "sustain_last5", "sustain_ratio")
 
 
 def _is_r14_plus(b: dict) -> bool:
-    return b.get("sustain_skipped") is True or any(
-        k in b for k in _SUSTAIN_KEYS
+    return (
+        b.get("sustain_skipped") is True
+        or b.get("sustain_failed") is True
+        or any(k in b for k in _SUSTAIN_KEYS)
     )
 _PROBE_ORDER = ("py", "np", "bw", "mp")
+
+
+def default_baseline() -> str:
+    """The driver's last round-close commit (same grep as
+    window_guard.round_base_commit — inlined so this module stays a
+    zero-import-dependency script)."""
+    r = subprocess.run(
+        [
+            "git", "-C", REPO, "log", "-1", "--format=%H",
+            "--extended-regexp", "--grep", r"^round [0-9]+:",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    out = r.stdout.strip()
+    if r.returncode != 0 or not out:
+        raise SystemExit(
+            "bench_diff: no baseline given and no driver round-close "
+            "commit (subject 'round N: …') found"
+        )
+    return out
 
 
 def load_baseline(ref: str) -> tuple[dict, str]:
@@ -133,7 +162,17 @@ def fmt_boxcal(cur_b: dict, base_b: dict) -> list[str]:
             )
         lines.append(row)
     for side, b in (("base", base_b), ("cur", cur_b)):
-        if any(k in b for k in _SUSTAIN_KEYS):
+        if b.get("sustain_failed") or (
+            any(k in b for k in _SUSTAIN_KEYS)
+            and any(b.get(k, 0) == -1.0 for k in _SUSTAIN_KEYS)
+        ):
+            # explicit failure stamp (r15+), or a legacy record that
+            # captured boxcal's -1.0 sentinel quartet as numbers
+            lines.append(
+                f"  sustain ({side}): probe FAILED — values not "
+                "measured (np/mp still comparable)"
+            )
+        elif any(k in b for k in _SUSTAIN_KEYS):
             lines.append(
                 f"  sustain ({side}): first5 {b.get('sustain_first5')}"
                 f" last5 {b.get('sustain_last5')}"
@@ -160,9 +199,17 @@ def fmt_boxcal(cur_b: dict, base_b: dict) -> list[str]:
     return lines
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(
+    argv: list[str] | None = None, rc_out: list[int] | None = None
+) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("baseline", help="git rev or BENCH_FULL.json path")
+    ap.add_argument(
+        "baseline",
+        nargs="?",
+        default=None,
+        help="git rev or BENCH_FULL.json path (default: the driver's "
+        "last round-close commit)",
+    )
     ap.add_argument(
         "--current",
         default=os.path.join(REPO, "BENCH_FULL.json"),
@@ -173,7 +220,17 @@ def main(argv: list[str] | None = None) -> int:
 
     with open(args.current) as f:
         cur = json.load(f)
-    base, base_desc = load_baseline(args.baseline)
+    base, base_desc = load_baseline(args.baseline or default_baseline())
+
+    # Gate verdict FIRST, before any print can raise BrokenPipeError
+    # under `report | head` — only the printing is forgiven on a
+    # closed pipe, never the verdict (r14 advice).
+    consistent, one_run, improved = classify_outliers(
+        cur, base, args.threshold
+    )
+    gate_rc = 1 if consistent else 0
+    if rc_out is not None:
+        rc_out.append(gate_rc)
 
     print(f"baseline: {base_desc}")
     print(f"current:  {args.current}")
@@ -188,9 +245,6 @@ def main(argv: list[str] | None = None) -> int:
     for line in fmt_boxcal(cur.get("boxcal", {}), base.get("boxcal", {})):
         print(line)
 
-    consistent, one_run, improved = classify_outliers(
-        cur, base, args.threshold
-    )
     t = args.threshold
     print(f"\nconsistent regressions (> {t}x in EVERY current run):")
     for name, bb, cb, r, runs in consistent or []:
@@ -222,13 +276,16 @@ def main(argv: list[str] | None = None) -> int:
         if dropped:
             print(f"  dropped keys (either side): {dropped}")
 
-    return 1 if consistent else 0
+    return gate_rc
 
 
 if __name__ == "__main__":
+    _verdict: list[int] = []
     try:
-        rc = main()
-    except BrokenPipeError:  # piped into head — not an error
+        rc = main(rc_out=_verdict)
+    except BrokenPipeError:  # piped into head — printing forgiven,
+        # but the gate verdict (computed before any print) survives;
+        # fail closed if the pipe broke before the verdict existed.
         os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
-        rc = 0
+        rc = _verdict[0] if _verdict else 1
     raise SystemExit(rc)

@@ -23,10 +23,14 @@ Known coverage notes (documented, accepted):
   construction, inside a traced package function — the enclosing
   top-level symbol is recorded.
 - Session-cached shared builds (`_ann_eval_table`,
-  `_dedup_labeled_table`): later sharers hit the cache and skip the
-  build internals, but the memoized getter itself is traced for every
-  sharer, and the guard attributes any change inside the builder to
-  that top-level getter — all sharers implicate correctly.
+  `_dedup_labeled_table`, the other `_materialize_once` users): the
+  scratch markers are CLEARED before every traced query, so each
+  sharer rebuilds inside its own trace and records the builder
+  INTERNALS (operators/similarity.py symbols etc.), not just the
+  memoized getter. Without this, attribution of builder-internal
+  symbols was run-order-dependent — only the first-traced sharer
+  carried them, and a builder-code change would not implicate the
+  others (r14 advice). Costs a rebuild per sharer at sf0.001.
 - Data-dependent driver-side branching could differ at production SF;
   top-level granularity absorbs intra-function branches, which is the
   only place we observed it.
@@ -71,6 +75,34 @@ def _entries() -> list[str]:
     return sorted(f"{p}::{q}" if q else p for p, q in _seen)
 
 
+def _clear_session_builds() -> None:
+    """Drop this process's `_materialize_once` scratch (the
+    `$TMPDIR/etl_geotab_*/<pid>-*` dirs + `.done` markers) so the next
+    traced query rebuilds its shared-build internals inside its own
+    trace. Scoped to the CURRENT pid only — concurrent bench/pytest
+    processes keep their scratch — and to the write-once scratch
+    contract only (bucketed warehouse tables are file-format fixtures
+    with their own _SUCCESS protocol and are deliberately left
+    alone: their build internals are traced via the top-level
+    ensure-functions every sharer calls)."""
+    import glob
+    import shutil
+    import tempfile
+
+    pid = os.getpid()
+    pattern = os.path.join(
+        tempfile.gettempdir(), "etl_geotab_*", f"{pid}-*"
+    )
+    for path in glob.glob(pattern):
+        try:
+            if path.endswith(".done"):
+                os.unlink(path)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def main() -> int:
     global _tracing
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -91,6 +123,7 @@ def main() -> int:
     depmap: dict[str, list[str]] = {}
     t0 = time.time()
     for i, (name, fn) in enumerate(registry.items(), 1):
+        _clear_session_builds()
         _seen.clear()
         _tracing = True
         try:

@@ -16,9 +16,18 @@ checking logic, only the choreography):
                  pruned ReadSchema, broadcast, no nested loops).
   pytest         python -m pytest tests/ — the full unit/semantics
                  suite.
+  bench-diff     [--full only] tools/bench_diff.py vs the last
+                 round-close record — the §24-25 round-over-round
+                 bench adjudication (rc 1 on a CONSISTENT ≥2x
+                 regression). Needs a fresh worktree BENCH_FULL.json;
+                 run it after the round's bench invocations.
   full-oracle    [--full only] check_oracle over ALL paired queries
                  at sf0.01 — the §22 "renew anyway" whole-registry
                  record.
+
+Every gate carries a generous per-gate timeout (~3x documented wall
+cost); a wedged gate is killed and reported as TIMEOUT with its
+captured output tail rather than hanging the checklist.
 
 Usage:
     python tools/roundcheck.py                 # fast gates
@@ -43,36 +52,55 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# name -> (argv, description). Order is execution order: cheap,
-# diff-shaped gates first so a broken round fails in seconds, the
-# whole-registry oracle last because it subsumes window-oracle.
-GATES: dict[str, tuple[list[str], str]] = {
+# name -> (argv, description, timeout_s). Order is execution order:
+# cheap, diff-shaped gates first so a broken round fails in seconds,
+# the whole-registry oracle last because it subsumes window-oracle.
+# Timeouts are ~3x each gate's documented wall cost (module
+# docstring) — generous enough that a slow box never trips them, but
+# a wedged JVM surfaces as a TIMEOUT verdict with its captured tail
+# instead of hanging the checklist forever (r14 advice).
+GATES: dict[str, tuple[list[str], str, int]] = {
     "guard": (
         [sys.executable, "tools/window_guard.py"],
         "§21 shared-component rule (implicated ⊆ window)",
+        600,
     ),
     "lint": (
         [sys.executable, "tools/scale_lint.py"],
         "harness-contract lint",
+        600,
     ),
     "window-oracle": (
         [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.01", "--window"],
         "driver-t2 replica over the rotation window",
+        2400,
     ),
     "audit": (
         [sys.executable, "tools/explain_audit.py"],
         "plan invariants",
+        2400,
     ),
     "pytest": (
         [sys.executable, "-m", "pytest", "tests/", "-q"],
         "full unit/semantics suite",
+        3600,
+    ),
+    "bench-diff": (
+        [sys.executable, "tools/bench_diff.py"],
+        "round-over-round bench adjudication (no CONSISTENT >=2x)",
+        300,
     ),
     "full-oracle": (
         [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.01"],
         "whole-registry oracle (§22 renewal)",
+        3600,
     ),
 }
-FAST = [g for g in GATES if g != "full-oracle"]
+# bench-diff needs a fresh worktree BENCH_FULL.json to say anything
+# (against the round base it compares that record, not the code), so
+# it rides --full / --only, not the fast set — run it after the
+# round's bench invocations, per the standing protocol.
+FAST = [g for g in GATES if g not in ("full-oracle", "bench-diff")]
 
 
 def run_gate(name: str) -> tuple[bool, float, str, str]:
@@ -82,20 +110,33 @@ def run_gate(name: str) -> tuple[bool, float, str, str]:
     chatter lands there and would mask the verdict. On failure the
     tail of the COMBINED output rides along so a multi-minute gate's
     traceback is never thrown away (the crash usually lands on
-    stderr after progress lines on stdout)."""
-    argv, _ = GATES[name]
+    stderr after progress lines on stdout). A gate that exceeds its
+    registered timeout is killed and reported as a TIMEOUT verdict
+    with whatever output it produced, instead of blocking the
+    checklist forever on a wedged JVM."""
+    argv, _, timeout_s = GATES[name]
     t0 = time.time()
-    r = subprocess.run(
-        argv, cwd=REPO, capture_output=True, text=True
-    )
+    try:
+        r = subprocess.run(
+            argv, cwd=REPO, capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        out, err, rc = r.stdout, r.stderr, r.returncode
+    except subprocess.TimeoutExpired as e:
+        dt = time.time() - t0
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+        combined = (out + "\n--- stderr ---\n" + err).strip()
+        diag = "\n".join(combined.splitlines()[-20:])
+        return False, dt, f"TIMEOUT after {timeout_s}s", diag
     dt = time.time() - t0
-    tail = r.stdout.strip().splitlines() or r.stderr.strip().splitlines()
+    tail = out.strip().splitlines() or err.strip().splitlines()
     verdict = tail[-1] if tail else ""
     diag = ""
-    if r.returncode != 0:
-        combined = (r.stdout + "\n--- stderr ---\n" + r.stderr).strip()
+    if rc != 0:
+        combined = (out + "\n--- stderr ---\n" + err).strip()
         diag = "\n".join(combined.splitlines()[-20:])
-    return r.returncode == 0, dt, verdict, diag
+    return rc == 0, dt, verdict, diag
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -106,8 +147,8 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.list:
-        for name, (_, desc) in GATES.items():
-            print(f"{name:14} {desc}")
+        for name, (_, desc, timeout_s) in GATES.items():
+            print(f"{name:14} {desc}  [timeout {timeout_s}s]")
         return 0
 
     if args.only:
