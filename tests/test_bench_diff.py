@@ -160,13 +160,23 @@ def test_sustain_failure_rendered_not_numeric():
 def test_broken_pipe_preserves_gate_verdict(tmp_path):
     """r14 advice: `bench_diff ... | head -1` must still exit 1 when a
     CONSISTENT regression was detected — only the printing, never the
-    verdict, is forgiven on a closed pipe."""
+    verdict, is forgiven on a closed pipe. The records carry ~4000
+    improvement rows so the report is far larger than the 64 KiB pipe
+    buffer: head exits after line 1, a mid-report flush hits the
+    closed pipe, and the BrokenPipeError handler actually runs (a
+    one-query report fits the buffer and would never raise — the
+    handler under test would be dead code to such a test)."""
     base_p = tmp_path / "base.json"
     cur_p = tmp_path / "cur.json"
-    base_p.write_text(json.dumps(_rec({"a": 1.0})))
+    n = 4000
+    base_q = {f"q{i:04d}": 1.0 for i in range(n)}
+    base_q["a"] = 1.0
+    cur_q = {f"q{i:04d}": 0.4 for i in range(n)}  # 4000 improvements
+    cur_q["a"] = 3.0  # one CONSISTENT regression
+    base_p.write_text(json.dumps(_rec(base_q)))
     cur_p.write_text(
         json.dumps(
-            _rec({"a": 3.0}, per_run=[{"a": 3.0}, {"a": 3.1}])
+            _rec(cur_q, per_run=[{"a": 3.0}, {"a": 3.1}])
         )
     )
     script = (
@@ -181,6 +191,28 @@ def test_broken_pipe_preserves_gate_verdict(tmp_path):
         timeout=60,
     )
     assert "RC=1" in out.stdout, out.stdout + out.stderr
+    # rc 1 alone cannot distinguish the handler from an UNHANDLED
+    # BrokenPipeError (python exits 1 on a traceback too) — the
+    # handler's job is the clean exit, so the traceback must be absent
+    assert "BrokenPipeError" not in out.stderr, out.stderr
+
+
+def test_identical_records_flagged_vacuous(tmp_path, capsys):
+    """Once the driver's round-close commit carries the current
+    BENCH_FULL.json, the bare invocation self-compares; that must be
+    SAID (as the final line, which roundcheck surfaces as the gate
+    verdict) rather than read as a real all-clear adjudication."""
+    p = tmp_path / "same.json"
+    p.write_text(json.dumps(_rec({"a": 1.0})))
+    rc = main([str(p), "--current", str(p)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "IDENTICAL" in out.strip().splitlines()[-1]
+    # differing records carry no such note
+    q = tmp_path / "other.json"
+    q.write_text(json.dumps(_rec({"a": 1.1})))
+    rc = main([str(p), "--current", str(q)])
+    assert "IDENTICAL" not in capsys.readouterr().out
 
 
 def test_default_baseline_is_round_close_commit():

@@ -276,6 +276,17 @@ def main(
         if dropped:
             print(f"  dropped keys (either side): {dropped}")
 
+    if cur == base:
+        # last line on purpose: roundcheck surfaces a gate's final
+        # stdout line as its verdict, so a vacuous pass is visible in
+        # the close record instead of reading as a real adjudication
+        print(
+            "\nNOTE: baseline and current records are IDENTICAL — "
+            "adjudication is vacuous (the round-close commit already "
+            "carries this BENCH_FULL.json); run this round's bench "
+            "before this gate."
+        )
+
     return gate_rc
 
 

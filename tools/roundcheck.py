@@ -14,13 +14,16 @@ checking logic, only the choreography):
                  driver-t2 replica over the 50-query rotation window.
   audit          tools/explain_audit.py — plan invariants (pushdown,
                  pruned ReadSchema, broadcast, no nested loops).
-  pytest         python -m pytest tests/ — the full unit/semantics
-                 suite.
   bench-diff     [--full only] tools/bench_diff.py vs the last
                  round-close record — the §24-25 round-over-round
                  bench adjudication (rc 1 on a CONSISTENT ≥2x
-                 regression). Needs a fresh worktree BENCH_FULL.json;
-                 run it after the round's bench invocations.
+                 regression). Sub-second and git-only, so it runs
+                 before the Spark suites in --full. Needs a fresh
+                 worktree BENCH_FULL.json (it flags an identical
+                 self-compare as vacuous); run it after the round's
+                 bench invocations.
+  pytest         python -m pytest tests/ — the full unit/semantics
+                 suite.
   full-oracle    [--full only] check_oracle over ALL paired queries
                  at sf0.01 — the §22 "renew anyway" whole-registry
                  record.
@@ -46,6 +49,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -80,15 +84,15 @@ GATES: dict[str, tuple[list[str], str, int]] = {
         "plan invariants",
         2400,
     ),
-    "pytest": (
-        [sys.executable, "-m", "pytest", "tests/", "-q"],
-        "full unit/semantics suite",
-        3600,
-    ),
     "bench-diff": (
         [sys.executable, "tools/bench_diff.py"],
         "round-over-round bench adjudication (no CONSISTENT >=2x)",
         300,
+    ),
+    "pytest": (
+        [sys.executable, "-m", "pytest", "tests/", "-q"],
+        "full unit/semantics suite",
+        3600,
     ),
     "full-oracle": (
         [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.01"],
@@ -99,7 +103,10 @@ GATES: dict[str, tuple[list[str], str, int]] = {
 # bench-diff needs a fresh worktree BENCH_FULL.json to say anything
 # (against the round base it compares that record, not the code), so
 # it rides --full / --only, not the fast set — run it after the
-# round's bench invocations, per the standing protocol.
+# round's bench invocations, per the standing protocol. In --full it
+# sits right after lint: it is sub-second and depends only on the
+# committed record + git history, so a bench regression surfaces
+# before the ~20 min of Spark gates, not after.
 FAST = [g for g in GATES if g not in ("full-oracle", "bench-diff")]
 
 
@@ -111,25 +118,41 @@ def run_gate(name: str) -> tuple[bool, float, str, str]:
     tail of the COMBINED output rides along so a multi-minute gate's
     traceback is never thrown away (the crash usually lands on
     stderr after progress lines on stdout). A gate that exceeds its
-    registered timeout is killed and reported as a TIMEOUT verdict
-    with whatever output it produced, instead of blocking the
-    checklist forever on a wedged JVM."""
+    registered timeout is killed — the whole PROCESS GROUP, because
+    the wedged process this feature targets is a Spark JVM
+    grandchild, and killing only the python wrapper would leave it
+    holding the box while the next gate's Spark suite starts (the
+    exact two-suites interference sequential execution exists to
+    prevent) — and reported as a TIMEOUT verdict with whatever
+    output it produced. Output is captured as bytes and decoded with
+    errors='replace': a timeout truncates at an arbitrary byte, and
+    a strict decode dying mid-multibyte-char would crash the very
+    path meant to report the timeout."""
     argv, _, timeout_s = GATES[name]
     t0 = time.time()
+    p = subprocess.Popen(
+        argv, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        start_new_session=True,
+    )
+    timed_out = False
     try:
-        r = subprocess.run(
-            argv, cwd=REPO, capture_output=True, text=True,
-            timeout=timeout_s,
-        )
-        out, err, rc = r.stdout, r.stderr, r.returncode
-    except subprocess.TimeoutExpired as e:
-        dt = time.time() - t0
-        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-        err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+        out_b, err_b = p.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        timed_out = True
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            p.kill()
+        out_b, err_b = p.communicate()
+    dt = time.time() - t0
+    out = (out_b or b"").decode(errors="replace")
+    err = (err_b or b"").decode(errors="replace")
+    if timed_out:
         combined = (out + "\n--- stderr ---\n" + err).strip()
         diag = "\n".join(combined.splitlines()[-20:])
         return False, dt, f"TIMEOUT after {timeout_s}s", diag
-    dt = time.time() - t0
+    rc = p.returncode
     tail = out.strip().splitlines() or err.strip().splitlines()
     verdict = tail[-1] if tail else ""
     diag = ""
