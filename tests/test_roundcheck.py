@@ -87,3 +87,53 @@ def test_gate_timeout_reported_not_hung(monkeypatch):
     assert not ok
     assert dt < 10
     assert "TIMEOUT after 2s" in verdict
+
+
+def test_gate_timeout_kills_the_whole_process_tree(monkeypatch, tmp_path):
+    """The wedged process the timeout targets is a Spark JVM
+    GRANDCHILD; killing only the python wrapper would leave it
+    holding the box while the next gate's suite starts. The stand-in
+    gate spawns a detached child that records its pid; after the
+    TIMEOUT verdict that child must be dead too (killpg via
+    start_new_session)."""
+    import signal as _signal
+    import time as _time
+
+    import tools.roundcheck as rc
+
+    pid_file = tmp_path / "grandchild.pid"
+    child_src = (
+        "import os, subprocess, sys, time\n"
+        "p = subprocess.Popen([sys.executable, '-c', "
+        "'import time; time.sleep(300)'])\n"
+        f"open({str(pid_file)!r}, 'w').write(str(p.pid))\n"
+        "print('spawned', flush=True)\n"
+        "time.sleep(300)\n"
+    )
+    monkeypatch.setitem(
+        rc.GATES,
+        "lint",
+        ([sys.executable, "-c", child_src], "grandchild stand-in", 3),
+    )
+    ok, dt, verdict, diag = rc.run_gate("lint")
+    assert not ok and "TIMEOUT" in verdict
+    gpid = int(pid_file.read_text())
+
+    def _dead(pid: int) -> bool:
+        # gone entirely, or a zombie awaiting reaping by init — either
+        # way it no longer holds CPU (a killed-but-unreaped child is
+        # dead for the purpose the killpg serves)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                return f.read().split(") ", 1)[1].split()[0] == "Z"
+        except (FileNotFoundError, ProcessLookupError):
+            return True
+
+    # allow a beat for the kernel to deliver the group SIGKILL
+    for _ in range(20):
+        if _dead(gpid):
+            break
+        _time.sleep(0.1)
+    else:
+        os.kill(gpid, _signal.SIGKILL)  # cleanup before failing
+        raise AssertionError(f"grandchild {gpid} survived the gate timeout")
