@@ -378,25 +378,36 @@ _R01_REFRESH: list[str] = [
 ]
 
 
-# Round-15 window — the proposer's output verbatim (`python
-# tools/freshness.py --propose`: the full 19-query r10 tier — the
-# whole remaining ledger floor — then the 31 oldest r11 rows), ZERO
-# swaps, exactly as the r14 verdict item 1 prescribed. The §21 guard
-# ran before adoption (`python tools/window_guard.py 9b958a5`
-# against the r14 round-close base — the last code-state commit the
-# driver's CORRECTNESS_r14 validated): zero changed package files,
-# zero implicated queries, so the proposer's oldest-first order
-# stands untouched and no DEPMAP regen was required (the committed
-# map postdates the base). 19+31 = 50. After this window: the r10
-# tier is fully cleared and the oldest ledger row is r11 —
-# staleness ≤ 4 rounds holds everywhere. Remaining r11 tier
-# (19 rows) + r12 tier rotate next, oldest-first.
+# Round-15 window — the proposer's output verbatim, AMENDED once
+# mid-round by the proposer itself. Originally adopted as the full
+# 19-query r10 tier + the 31 oldest r11 rows (guard-clean against
+# the r14 close base 9b958a5: zero changed files, zero implicated).
+# Then the r15 sf1 stress refresh caught a silent-empty-stream bug
+# in the streaming fixture adapter (stream_events linked a
+# directory-shaped fixture as one symlink the file source never
+# descends into — streaming/jobs.py), and fixing it changed an
+# executed path: the §21 guard implicates all six stream_events
+# dependents, three of which the original window did not cover. Per
+# the standing rule (guard pulls are tier 0, mandatory regardless
+# of freshness) the proposal was REGENERATED with the guard tier
+# live and re-adopted verbatim: 6 guard pulls front-loaded, the
+# full 19-row r10 tier kept, then the 25 oldest r11 rows. The three
+# rows this displaced (sessionize_events, interval_overlap_join,
+# gap_fill_forward — all r11:green) rotate in r16. After this
+# window the oldest ledger row is still r11 — staleness ≤ 4 holds.
 _ROUND15_WINDOW: list[str] = [
+    # (0) §21 guard pulls — stream_events dependents (the r15
+    # streaming-fixture fix), proposer order
+    "streaming_tumbling_window",
+    "stateful_user_stats",
+    "streaming_stream_join",
+    "streaming_dedup_keys",
+    "streaming_session_window",
+    "streaming_sliding_window",
     # (a) the 19-query r10 tier (the ledger floor), proposer order
     "set_ops_multiset",
     "partitioned_write_prune",
     "linear_interpolate",
-    "streaming_sliding_window",
     "compaction_plan",
     "kaplan_meier",
     "scd2_point_in_time",
@@ -412,7 +423,7 @@ _ROUND15_WINDOW: list[str] = [
     "dedup_keep_best",
     "quantized_rescore_topk",
     "target_encoding",
-    # (b) the 31 oldest r11 rows, proposer order
+    # (b) the 25 oldest r11 rows, proposer order
     "dedup_latest_events",
     "group_agg_minmax",
     "rollup_orders",
@@ -433,17 +444,12 @@ _ROUND15_WINDOW: list[str] = [
     "correlated_subquery",
     "sliding_window",
     "session_window",
-    "streaming_tumbling_window",
     "geotab_connector_pipeline",
     "multimodal_metadata",
     "exists_subquery",
     "in_subquery",
     "string_agg_sorted",
-    "streaming_stream_join",
     "tfidf_top_terms",
-    "sessionize_events",
-    "interval_overlap_join",
-    "gap_fill_forward",
 ]
 
 # Round-14 window — the proposer's output verbatim (`python

@@ -70,15 +70,35 @@ def stream_events(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file source watches a DIRECTORY of arriving files (the real
-    # deployment shape: a landing zone fed by upstream writers). The
-    # fixture is a single file, so expose it through a per-sf link dir.
+    # deployment shape: a landing zone fed by upstream writers), so
+    # the fixture is exposed through a per-sf link dir. The fixture
+    # may be a single parquet FILE (the driver's testdata) or a
+    # Spark-written DIRECTORY of part files (the 10x stress replicas)
+    # — and the file stream source does NOT descend into a linked
+    # subdirectory: linking the directory itself made the source list
+    # zero files and drain an EMPTY stream, silently (caught by the
+    # r15 sf1 refresh: every streaming query "ran" 4-8x faster at 10x
+    # data). Link data files individually so both shapes stream.
     link_dir = os.path.join(
         tempfile.gettempdir(), "etl_geotab_stream", sf_dir.strip("/").replace("/", "_")
     )
     os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    src = f"{sf_dir}/events.parquet"
+    stale = os.path.join(link_dir, "events.parquet")
+    if os.path.islink(stale) and os.path.isdir(stale):
+        os.unlink(stale)  # pre-fix dir-shaped link: invisible to the source
+    targets = (
+        [os.path.join(src, p) for p in sorted(os.listdir(src))
+         if p.endswith(".parquet")]
+        if os.path.isdir(src)
+        else [src]
+    )
+    for target in targets:
+        link = os.path.join(link_dir, os.path.basename(target))
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass  # another session linked it first — same target
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -269,3 +269,27 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
         map(tuple, spark.table(name).collect())
     )
     assert rows == [(100, "click"), (200, "view")]
+
+
+def test_stream_events_directory_shaped_fixture(spark, tmp_path):
+    """A Spark-written fixture is a DIRECTORY of part files, and the
+    file stream source does not descend into a linked subdirectory:
+    before the r15 fix, stream_events linked the directory itself and
+    the source listed ZERO files — every downstream drain returned an
+    empty (not failed) result. Silent-empty is the worst failure
+    shape, so the guard is: a directory-shaped events fixture must
+    stream exactly the rows the batch path reads."""
+    sf_dir = str(tmp_path / "sfdir")
+    os.makedirs(sf_dir)
+    src = load_table(spark, SF_DIR, "events")
+    # multi-part directory, like the 10x stress replicas
+    src.repartition(3).write.parquet(os.path.join(sf_dir, "events.parquet"))
+    got = run_to_memory_table(
+        windowed_counts(stream_events(spark, sf_dir), "5 minutes")
+    )
+    want = windowed_counts(load_table(spark, sf_dir, "events"), "5 minutes")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    n_streamed = got.agg(F.sum("n")).collect()[0][0]
+    assert n_streamed == src.count()
