@@ -1,7 +1,10 @@
 """Empirical 10x scale validation (round-5 VERDICT #4): generate a
 sf1-equivalent dataset (10x sf0.1) and run the most expensive
-operator families at both scales, recording per-query wall time and
-the sf1/sf0.1 ratio to ``BENCH_SF1.json``.
+operator families at both scales, recording per-query wall time —
+cold (first run at an SF, includes per-SF index/scratch builds) and
+warm (best-of-2, steady state; the gated tier) — and the sf1/sf0.1
+ratio per tier to ``BENCH_SF1.json``. See ``cold_warm`` for why two
+tiers.
 
 Usage:
     python tools/scale_stress.py gen     # build scratch_sf1/ (once)
@@ -112,6 +115,34 @@ STRESS = [
     # boundedness claim is empirical, not static-analysis-only
     "knn_accuracy",
     "quantized_rescore_topk",
+    # round-15 extension: the stress list froze at round 8, but the
+    # registry grew ~100 queries through r13 — eight of them now run
+    # >2 s at sf0.1 (BENCH_FULL at the r15 close) and had never been
+    # measured at 10x. Every current >2 s query is stress-covered
+    # again after this block.
+    "bpe_learn_merges",
+    "hotspot_regions",
+    "stateful_user_stats",
+    "logreg_train",
+    "decile_lift",
+    "quality_filter_pipeline",
+    "market_share",
+    "linear_interpolate",
+    # ... and the 1.5-2 s band added since round 8, so the next
+    # queries to cross 2 s are already measured rather than waiting
+    # for the threshold.
+    "bloom_semi_join",
+    "streaming_sliding_window",
+    "tfidf_top_terms",
+    "repeated_spans",
+    "pca_project",
+    "streaming_session_window",
+    "simhash_near_dup",
+    "nested_assembly",
+    "join_large_fact",
+    "percentiles",
+    "contamination_overlap",
+    "mad_outliers",
 ]
 DENSITY_BOUND = {"grid_spatial_join"}
 
@@ -210,6 +241,30 @@ def gen() -> None:
         print(f"wrote {dst} ({n_rep}x)")
 
 
+def cold_warm(run_once, n: int = 2) -> tuple[float, float]:
+    """(first, min) of ``n`` calls to ``run_once()`` (each returns
+    elapsed seconds). Two tiers because they answer two different
+    scaling questions and conflating them corrupts ratios both ways:
+
+    - COLD (first call at an SF) includes the per-(process, SF)
+      one-time work — _materialize_once index/scratch builds, the
+      streaming drains' checkpoint/state-store init — whose scaling
+      with data IS part of the 100 TB story (an index build that
+      went quadratic would surface only here). It also includes
+      process-level noise (worker-pool spin-up, codegen) that lands
+      on whichever query runs first: at the r15 refresh the cold
+      first run of minhash_near_dup measured 74.8 s vs 10.4 s warm.
+    - WARM (best of n) is the steady-state query path with builds
+      amortized — how BENCH_FULL measures (best over runs), and the
+      tier the within_10x gate uses; cold ratios are recorded for
+      adjudication but gated loosely (a cold base inflated by
+      first-in-process costs DEFLATES the ratio, so a strict cold
+      gate would pass for the wrong reason, and builds legitimately
+      amortize across queries at scale)."""
+    times = [run_once() for _ in range(n)]
+    return times[0], min(times)
+
+
 def run() -> None:
     import __spark_entry__ as entrymod
 
@@ -217,29 +272,37 @@ def run() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    def timed(name: str, sf_dir: str) -> float:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        dt = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
-        return dt
+    def timed(name: str, sf_dir: str) -> tuple[float, float]:
+        def run_once() -> float:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            return dt
+
+        return cold_warm(run_once)  # see cold_warm: two-tier ratios
 
     # warm both directories' file listings + the Python worker pool
     for d in (SRC, OUT):
         load_table(spark, d, "documents").count()
     out: dict[str, dict] = {}
     for name in STRESS:
-        base = timed(name, SRC)
-        big = timed(name, OUT)
+        base_cold, base = timed(name, SRC)
+        big_cold, big = timed(name, OUT)
         ratio = round(big / base, 2) if base > 0 else -1.0
+        ratio_cold = round(big_cold / base_cold, 2) if base_cold > 0 else -1.0
         out[name] = {
             "sf0.1_sec": base,
             "sf1_sec": big,
             "ratio": ratio,
+            "sf0.1_cold_sec": base_cold,
+            "sf1_cold_sec": big_cold,
+            "ratio_cold": ratio_cold,
             "density_bound": name in DENSITY_BOUND,
+            # gate on the warm (steady-state) tier; see cold_warm
             "within_10x": ratio <= 10.0 or name in DENSITY_BOUND,
         }
         print(json.dumps({name: out[name]}))
