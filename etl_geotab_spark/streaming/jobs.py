@@ -84,9 +84,14 @@ def stream_events(
     )
     os.makedirs(link_dir, exist_ok=True)
     src = f"{sf_dir}/events.parquet"
-    stale = os.path.join(link_dir, "events.parquet")
-    if os.path.islink(stale) and os.path.isdir(stale):
-        os.unlink(stale)  # pre-fix dir-shaped link: invisible to the source
+    for existing in os.listdir(link_dir):
+        p = os.path.join(link_dir, existing)
+        if os.path.islink(p) and (
+            not os.path.exists(p)  # dangling: fixture regenerated, old
+            # part names gone — the source would list and then fail on it
+            or os.path.isdir(p)  # pre-fix dir-shaped link: invisible
+        ):
+            os.unlink(p)
     targets = (
         [os.path.join(src, p) for p in sorted(os.listdir(src))
          if p.endswith(".parquet")]

@@ -293,3 +293,14 @@ def test_stream_events_directory_shaped_fixture(spark, tmp_path):
     )
     n_streamed = got.agg(F.sum("n")).collect()[0][0]
     assert n_streamed == src.count()
+    # Regenerating the fixture rewrites the directory with NEW part
+    # names; the old generation's links dangle in the watch dir and
+    # the source would list and then fail on them. stream_events must
+    # prune dangling links so a regenerated fixture streams cleanly.
+    src.repartition(2).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    got2 = run_to_memory_table(
+        windowed_counts(stream_events(spark, sf_dir), "5 minutes")
+    )
+    assert got2.agg(F.sum("n")).collect()[0][0] == src.count()
