@@ -391,7 +391,7 @@ _R01_REFRESH: list[str] = [
 # the standing rule (guard pulls are tier 0, mandatory regardless
 # of freshness) the proposal was REGENERATED with the guard tier
 # live and re-adopted verbatim: 6 guard pulls front-loaded, the
-# full 19-row r10 tier kept, then the 25 oldest r11 rows. The three
+# full 19-row r10 tier kept, then the 26 oldest r11 rows. The three
 # rows this displaced (sessionize_events, interval_overlap_join,
 # gap_fill_forward — all r11:green) rotate in r16. After this
 # window the oldest ledger row is still r11 — staleness ≤ 4 holds.
@@ -423,7 +423,7 @@ _ROUND15_WINDOW: list[str] = [
     "dedup_keep_best",
     "quantized_rescore_topk",
     "target_encoding",
-    # (b) the 25 oldest r11 rows, proposer order
+    # (b) the 26 oldest r11 rows, proposer order
     "dedup_latest_events",
     "group_agg_minmax",
     "rollup_orders",

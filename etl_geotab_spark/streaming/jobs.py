@@ -91,7 +91,11 @@ def stream_events(
             # part names gone — the source would list and then fail on it
             or os.path.isdir(p)  # pre-fix dir-shaped link: invisible
         ):
-            os.unlink(p)
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass  # another session pruned it first — mirrors the
+                # FileExistsError race handling on creation below
     targets = (
         [os.path.join(src, p) for p in sorted(os.listdir(src))
          if p.endswith(".parquet")]

@@ -260,7 +260,9 @@ def test_freshness_proposer_frontloads_guard_tier_from_history():
         "geotab_stream_pipeline",
     } <= tagged, tagged
     first_untagged = min(
-        i for i, n in enumerate(names) if n not in tagged
+        (i for i, n in enumerate(names) if n not in tagged),
+        default=len(names),  # a fully guard-tagged proposal is a
+        # legitimate state (every slot an implicated pull), not a crash
     )
     assert all(n in tagged for n in names[:first_untagged])
     assert tagged <= set(names[:first_untagged]), (
