@@ -378,6 +378,76 @@ _R01_REFRESH: list[str] = [
 ]
 
 
+# Round-16 window — the proposer's output verbatim (`python
+# tools/freshness.py --propose` at the r15 close base ca9a3bb, after
+# regenerating DEPMAP at that base). The §21 guard tier is live:
+# the r15-advice race fix in streaming/jobs.py (try/except around
+# the dangling-link unlink) changed the executed `stream_events`
+# symbol, so its six dependents are mandatory pulls even though all
+# six are r15:green — a dependent's old green row says nothing
+# about the changed code. Then the full 21-query r11 tier (the
+# ledger floor, including the three rows the r15 amendment
+# displaced: sessionize_events, interval_overlap_join,
+# gap_fill_forward) and the 23 oldest r12 rows. 6+21+23 = 50.
+# After this window the oldest ledger row is r12 — staleness <= 4
+# rounds holds everywhere.
+_ROUND16_WINDOW: list[str] = [
+    # (0) §21 guard pulls — stream_events dependents (r16 advice
+    # fix: race-safe link prune), proposer order
+    "streaming_tumbling_window",
+    "stateful_user_stats",
+    "streaming_stream_join",
+    "streaming_dedup_keys",
+    "streaming_session_window",
+    "streaming_sliding_window",
+    # (a) the 21-query r11 tier (the ledger floor), proposer order
+    "sessionize_events",
+    "interval_overlap_join",
+    "gap_fill_forward",
+    "grid_spatial_join",
+    "stratified_sample",
+    "bigram_pmi",
+    "pack_sequences",
+    "variant_shred",
+    "upsert_orders",
+    "scd2_user_history",
+    "global_rownum_orders",
+    "ohlc_downsample",
+    "funnel_conversion",
+    "time_range_moving_avg",
+    "bucketed_colocated_join",
+    "geotab_stream_pipeline",
+    "chi_square_independence",
+    "spearman_correlation",
+    "winsorized_stats",
+    "cohens_kappa",
+    "keyset_pagination",
+    # (b) the 23 oldest r12 rows, proposer order
+    "pricing_summary",
+    "embedding_topk",
+    "approx_distinct",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_near_dup",
+    "dedup_clusters",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "window_distribution",
+    "approx_percentiles",
+    "hll_sketch_rollup",
+    "conditional_agg",
+    "mode_median",
+    "posexplode_terms",
+    "kmeans_embeddings",
+    "doc_winnow_fingerprints",
+    "histogram_buckets",
+    "regex_token_ops",
+    "linear_fit_stats",
+    "zscore_outliers",
+    "unpivot_metrics",
+]
+
 # Round-15 window — the proposer's output verbatim, AMENDED once
 # mid-round by the proposer itself. Originally adopted as the full
 # 19-query r10 tier + the 31 oldest r11 rows (guard-clean against
@@ -1054,7 +1124,8 @@ _ROUND7_WINDOW: list[str] = [
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     head_lists = (
-        _ROUND15_WINDOW
+        _ROUND16_WINDOW
+        + _ROUND15_WINDOW
         + _ROUND14_WINDOW
         + _ROUND13_WINDOW
         + _ROUND12_WINDOW

@@ -56,3 +56,63 @@ def test_stress_names_registered_and_unique():
 
 def test_density_bound_subset_of_stress():
     assert scale_stress.DENSITY_BOUND <= set(scale_stress.STRESS)
+
+
+def test_exponent_tier_registered_and_stress_covered():
+    """Tier members must resolve in the registry AND already be in
+    the two-point stress list (the exponent pass refines their
+    ratio, it does not replace the within_10x gate)."""
+    from etl_geotab_spark.queries import _REGISTRY
+
+    assert all(n in _REGISTRY for n in scale_stress.EXPONENT_TIER)
+    assert set(scale_stress.EXPONENT_TIER) <= set(scale_stress.STRESS)
+    assert len(scale_stress.EXPONENT_TIER) == len(
+        set(scale_stress.EXPONENT_TIER)
+    )
+
+
+def test_fit_exponent_synthetic_triples():
+    """The fit recovers a known power law from a synthetic timing
+    triple at the real scale points (0.01 / 0.1 / 1)."""
+    for true_exp in (1.0, 1.7, 2.0):
+        pts = [(s, 2.0 * s ** true_exp) for s in (0.01, 0.1, 1.0)]
+        f = scale_stress.fit_exponent(pts)
+        assert abs(f["exponent"] - true_exp) < 1e-6
+        assert abs(f["exponent_head"] - true_exp) < 1e-6
+        assert abs(f["exponent_tail"] - true_exp) < 1e-6
+
+
+def test_fit_exponent_overhead_floor_flattens_head_not_tail():
+    """A fixed per-query overhead floor (the sf0.01 reality)
+    flattens the HEAD segment and deflates the whole-curve fit;
+    the tail segment stays close to the true exponent — which is
+    why the gate reads max(fit, tail), never the fit alone."""
+    pts = [(s, 0.3 + 30.0 * s ** 2.0) for s in (0.01, 0.1, 1.0)]
+    f = scale_stress.fit_exponent(pts)
+    assert f["exponent_head"] < 0.5          # floor-dominated
+    assert f["exponent_tail"] > 1.5          # true growth visible
+    assert f["exponent"] < f["exponent_tail"]
+
+
+def test_fit_exponent_failed_probe_stamps_none():
+    f = scale_stress.fit_exponent([(0.01, 0.4), (0.1, -1.0), (1.0, 3.0)])
+    assert f == {"exponent": None, "exponent_head": None,
+                 "exponent_tail": None}
+    assert scale_stress.fit_exponent([(0.1, 1.0)])["exponent"] is None
+
+
+def test_exponent_flags_gate_semantics():
+    """Flags: gate breach on max(fit, tail); failed probe; and the
+    density-bound exemption."""
+    rows = {
+        "linear_ok": {"exponent": 1.0, "exponent_tail": 1.05},
+        "nlogn_ok": {"exponent": 1.1, "exponent_tail": 1.2},
+        "tail_breach": {"exponent": 1.1, "exponent_tail": 1.6},
+        "fit_breach": {"exponent": 1.9, "exponent_tail": 1.2},
+        "probe_failed": {"exponent": None, "exponent_tail": None},
+        "density_exempt": {"exponent": 2.0, "exponent_tail": 2.0,
+                           "density_bound": True},
+    }
+    assert scale_stress.exponent_flags(rows) == [
+        "fit_breach", "probe_failed", "tail_breach",
+    ]

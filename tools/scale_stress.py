@@ -7,8 +7,9 @@ ratio per tier to ``BENCH_SF1.json``. See ``cold_warm`` for why two
 tiers.
 
 Usage:
-    python tools/scale_stress.py gen     # build scratch_sf1/ (once)
-    python tools/scale_stress.py run     # time queries, write BENCH_SF1.json
+    python tools/scale_stress.py gen       # build scratch_sf1/ (once)
+    python tools/scale_stress.py run       # time queries, write BENCH_SF1.json
+    python tools/scale_stress.py exponent  # 3-point exponent fit (top scalers)
 
 Why synthesized replicas: the driver ships sf{0.001,0.01,0.1} only;
 validating the "banded joins scale ~linearly" design claims needs a
@@ -146,6 +147,111 @@ STRESS = [
 ]
 DENSITY_BOUND = {"grid_spatial_join"}
 
+# Three-point exponent tier (r15 verdict item 2): the top sf1
+# warm-ratio scalers from the r15 BENCH_SF1 refresh (grid 8.58,
+# recursive 6.52, semdedup 6.12, salted 4.86, decile 4.53). Two
+# scale points cannot distinguish n.log n from n^2; timing these at
+# sf0.01 / sf0.1 / sf1 in ONE session and fitting log t vs log sf
+# gives a measured scaling exponent for the 100x extrapolation.
+EXPONENT_TIER = [
+    "grid_spatial_join",
+    "recursive_order_chains",
+    "semdedup_buckets",
+    "salted_skew_join",
+    "decile_lift",
+]
+SRC_SMALL = "/root/testdata/sf0.01"
+# Gate line: a measured exponent above this on a NON-density-bound
+# query means the 10x ratio was hiding super-(n.log n) growth —
+# ratio 10 at 10x data is exponent 1.0; 1.3 allows n.log n plus
+# band noise but flags anything quadratic-shaped (exponent 2.0).
+EXPONENT_GATE = 1.3
+
+# exact expected replica multiplicity per table (gen() contract)
+TABLES = (
+    "nation", "region",
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+)
+DIM_TABLES = {"nation", "region"}
+
+
+def fit_exponent(points: list[tuple[float, float]]) -> dict:
+    """Least-squares scaling exponent from (scale, seconds) pairs.
+
+    Returns ``{"exponent", "exponent_head", "exponent_tail"}`` —
+    the log-log least-squares slope over ALL points plus the two
+    segment slopes (head = smallest pair, tail = largest pair).
+    The tail slope is the one that matters for extrapolation: fixed
+    per-query overhead (session, planning, worker pool) dominates
+    the smallest scale point and FLATTENS the head segment, which
+    deflates the whole-curve fit — so the stress gate reads
+    ``max(exponent, exponent_tail)``, never the fit alone.
+
+    Any non-positive timing means a failed probe: returns all-None
+    (stamped, not ridden as a numeric — the bench.py
+    ``sustain_failed`` pattern).
+    """
+    import math
+
+    pts = sorted(points)
+    if len(pts) < 2 or any(t <= 0 or s <= 0 for s, t in pts):
+        return {"exponent": None, "exponent_head": None,
+                "exponent_tail": None}
+    xs = [math.log10(s) for s, _ in pts]
+    ys = [math.log10(t) for _, t in pts]
+    n = len(pts)
+    mx, my = sum(xs) / n, sum(ys) / n
+    var = sum((x - mx) ** 2 for x in xs)
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / var
+    seg = lambda a, b: (  # noqa: E731
+        (math.log10(pts[b][1]) - math.log10(pts[a][1]))
+        / (math.log10(pts[b][0]) - math.log10(pts[a][0]))
+    )
+    return {
+        "exponent": round(slope, 3),
+        "exponent_head": round(seg(0, 1), 3),
+        "exponent_tail": round(seg(len(pts) - 2, len(pts) - 1), 3),
+    }
+
+
+def exponent_flags(rows: dict[str, dict]) -> list[str]:
+    """Names whose measured exponent breaches the gate. The gate
+    basis is max(fit, tail) — see fit_exponent — and density-bound
+    queries are exempt (their OUTPUT grows superlinearly by the
+    physics of the question, documented in the module docstring).
+    A failed probe (None exponent) also flags: an unmeasured tier
+    member must not read as a pass."""
+    out = []
+    for name, row in sorted(rows.items()):
+        if row.get("density_bound"):
+            continue
+        e, t = row.get("exponent"), row.get("exponent_tail")
+        if e is None or t is None or max(e, t) > EXPONENT_GATE:
+            out.append(name)
+    return out
+
+
+def assert_replica_volume(spark) -> None:
+    """Row-count EQUALITY gate on the stress inputs (the r15 §26b
+    pattern): every fact table in scratch_sf1 must hold exactly
+    REPLICAS x its sf0.1 count, dims exactly 1x. Non-emptiness is
+    not enough — the r15 streaming-fixture bug drained an EMPTY
+    stream for nine rounds while passing every non-empty check, so
+    any harness that ASSUMES an input volume now asserts it."""
+    for table in TABLES:
+        base = load_table(spark, SRC, table).count()
+        big = load_table(spark, OUT, table).count()
+        want = base * (1 if table in DIM_TABLES else REPLICAS)
+        if big != want:
+            raise AssertionError(
+                f"scratch_sf1/{table}: {big} rows, want {want} "
+                f"(= {base} sf0.1 rows x "
+                f"{1 if table in DIM_TABLES else REPLICAS}) — "
+                "stress inputs are not the volume the ratios claim; "
+                "re-run `python tools/scale_stress.py gen`"
+            )
+
 
 def gen() -> None:
     spark = get_spark("etl-geotab-scale-gen")
@@ -265,6 +371,20 @@ def cold_warm(run_once, n: int = 2) -> tuple[float, float]:
     return times[0], min(times)
 
 
+def _timed(spark, qs, name: str, sf_dir: str) -> tuple[float, float]:
+    def run_once() -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        return dt
+
+    return cold_warm(run_once)  # see cold_warm: two-tier ratios
+
+
 def run() -> None:
     import __spark_entry__ as entrymod
 
@@ -273,21 +393,13 @@ def run() -> None:
     qs = entrymod.queries()
 
     def timed(name: str, sf_dir: str) -> tuple[float, float]:
-        def run_once() -> float:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = round(time.time() - t0, 3)
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-            return dt
+        return _timed(spark, qs, name, sf_dir)
 
-        return cold_warm(run_once)  # see cold_warm: two-tier ratios
-
-    # warm both directories' file listings + the Python worker pool
-    for d in (SRC, OUT):
-        load_table(spark, d, "documents").count()
+    # input-volume gate BEFORE any timing: a partial or stale
+    # scratch_sf1 would silently deflate every ratio (see
+    # assert_replica_volume). Also warms both directories' file
+    # listings + the Python worker pool, which the old warm-up did.
+    assert_replica_volume(spark)
     out: dict[str, dict] = {}
     for name in STRESS:
         base_cold, base = timed(name, SRC)
@@ -311,21 +423,80 @@ def run() -> None:
     path = os.path.join(
         os.path.dirname(OUT), "BENCH_SF1.json"
     )
+    doc = {
+        "sf_base": 0.1,
+        "sf_big": 1.0,
+        "replicas": REPLICAS,
+        "queries": out,
+        "superlinear_failures": fails,
+    }
+    # carry forward exponent-pass fields: they are a self-contained
+    # measurement (all three points timed in one session, recorded
+    # in exponent_points) so a run() refresh does not invalidate
+    # them, and dropping them silently would un-close the
+    # two-point-scaling blind spot the tier exists for.
+    if os.path.exists(path):
+        prev = json.load(open(path))
+        kept = 0
+        for name, row in prev.get("queries", {}).items():
+            if "exponent" in row and name in doc["queries"]:
+                doc["queries"][name].update(
+                    {k: v for k, v in row.items()
+                     if k.startswith("exponent")}
+                )
+                kept += 1
+        for key in ("exponent_failures", "exponent_gate"):
+            if key in prev:
+                doc[key] = prev[key]
+        if kept:
+            print(f"kept exponent fields for {kept} queries from the "
+                  "prior exponent pass (re-run `exponent` to refresh)")
     with open(path, "w") as f:
-        json.dump(
-            {
-                "sf_base": 0.1,
-                "sf_big": 1.0,
-                "replicas": REPLICAS,
-                "queries": out,
-                "superlinear_failures": fails,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+        json.dump(doc, f, indent=1, sort_keys=True)
     print(f"wrote {path}; superlinear failures: {fails or 'none'}")
 
 
+def exponent() -> None:
+    """Time the EXPONENT_TIER queries at sf0.01 / sf0.1 / sf1 —
+    warm tier, one session, interleaved per query so all three
+    points share a box phase — fit the scaling exponent, and merge
+    the fields into the BENCH_SF1.json rows. Gate:
+    ``exponent_failures`` lists any non-density-bound tier member
+    with max(fit, tail) > EXPONENT_GATE or a failed probe."""
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("etl-geotab-scale-exponent")
+    spark.sparkContext.setLogLevel("ERROR")
+    assert_replica_volume(spark)
+    qs = entrymod.queries()
+
+    path = os.path.join(os.path.dirname(OUT), "BENCH_SF1.json")
+    doc = json.load(open(path)) if os.path.exists(path) else {
+        "sf_base": 0.1, "sf_big": 1.0, "replicas": REPLICAS,
+        "queries": {}, "superlinear_failures": [],
+    }
+    scales = [(0.01, SRC_SMALL), (0.1, SRC), (1.0, OUT)]
+    tier_rows: dict[str, dict] = {}
+    for name in EXPONENT_TIER:
+        pts: list[tuple[float, float]] = []
+        for sf, d in scales:
+            _cold, warm = _timed(spark, qs, name, d)
+            pts.append((sf, warm))
+        fields = fit_exponent(pts)
+        fields["exponent_points"] = [[sf, t] for sf, t in pts]
+        row = doc["queries"].setdefault(name, {})
+        row["density_bound"] = name in DENSITY_BOUND
+        row.update(fields)
+        tier_rows[name] = row
+        print(json.dumps({name: fields}))
+
+    doc["exponent_gate"] = EXPONENT_GATE
+    doc["exponent_failures"] = exponent_flags(tier_rows)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(f"wrote {path}; exponent failures: "
+          f"{doc['exponent_failures'] or 'none'}")
+
+
 if __name__ == "__main__":
-    {"gen": gen, "run": run}[sys.argv[1]]()
+    {"gen": gen, "run": run, "exponent": exponent}[sys.argv[1]]()
