@@ -380,24 +380,31 @@ _R01_REFRESH: list[str] = [
 
 # Round-16 window — the proposer's output verbatim (`python
 # tools/freshness.py --propose` at the r15 close base ca9a3bb, after
-# regenerating DEPMAP at that base). The §21 guard tier is live:
-# the r15-advice race fix in streaming/jobs.py (try/except around
-# the dangling-link unlink) changed the executed `stream_events`
-# symbol, so its six dependents are mandatory pulls even though all
-# six are r15:green — a dependent's old green row says nothing
-# about the changed code. Then the full 21-query r11 tier (the
-# ledger floor, including the three rows the r15 amendment
-# displaced: sessionize_events, interval_overlap_join,
-# gap_fill_forward) and the 23 oldest r12 rows. 6+21+23 = 50.
-# After this window the oldest ledger row is r12 — staleness <= 4
-# rounds holds everywhere.
+# regenerating DEPMAP at that base), AMENDED once mid-round by the
+# proposer itself — the r15 procedure repeating on a smaller find.
+# The §21 guard tier is live twice over: (a) the r15-advice race
+# fix in streaming/jobs.py (try/except around the dangling-link
+# unlink) changed the executed `stream_events` symbol, pulling its
+# six dependents even though all six are r15:green — a dependent's
+# old green row says nothing about the changed code; (b) the §26b
+# vacuous-evidence sweep changed `q_minhash_recall_eval` in
+# PRODUCTION (an empty ground-truth set now reports NULL recall/
+# precision, never a vacuous 1.0), so the guard demanded
+# minhash_recall_eval too — the proposal was regenerated and
+# re-adopted verbatim, displacing `unpivot_metrics` (r12:green,
+# rotates r17). Then the full 21-query r11 tier (the ledger floor,
+# including the three rows the r15 amendment displaced) and the 22
+# oldest r12 rows. 7+21+22 = 50. After this window the oldest
+# ledger row is r12 — staleness <= 4 rounds holds everywhere.
 _ROUND16_WINDOW: list[str] = [
     # (0) §21 guard pulls — stream_events dependents (r16 advice
-    # fix: race-safe link prune), proposer order
+    # fix: race-safe link prune) + minhash_recall_eval (§26b
+    # vacuous-default fix), proposer order
     "streaming_tumbling_window",
     "stateful_user_stats",
     "streaming_stream_join",
     "streaming_dedup_keys",
+    "minhash_recall_eval",
     "streaming_session_window",
     "streaming_sliding_window",
     # (a) the 21-query r11 tier (the ledger floor), proposer order
@@ -422,7 +429,7 @@ _ROUND16_WINDOW: list[str] = [
     "winsorized_stats",
     "cohens_kappa",
     "keyset_pagination",
-    # (b) the 23 oldest r12 rows, proposer order
+    # (b) the 22 oldest r12 rows, proposer order
     "pricing_summary",
     "embedding_topk",
     "approx_distinct",
@@ -445,7 +452,6 @@ _ROUND16_WINDOW: list[str] = [
     "regex_token_ops",
     "linear_fit_stats",
     "zscore_outliers",
-    "unpivot_metrics",
 ]
 
 # Round-15 window — the proposer's output verbatim, AMENDED once
@@ -5545,8 +5551,13 @@ def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
                 "minhash_lsh_64x16",
                 int(n_exact),
                 int(n_approx),
-                round(n_hit / n_exact, 4) if n_exact else 1.0,
-                round(n_hit / n_approx, 4) if n_approx else 1.0,
+                # r16 §26b audit: an empty ground-truth/candidate set
+                # means the metric is UNMEASURED, not perfect — report
+                # NULL, never a vacuous 1.0 (the pytest gate pins
+                # n_exact > 0 on every fixture, so fixture runs always
+                # carry measured values).
+                round(n_hit / n_exact, 4) if n_exact else None,
+                round(n_hit / n_approx, 4) if n_approx else None,
             )
         ],
         "method string, n_exact bigint, n_found bigint, recall double, precision double",

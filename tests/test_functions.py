@@ -152,6 +152,10 @@ def test_hll_rollup_and_approx_percentiles_accuracy(spark):
         r.l_returnflag: [r.qty_p25, r.qty_median, r.qty_p75]
         for r in q.q_percentiles(spark, sf).collect()
     }
+    # r16 §26b: the accuracy loop below iterates approx's keys — on
+    # an empty read it would be a vacuous no-op. Pin the returnflag
+    # domain (fixture lineitem carries exactly A/N/R).
+    assert sorted(approx) == ["A", "N", "R"] == sorted(exact)
     for flag, quartiles in approx.items():
         for got, want in zip(quartiles, exact[flag]):
             assert abs(got - want) <= max(1.0, 0.05 * want)

@@ -229,6 +229,9 @@ def test_cosine_topk_blas_matches_expression_tier(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 8)
     exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
     blas = cosine_topk_blas(emb, queries, k=5).collect()
+    # r16 §26b: {} == {} below would pass vacuously on an empty read —
+    # pin the comparison volume (8 query vecs x k=5 each).
+    assert len(exact) == 8 * 5, len(exact)
 
     def by_query(rows):
         out = {}
@@ -256,6 +259,7 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     approx_sets = {}
     for r in approx:
         approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(exact_sets) == 5  # r16 §26b: the vec_id<5 query sample
     recalls = [
         len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
         for q in exact_sets
@@ -438,6 +442,9 @@ def test_ivf_topk_recall(spark):
     queries = emb.where(F.col("vec_id") % 100 == 0)
     exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
     approx = ivf_topk(emb, queries, k=5, num_centroids=8, n_probe=4).collect()
+    # r16 §26b: pin the probe volume (vec_id % 100 == 0 over 500
+    # fixture vectors -> 5 queries) before the recall ratio.
+    assert len({r.query_id for r in exact}) == 5
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
@@ -475,6 +482,8 @@ def test_kmeans_deterministic_and_converging(spark):
     from pyspark.sql import functions as F
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assert emb.count() == 500  # r16 §26b: determinism/convergence
+    # checks below would hold trivially on an empty read
 
     def inertia(centroids):
         assigned = assign_clusters(emb, "embedding", centroids)
@@ -795,6 +804,7 @@ def test_train_split_deterministic_and_exhaustive(spark, sf_dir):
 
     out = {r["split"]: r["n_docs"] for r in q_train_val_test_split(spark, sf_dir).collect()}
     total = load_table(spark, sf_dir, "documents").count()
+    assert total == 500  # r16 §26b: 0 == sum({}) would reconcile too
     assert sum(out.values()) == total
     assert set(out) <= {"train", "val", "test"}
     # 12/2/2 hex-nibble buckets: train should dominate

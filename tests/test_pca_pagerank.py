@@ -20,6 +20,10 @@ def emb_np(spark, sf_dir):
     rows = df.orderBy("vec_id").collect()
     ids = np.array([r["vec_id"] for r in rows])
     x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    # r16 §26b: pin the input volume — np.allclose(empty, empty) is
+    # True, so every matmul-comparison test below would pass
+    # vacuously on an empty read.
+    assert x.shape[0] == 500, x.shape
     return ids, x
 
 

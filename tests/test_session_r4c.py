@@ -378,6 +378,7 @@ def test_bpe_matches_reference_trainer(spark, sf_dir):
     )
     assert rows
     docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    assert len(docs) == 500  # r16 §26b: pin the reference corpus size
     freqs = Counter(
         w for r in docs for w in r.text.split(" ") if w
     )
@@ -738,6 +739,11 @@ def test_holt_matches_python_recursion(spark, sf_dir):
     for r in e:
         if r.value is not None:
             acc[r.event_type][r.d] += Decimal(str(round(r.value, 6)))
+    # r16 §26b: an empty events read would make the replay loop a
+    # no-op and this test a vacuous pass — pin input volume and
+    # require the engine's event-type set to match the replay's.
+    assert len(e) == 1000
+    assert set(rows) == set(acc)
     for t, daymap in acc.items():
         xs = [float(daymap[d]) for d in sorted(daymap)]
         l, b = xs[0], 0.0
@@ -923,6 +929,8 @@ def test_forecast_backtest_replay(spark, sf_dir):
     for r in e:
         if r.value is not None:
             acc[r.event_type][r.d] += Decimal(str(round(r.value, 6)))
+    assert len(e) == 1000 and rows  # r16 §26b: replay loop must not
+    # be a no-op over an empty read (vacuous pass)
     for t, daymap in acc.items():
         xs = [float(daymap[d]) for d in sorted(daymap)]
         if len(xs) < 10:

@@ -34,9 +34,6 @@ ALLOW_NESTED_LOOP = {
     "embedding_near_dup",  # deliberate exact baseline (LSH twin exists)
     "embedding_topk",      # broadcast query side × corpus is the design
     "geotab_flagship",     # scalar max-date cross (1-row broadcast)
-    "pricing_summary",     # scalar max-date cross (1-row broadcast)
-    "correlated_subquery", # decorrelated scalar agg joins back
-    "ivf_ann_topk",        # tiny broadcast centroid set × corpus is the design
     "lsh_ann_topk",        # band-join plan; small-SF AQE may inline tiny sides
     "bigram_pmi",          # 1-row corpus-totals frame × tokens (scalar broadcast)
     "mad_outliers",        # 1-row median / MAD scalars × orders (scalar broadcast)
@@ -46,7 +43,6 @@ ALLOW_NESTED_LOOP = {
     "unigram_logprob",      # 1-row corpus-total scalar × tokens
     "association_rules",    # 1-row basket-count scalar × rule rows
     "important_parts",      # 1-row global-turnover cutoff × per-part aggs
-    "top_supplier_revenue", # 1-row MAX(rev) scalar × per-supplier aggs
     "idle_rich_customers",  # 1-row avg-balance scalar × customers
     "zorder_cluster",       # 1-row min/max quantization bounds × orders
     "embedding_quantize",   # 1-row per-dim min/max array pair × vectors
@@ -63,6 +59,15 @@ ALLOW_NESTED_LOOP = {
     "cohens_kappa",         # 1-row agreement scalar × 1-row marginal product
     "keyset_pagination",    # 1-row cursor scalar × orders scan (both TakeOrdered)
     "quantized_rescore_topk",  # bounded query-sample broadcast × corpus (symmetric codec, no corpus stats)
+}
+
+# Allowlist entries whose exempted pattern is SF- or planner-variant:
+# the pattern legitimately appears at some scales/configs and not
+# others, so the dead-entry sweep must not flap on them. Every entry
+# here needs a comment naming the variance source.
+PLAN_VARIES = {
+    "lsh_ann_topk",  # band-join plan; small-SF AQE may inline tiny
+                     # sides into a BNLJ or not, run to run
 }
 
 # queries allowed to keep a global (no PARTITION BY) window: the
@@ -244,6 +249,9 @@ def audit_plans(spark, sf_dir: str, only: set[str] | None = None,
     Importable so the audit runs inside pytest (CI gate), not just as
     an ad-hoc CLI."""
     failures = []
+    audited: set[str] = set()
+    observed_nlj: set[str] = set()
+    observed_gw: set[str] = set()
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
@@ -276,13 +284,25 @@ def audit_plans(spark, sf_dir: str, only: set[str] | None = None,
             df.explain("formatted")
         plan = buf.getvalue()
 
-        if name not in ALLOW_NESTED_LOOP:
+        audited.add(name)
+        has_nlj = any(
+            bad in plan
+            for bad in ("CartesianProduct", "BroadcastNestedLoopJoin")
+        )
+        if name in ALLOW_NESTED_LOOP:
+            if has_nlj:
+                observed_nlj.add(name)
+        else:
             for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
                 if bad in plan:
                     failures.append((name, f"unexpected {bad}"))
 
-        if name not in ALLOW_GLOBAL_WINDOW:
-            for spec in global_window_specs(plan):
+        gw_specs = global_window_specs(plan)
+        if name in ALLOW_GLOBAL_WINDOW:
+            if gw_specs:
+                observed_gw.add(name)
+        else:
+            for spec in gw_specs:
                 failures.append(
                     (name, f"global (no-partition) window: {spec}")
                 )
@@ -309,6 +329,32 @@ def audit_plans(spark, sf_dir: str, only: set[str] | None = None,
 
         if verbose:
             print(f"audited {name}")
+
+    # §26b dead-exemption sweep (r16): an allowlist entry whose
+    # exempted pattern never occurs in the audited plan exempts
+    # nothing today and silently pre-approves a future regression —
+    # the allowlist analog of the vacuous-empty-stream bug. Only
+    # meaningful on a FULL audit (a subset run legitimately misses
+    # entries); PLAN_VARIES members are adjudicated exceptions.
+    if only is None:
+        for name in sorted(
+            (ALLOW_NESTED_LOOP & audited) - observed_nlj - PLAN_VARIES
+        ):
+            failures.append((
+                name,
+                "dead ALLOW_NESTED_LOOP entry: plan has no "
+                "CartesianProduct/BroadcastNestedLoopJoin — prune the "
+                "exemption or move it to PLAN_VARIES with a reason",
+            ))
+        for name in sorted(
+            (ALLOW_GLOBAL_WINDOW & audited) - observed_gw - PLAN_VARIES
+        ):
+            failures.append((
+                name,
+                "dead ALLOW_GLOBAL_WINDOW entry: plan has no global "
+                "window spec — prune the exemption or move it to "
+                "PLAN_VARIES with a reason",
+            ))
     return failures
 
 
