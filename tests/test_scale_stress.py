@@ -69,6 +69,15 @@ def test_exponent_tier_registered_and_stress_covered():
     assert len(scale_stress.EXPONENT_TIER) == len(
         set(scale_stress.EXPONENT_TIER)
     )
+    # every tier member declares a dominant input whose sf0.01/sf0.1
+    # cardinalities are pinned (the live x-axis volume gate)
+    assert set(scale_stress.EXPONENT_PRIMARY) == set(
+        scale_stress.EXPONENT_TIER
+    )
+    for d in (scale_stress.SRC_SMALL, scale_stress.SRC):
+        assert set(scale_stress.EXPONENT_PRIMARY.values()) <= set(
+            scale_stress.EXPECTED_PRIMARY_ROWS[d]
+        )
 
 
 def test_fit_exponent_synthetic_triples():
@@ -102,8 +111,10 @@ def test_fit_exponent_failed_probe_stamps_none():
 
 
 def test_exponent_flags_gate_semantics():
-    """Flags: gate breach on max(fit, tail); failed probe; and the
-    density-bound exemption."""
+    """Flags: gate breach on max(fit, tail); failed probe
+    (UNCONDITIONAL — the density exemption covers a measured-but-
+    steep curve, never a missing measurement); and the density-bound
+    exemption for breaches."""
     rows = {
         "linear_ok": {"exponent": 1.0, "exponent_tail": 1.05},
         "nlogn_ok": {"exponent": 1.1, "exponent_tail": 1.2},
@@ -112,7 +123,11 @@ def test_exponent_flags_gate_semantics():
         "probe_failed": {"exponent": None, "exponent_tail": None},
         "density_exempt": {"exponent": 2.0, "exponent_tail": 2.0,
                            "density_bound": True},
+        "density_probe_failed": {"exponent": None,
+                                 "exponent_tail": None,
+                                 "density_bound": True},
     }
     assert scale_stress.exponent_flags(rows) == [
-        "fit_breach", "probe_failed", "tail_breach",
+        "density_probe_failed", "fit_breach", "probe_failed",
+        "tail_breach",
     ]

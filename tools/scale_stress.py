@@ -151,8 +151,18 @@ DENSITY_BOUND = {"grid_spatial_join"}
 # warm-ratio scalers from the r15 BENCH_SF1 refresh (grid 8.58,
 # recursive 6.52, semdedup 6.12, salted 4.86, decile 4.53). Two
 # scale points cannot distinguish n.log n from n^2; timing these at
-# sf0.01 / sf0.1 / sf1 in ONE session and fitting log t vs log sf
-# gives a measured scaling exponent for the 100x extrapolation.
+# sf0.01 / sf0.1 / sf1 in ONE session and fitting log t vs log INPUT
+# ROWS gives a measured scaling exponent for the 100x extrapolation.
+#
+# The x-axis is the ROW COUNT of each query's dominant input table,
+# counted live per directory — NOT the nominal sf. The fixtures are
+# SF-stepped for some tables (embeddings: 500 at sf0.01 -> 2000 at
+# sf0.1 -> 20000 at sf1, i.e. 4x then 10x), so an sf x-axis would
+# log a 0.6-decade data step as a full decade and deflate the
+# fitted exponent by ~40% on that segment (r16 review finding).
+# Counting live also volume-gates ALL THREE directories — a
+# truncated sf0.01 fixture fails the pinned-count assertion instead
+# of silently timing pure overhead.
 EXPONENT_TIER = [
     "grid_spatial_join",
     "recursive_order_chains",
@@ -160,7 +170,24 @@ EXPONENT_TIER = [
     "salted_skew_join",
     "decile_lift",
 ]
+# dominant input per tier query (the table whose cardinality drives
+# the work; verified against each q_* implementation)
+EXPONENT_PRIMARY = {
+    "grid_spatial_join": "orders",
+    "recursive_order_chains": "orders",
+    "semdedup_buckets": "embeddings",
+    "salted_skew_join": "lineitem",
+    "decile_lift": "orders",
+}
 SRC_SMALL = "/root/testdata/sf0.01"
+# pinned primary-input cardinalities for the two driver fixtures
+# (TESTDATA.md, seed=42, read-only — constants, not snapshots); the
+# scratch_sf1 side is pinned transitively by assert_replica_volume
+# (exactly REPLICAS x the sf0.1 count).
+EXPECTED_PRIMARY_ROWS = {
+    SRC_SMALL: {"orders": 15_000, "lineitem": 60_000, "embeddings": 500},
+    SRC: {"orders": 150_000, "lineitem": 600_000, "embeddings": 2_000},
+}
 # Gate line: a measured exponent above this on a NON-density-bound
 # query means the 10x ratio was hiding super-(n.log n) growth —
 # ratio 10 at 10x data is exponent 1.0; 1.3 allows n.log n plus
@@ -218,16 +245,21 @@ def fit_exponent(points: list[tuple[float, float]]) -> dict:
 def exponent_flags(rows: dict[str, dict]) -> list[str]:
     """Names whose measured exponent breaches the gate. The gate
     basis is max(fit, tail) — see fit_exponent — and density-bound
-    queries are exempt (their OUTPUT grows superlinearly by the
-    physics of the question, documented in the module docstring).
-    A failed probe (None exponent) also flags: an unmeasured tier
-    member must not read as a pass."""
+    queries are exempt from the BREACH check (their OUTPUT grows
+    superlinearly by the physics of the question, documented in the
+    module docstring). A failed probe (None exponent) flags
+    UNCONDITIONALLY, density-bound included: an unmeasured tier
+    member must never read as a pass (r16 review: the exemption
+    covers a measured-but-steep curve, not a missing measurement)."""
     out = []
     for name, row in sorted(rows.items()):
+        e, t = row.get("exponent"), row.get("exponent_tail")
+        if e is None or t is None:
+            out.append(name)
+            continue
         if row.get("density_bound"):
             continue
-        e, t = row.get("exponent"), row.get("exponent_tail")
-        if e is None or t is None or max(e, t) > EXPONENT_GATE:
+        if max(e, t) > EXPONENT_GATE:
             out.append(name)
     return out
 
@@ -445,10 +477,16 @@ def run() -> None:
                      if k.startswith("exponent")}
                 )
                 kept += 1
-        for key in ("exponent_failures", "exponent_gate"):
-            if key in prev:
-                doc[key] = prev[key]
         if kept:
+            # recompute the gate verdict from the CARRIED rows and
+            # the CURRENT code constant — copying prev's verdict
+            # verbatim could report a gate value no longer in force
+            # or flag a name whose row was dropped (r16 review)
+            doc["exponent_gate"] = EXPONENT_GATE
+            doc["exponent_failures"] = exponent_flags({
+                n: r for n, r in doc["queries"].items()
+                if "exponent" in r
+            })
             print(f"kept exponent fields for {kept} queries from the "
                   "prior exponent pass (re-run `exponent` to refresh)")
     with open(path, "w") as f:
@@ -459,15 +497,17 @@ def run() -> None:
 def exponent() -> None:
     """Time the EXPONENT_TIER queries at sf0.01 / sf0.1 / sf1 —
     warm tier, one session, interleaved per query so all three
-    points share a box phase — fit the scaling exponent, and merge
-    the fields into the BENCH_SF1.json rows. Gate:
+    points share a box phase — fit the scaling exponent over the
+    PRIMARY-INPUT ROW COUNT (see EXPONENT_TIER: the sf label is not
+    proportional to data for SF-stepped tables), and merge the
+    fields into the BENCH_SF1.json rows. Gate:
     ``exponent_failures`` lists any non-density-bound tier member
-    with max(fit, tail) > EXPONENT_GATE or a failed probe."""
+    with max(fit, tail) > EXPONENT_GATE, plus ANY failed probe."""
     import __spark_entry__ as entrymod
 
     spark = get_spark("etl-geotab-scale-exponent")
     spark.sparkContext.setLogLevel("ERROR")
-    assert_replica_volume(spark)
+    assert_replica_volume(spark)  # pins OUT = REPLICAS x SRC
     qs = entrymod.queries()
 
     path = os.path.join(os.path.dirname(OUT), "BENCH_SF1.json")
@@ -475,15 +515,34 @@ def exponent() -> None:
         "sf_base": 0.1, "sf_big": 1.0, "replicas": REPLICAS,
         "queries": {}, "superlinear_failures": [],
     }
-    scales = [(0.01, SRC_SMALL), (0.1, SRC), (1.0, OUT)]
+    # live x-axis: primary-input rows per directory, volume-gated
+    # against the pinned fixture constants (§26b: equality, not
+    # non-emptiness — SRC_SMALL gets the same gate as SRC/OUT here)
+    vols: dict[tuple[str, str], int] = {}
+    for d in (SRC_SMALL, SRC, OUT):
+        for table in sorted(set(EXPONENT_PRIMARY.values())):
+            n = load_table(spark, d, table).count()
+            want = (
+                EXPECTED_PRIMARY_ROWS[d][table]
+                if d in EXPECTED_PRIMARY_ROWS
+                else EXPECTED_PRIMARY_ROWS[SRC][table] * REPLICAS
+            )
+            if n != want:
+                raise AssertionError(
+                    f"{d}/{table}: {n} rows, pinned {want} — exponent "
+                    "x-axis would be wrong; fix the input first"
+                )
+            vols[(d, table)] = n
     tier_rows: dict[str, dict] = {}
     for name in EXPONENT_TIER:
+        table = EXPONENT_PRIMARY[name]
         pts: list[tuple[float, float]] = []
-        for sf, d in scales:
+        for d in (SRC_SMALL, SRC, OUT):
             _cold, warm = _timed(spark, qs, name, d)
-            pts.append((sf, warm))
+            pts.append((float(vols[(d, table)]), warm))
         fields = fit_exponent(pts)
-        fields["exponent_points"] = [[sf, t] for sf, t in pts]
+        fields["exponent_input"] = table
+        fields["exponent_points"] = [[int(v), t] for v, t in pts]
         row = doc["queries"].setdefault(name, {})
         row["density_bound"] = name in DENSITY_BOUND
         row.update(fields)
