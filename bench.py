@@ -246,6 +246,9 @@ def run_one(sf_dir: str) -> dict:
 
     from etl_geotab_spark.io import TABLES, load_table
 
+    from tools.fixture_volumes import expected_for
+
+    _want = expected_for(sf_dir)
     for t in TABLES:
         # FULL-WIDTH touch, not a zero-column count: footer/listing
         # caches alone leave the data pages cold, and whichever query
@@ -254,9 +257,19 @@ def run_one(sf_dir: str) -> dict:
         # vs 1.8-1.9 s warm). One cheap max() per column reads every
         # column chunk exactly once; the cost belongs to the session.
         df = load_table(spark, sf_dir, t)
-        df.agg(
+        row = df.agg(
             _F.count(_F.lit(1)), *[_F.max(c) for c in df.columns]
-        ).collect()
+        ).collect()[0]
+        # §26b input-volume pin (SCALE.md §27): the count is already
+        # in hand — a truncated fixture must fail the invocation
+        # loudly, never produce a silently-fast record. Unknown dirs
+        # (no pin) skip the gate rather than guess.
+        if _want is not None and row[0] != _want[t]:
+            raise SystemExit(
+                f"bench: {sf_dir}/{t} holds {row[0]} rows, pinned "
+                f"{_want[t]} — refusing to record a bench over the "
+                "wrong input volume"
+            )
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.functions import pandas_udf
 

@@ -36,27 +36,22 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 from etl_geotab_spark.io import load_table  # noqa: E402
+from fixture_volumes import EXPECTED_ROWS, expected_for  # noqa: E402
 
-# Exact driver-fixture cardinalities (TESTDATA.md, seed=42 — the
-# fixtures are deterministic and read-only, so these are constants,
-# not snapshots). documents/embeddings are SF-stepped, not linear.
-EXPECTED_ROWS = {
-    "sf0.001": {
-        "region": 5, "nation": 25, "customer": 150, "supplier": 10,
-        "part": 200, "orders": 1500, "lineitem": 6000, "events": 1000,
-        "documents": 500, "embeddings": 500,
-    },
-    "sf0.01": {
-        "region": 5, "nation": 25, "customer": 1500, "supplier": 100,
-        "part": 2000, "orders": 15000, "lineitem": 60000,
-        "events": 10000, "documents": 500, "embeddings": 500,
-    },
-    "sf0.1": {
-        "region": 5, "nation": 25, "customer": 15000, "supplier": 1000,
-        "part": 20000, "orders": 150000, "lineitem": 600000,
-        "events": 100000, "documents": 5000, "embeddings": 2000,
-    },
-}
+
+def test_expected_rows_shape_and_lookup():
+    """The shared pin module (single source for bench.py,
+    scale_stress, and this file) covers every table at every SF,
+    and expected_for resolves known dirs / declines unknown ones."""
+    tables = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert set(EXPECTED_ROWS) == {"sf0.001", "sf0.01", "sf0.1"}
+    for sf, rows in EXPECTED_ROWS.items():
+        assert set(rows) == tables, sf
+    assert expected_for("/root/testdata/sf0.01/") == EXPECTED_ROWS["sf0.01"]
+    assert expected_for("/root/repo/scratch_sf1") is None
 
 
 @pytest.mark.parametrize("sf", sorted(EXPECTED_ROWS))

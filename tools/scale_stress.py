@@ -180,13 +180,15 @@ EXPONENT_PRIMARY = {
     "decile_lift": "orders",
 }
 SRC_SMALL = "/root/testdata/sf0.01"
-# pinned primary-input cardinalities for the two driver fixtures
-# (TESTDATA.md, seed=42, read-only — constants, not snapshots); the
+# pinned primary-input cardinalities for the two driver fixtures,
+# from the shared single source (tools/fixture_volumes.py); the
 # scratch_sf1 side is pinned transitively by assert_replica_volume
 # (exactly REPLICAS x the sf0.1 count).
+from fixture_volumes import EXPECTED_ROWS as _FIXTURE_ROWS  # noqa: E402
+
 EXPECTED_PRIMARY_ROWS = {
-    SRC_SMALL: {"orders": 15_000, "lineitem": 60_000, "embeddings": 500},
-    SRC: {"orders": 150_000, "lineitem": 600_000, "embeddings": 2_000},
+    SRC_SMALL: _FIXTURE_ROWS["sf0.01"],
+    SRC: _FIXTURE_ROWS["sf0.1"],
 }
 # Gate line: a measured exponent above this on a NON-density-bound
 # query means the 10x ratio was hiding super-(n.log n) growth —
