@@ -23,3 +23,19 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_all_query_plans_clean(spark):
     failures = audit_plans(spark, SF_DIR, verbose=False)
     assert not failures, f"plan violations: {failures}"
+
+
+def test_dead_exemption_sweep_is_sf_pinned():
+    """The dead-exemption sweep's liveness verdict must come from ONE
+    canonical sf_dir regardless of where the full audit ran (r16
+    advice: the pytest gate at sf0.001 and the CLI at sf0.01
+    disagreed whenever an exempted pattern was SF-dependent). Pin
+    the constant and keep it aligned with the CLI default so the
+    common roundcheck path reuses its own plans."""
+    from tools import explain_audit
+
+    assert explain_audit.SWEEP_SF_DIR == "/root/testdata/sf0.01"
+    import inspect
+
+    src = inspect.getsource(explain_audit.main)
+    assert '"/root/testdata/sf0.01"' in src  # CLI default == canonical

@@ -131,3 +131,59 @@ def test_exponent_flags_gate_semantics():
         "density_probe_failed", "fit_breach", "probe_failed",
         "tail_breach",
     ]
+
+
+def test_fit_exponent_duplicate_x_stamps_none():
+    """Two points sharing a scale value (an SF-stepped table flat
+    across adjacent dirs, e.g. documents = 500 at both sf0.001 and
+    sf0.01) make the slope undefined — the probe must stamp the
+    all-None failed-probe dict, never raise ZeroDivisionError
+    (r16 advice)."""
+    none = {"exponent": None, "exponent_head": None,
+            "exponent_tail": None}
+    # duplicate adjacent pair in a 3-point probe
+    assert scale_stress.fit_exponent(
+        [(500.0, 0.4), (500.0, 0.5), (5000.0, 1.0)]) == none
+    # all points at one x (var == 0)
+    assert scale_stress.fit_exponent(
+        [(500.0, 0.4), (500.0, 0.5)]) == none
+
+
+def test_carryforward_keeps_exponent_fields_and_recomputes_gate():
+    doc = {"queries": {"a": {"ratio": 2.0}, "b": {"ratio": 1.5}}}
+    prev = {"queries": {
+        "a": {"ratio": 9.9, "exponent": 0.7, "exponent_tail": 0.8,
+              "exponent_points": [[100, 1.0], [1000, 6.0]]},
+        "gone": {"exponent": 2.0, "exponent_tail": 2.0},
+    }, "exponent_gate": 99.0, "exponent_failures": ["gone"]}
+    kept = scale_stress.merge_exponent_carryforward(doc, prev)
+    assert kept == 1
+    assert doc["queries"]["a"]["exponent"] == 0.7
+    assert doc["queries"]["a"]["ratio"] == 2.0  # fresh ratio wins
+    # verdict recomputed from carried rows + CURRENT gate constant,
+    # never copied from prev: "gone" must not be flagged, the gate
+    # must be the live code constant
+    assert doc["exponent_gate"] == scale_stress.EXPONENT_GATE
+    assert doc["exponent_failures"] == []
+
+
+def test_carryforward_warns_when_all_exponent_rows_dropped(capsys):
+    """prev had an exponent verdict but no tier name survives: the
+    merge must warn loudly on stderr instead of silently dropping
+    exponent_gate/exponent_failures (r16 advice)."""
+    doc = {"queries": {"new_only": {"ratio": 1.0}}}
+    prev = {"queries": {"old_only": {"exponent": 0.5,
+                                     "exponent_tail": 0.6}},
+            "exponent_gate": 1.3, "exponent_failures": []}
+    kept = scale_stress.merge_exponent_carryforward(doc, prev)
+    assert kept == 0
+    assert "exponent_gate" not in doc
+    err = capsys.readouterr().err
+    assert "DROPPED" in err and "exponent" in err
+
+
+def test_carryforward_silent_when_prev_had_no_exponent(capsys):
+    doc = {"queries": {"a": {"ratio": 1.0}}}
+    prev = {"queries": {"a": {"ratio": 2.0}}}
+    assert scale_stress.merge_exponent_carryforward(doc, prev) == 0
+    assert capsys.readouterr().err == ""

@@ -219,12 +219,19 @@ def fit_exponent(points: list[tuple[float, float]]) -> dict:
 
     Any non-positive timing means a failed probe: returns all-None
     (stamped, not ridden as a numeric — the bench.py
-    ``sustain_failed`` pattern).
+    ``sustain_failed`` pattern). Duplicate x values are the same
+    contract: if any two points share a scale (an SF-stepped table
+    flat across adjacent dirs, e.g. documents = 500 at both sf0.001
+    and sf0.01) the slope is undefined there, so the probe fails
+    all-None instead of raising (r16 advice).
     """
     import math
 
     pts = sorted(points)
     if len(pts) < 2 or any(t <= 0 or s <= 0 for s, t in pts):
+        return {"exponent": None, "exponent_head": None,
+                "exponent_tail": None}
+    if any(a[0] == b[0] for a, b in zip(pts, pts[1:])):
         return {"exponent": None, "exponent_head": None,
                 "exponent_tail": None}
     xs = [math.log10(s) for s, _ in pts]
@@ -264,6 +271,53 @@ def exponent_flags(rows: dict[str, dict]) -> list[str]:
         if max(e, t) > EXPONENT_GATE:
             out.append(name)
     return out
+
+
+def merge_exponent_carryforward(doc: dict, prev: dict) -> int:
+    """Carry exponent-pass fields from the prior BENCH_SF1.json into
+    a freshly-built ``doc`` (mutated in place); returns the number of
+    rows carried.
+
+    Exponent fields are a self-contained measurement (all three
+    points timed in one session, recorded in exponent_points) so a
+    run() refresh does not invalidate them, and dropping them
+    silently would un-close the two-point-scaling blind spot the
+    tier exists for. If prev carried an exponent verdict but NO tier
+    name survives into the new run, the rewrite drops
+    exponent_gate/exponent_failures entirely — shout, don't swallow
+    (r16 advice)."""
+    prev_had_exponent = any(
+        "exponent" in row for row in prev.get("queries", {}).values()
+    )
+    kept = 0
+    for name, row in prev.get("queries", {}).items():
+        if "exponent" in row and name in doc["queries"]:
+            doc["queries"][name].update(
+                {k: v for k, v in row.items()
+                 if k.startswith("exponent")}
+            )
+            kept += 1
+    if prev_had_exponent and not kept:
+        print(
+            "WARNING: prior BENCH_SF1.json had exponent rows but "
+            "none match this run's STRESS tier — the exponent "
+            "verdict is being DROPPED; re-run "
+            "`scale_stress.py exponent` before trusting the file",
+            file=sys.stderr,
+        )
+    if kept:
+        # recompute the gate verdict from the CARRIED rows and
+        # the CURRENT code constant — copying prev's verdict
+        # verbatim could report a gate value no longer in force
+        # or flag a name whose row was dropped (r16 review)
+        doc["exponent_gate"] = EXPONENT_GATE
+        doc["exponent_failures"] = exponent_flags({
+            n: r for n, r in doc["queries"].items()
+            if "exponent" in r
+        })
+        print(f"kept exponent fields for {kept} queries from the "
+              "prior exponent pass (re-run `exponent` to refresh)")
+    return kept
 
 
 def assert_replica_volume(spark) -> None:
@@ -464,33 +518,8 @@ def run() -> None:
         "queries": out,
         "superlinear_failures": fails,
     }
-    # carry forward exponent-pass fields: they are a self-contained
-    # measurement (all three points timed in one session, recorded
-    # in exponent_points) so a run() refresh does not invalidate
-    # them, and dropping them silently would un-close the
-    # two-point-scaling blind spot the tier exists for.
     if os.path.exists(path):
-        prev = json.load(open(path))
-        kept = 0
-        for name, row in prev.get("queries", {}).items():
-            if "exponent" in row and name in doc["queries"]:
-                doc["queries"][name].update(
-                    {k: v for k, v in row.items()
-                     if k.startswith("exponent")}
-                )
-                kept += 1
-        if kept:
-            # recompute the gate verdict from the CARRIED rows and
-            # the CURRENT code constant — copying prev's verdict
-            # verbatim could report a gate value no longer in force
-            # or flag a name whose row was dropped (r16 review)
-            doc["exponent_gate"] = EXPONENT_GATE
-            doc["exponent_failures"] = exponent_flags({
-                n: r for n, r in doc["queries"].items()
-                if "exponent" in r
-            })
-            print(f"kept exponent fields for {kept} queries from the "
-                  "prior exponent pass (re-run `exponent` to refresh)")
+        merge_exponent_carryforward(doc, json.load(open(path)))
     with open(path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(f"wrote {path}; superlinear failures: {fails or 'none'}")
