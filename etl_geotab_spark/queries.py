@@ -378,6 +378,73 @@ _R01_REFRESH: list[str] = [
 ]
 
 
+# Round-17 window — the proposer's output verbatim (`python
+# tools/freshness.py --propose` at the r16 close base bb075ce, after
+# regenerating DEPMAP at that base; `tools/window_guard.py` read
+# clean — zero changed package files, zero implicated, so the §21
+# guard tier contributed no names). Exactly the shape the r16
+# verdict and the SCALE.md §27 simulated-ledger replay predicted:
+# the 26 remaining r12 rows (starting `unpivot_metrics`, the row
+# the r16 amendment displaced) + the 24 oldest r13 rows
+# (`skyline_pareto` … `small_qty_revenue`), oldest-first.
+# 26+24 = 50. After this window the r12 tier clears entirely and
+# the oldest ledger row is r13 — staleness <= 4 rounds holds
+# everywhere (25 r13 rows remain for r18).
+_ROUND17_WINDOW: list[str] = [
+    # (a) the 26 remaining r12 rows (the ledger floor), proposer order
+    "unpivot_metrics",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue",
+    "returned_item_report",
+    "profile_lineitem",
+    "pii_redact",
+    "repetition_ratio",
+    "contamination_overlap",
+    "dedup_normalized",
+    "train_val_test_split",
+    "embedding_centroid_distance",
+    "mad_outliers",
+    "vin_filter",
+    "udtf_top_terms",
+    "source_temperature_resample",
+    "ann_recall_eval",
+    "udaf_weighted_median",
+    "fuzzy_match_customers",
+    "grouped_map_ewma",
+    "flagship_schema_contract",
+    "recursive_order_chains",
+    "boilerplate_ngram_ratio",
+    "vocab_coverage",
+    "quality_adaptive_filter",
+    "heavy_hitters",
+    # (b) the 24 oldest r13 rows, proposer order
+    "skyline_pareto",
+    "market_share",
+    "weighted_sample_topk",
+    "unigram_logprob",
+    "geofence_contains",
+    "time_weighted_avg",
+    "incremental_agg_merge",
+    "cross_corpus_dedup",
+    "jsonl_ingest",
+    "csv_ingest",
+    "retention_cohorts",
+    "token_entropy",
+    "triangle_count",
+    "lateral_top_orders",
+    "seasonal_zscore",
+    "orc_ingest",
+    "association_rules",
+    "volume_shipping",
+    "product_type_profit",
+    "important_parts",
+    "customer_order_distribution",
+    "promo_revenue_ratio",
+    "top_supplier_revenue",
+    "small_qty_revenue",
+]
+
 # Round-16 window — the proposer's output verbatim (`python
 # tools/freshness.py --propose` at the r15 close base ca9a3bb, after
 # regenerating DEPMAP at that base), AMENDED once mid-round by the
@@ -1130,7 +1197,8 @@ _ROUND7_WINDOW: list[str] = [
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     head_lists = (
-        _ROUND16_WINDOW
+        _ROUND17_WINDOW
+        + _ROUND16_WINDOW
         + _ROUND15_WINDOW
         + _ROUND14_WINDOW
         + _ROUND13_WINDOW

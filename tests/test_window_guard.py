@@ -239,6 +239,20 @@ def test_freshness_proposer_matches_committed_round13_window():
     assert names == q._ROUND13_WINDOW
 
 
+def test_freshness_proposer_matches_committed_round17_window():
+    """Same pinned-replay contract for the round-17 window: ledger
+    r01..r16 must reproduce it verbatim — the 26 remaining r12 rows
+    front-loaded (clearing the r12 tier), then the 24 oldest r13
+    rows. The §21 guard tier contributed zero names (the r16 close
+    base diff was empty at adoption) so the replay, which skips the
+    guard tier, matches exactly."""
+    import etl_geotab_spark.queries as q
+
+    out, names = _propose("--max-round", "16")
+    assert "WARNING" not in out, out
+    assert names == q._ROUND17_WINDOW
+
+
 def test_freshness_proposer_frontloads_guard_tier_from_history():
     """Replaying the round-10 base: the three §21 pulls the r11 window
     included by hand must lead the proposal, tagged with their
