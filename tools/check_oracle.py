@@ -100,6 +100,20 @@ def normalize(rows, columns):
     return out
 
 
+def volume_failures(con, pins: dict[str, int] | None) -> list[str]:
+    """Compare the DuckDB views' cardinalities against the pinned
+    fixture volumes; returns mismatch descriptions (empty = gate
+    passes, or no pin held for this directory)."""
+    if not pins:
+        return []
+    out = []
+    for t, want in sorted(pins.items()):
+        got = con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+        if got != want:
+            out.append(f"{t}: {got} rows, pinned {want}")
+    return out
+
+
 def main() -> int:
     # flags first, then positionals — sf_dir really is optional, so
     # `check_oracle.py --window` must not consume the flag as sf_dir
@@ -116,6 +130,22 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+
+    # §26b input-volume pin on the ORACLE side (r16 verdict item 4):
+    # a truncated fixture under the DuckDB views would make the
+    # oracle agree with Spark on the wrong data — both engines read
+    # the same files, so the comparison alone can never catch it.
+    # Pin the view cardinalities before any query runs; skip only
+    # for directories fixture_volumes holds no pin for (ad-hoc test
+    # fixtures), per the documented expected_for contract.
+    from fixture_volumes import expected_for
+
+    bad = volume_failures(con, expected_for(sf_dir))
+    if bad:
+        for msg in bad:
+            print(f"FIXTURE VOLUME MISMATCH: {sf_dir}/{msg} — refusing "
+                  "to run the oracle gate over a wrong-volume fixture")
+        return 2
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -103,6 +103,21 @@ def _clear_session_builds() -> None:
             pass
 
 
+def volume_failures(spark, sf_dir: str,
+                    pins: dict[str, int]) -> list[str]:
+    """Compare the fixture tables' cardinalities (through the same
+    load_table path the traced queries use) against the pinned
+    volumes; returns mismatch descriptions (empty = gate passes)."""
+    from etl_geotab_spark.io import load_table
+
+    out = []
+    for table, want in sorted(pins.items()):
+        got = load_table(spark, sf_dir, table).count()
+        if got != want:
+            out.append(f"{table}: {got} rows, pinned {want}")
+    return out
+
+
 def main() -> int:
     global _tracing
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -119,6 +134,30 @@ def main() -> int:
 
     spark = get_spark()
     registry = entrymod.queries()
+
+    # §26b input-volume pin (r16 verdict item 4): a depmap generated
+    # over a truncated fixture could miss data-dependent driver-side
+    # branches and silently SHRINK the guard's dependency sets — the
+    # fail-OPEN direction, worse than any gate failing. The guard
+    # trusts this file, so refuse to write it from a wrong-volume
+    # fixture. Unlike expected_for's skip-when-unpinned contract for
+    # ad-hoc consumers, an UNPINNED dir fails here too: every sound
+    # depmap so far was generated at a pinned driver fixture, and a
+    # map from unknown inputs must not become the guard's basis.
+    from fixture_volumes import expected_for
+
+    pins = expected_for(sf_dir)
+    if pins is None:
+        print(f"no pinned cardinalities for {sf_dir} — depmap must be "
+              "generated at a pinned driver fixture (see "
+              "tools/fixture_volumes.py)")
+        return 2
+    bad = volume_failures(spark, sf_dir, pins)
+    if bad:
+        for msg in bad:
+            print(f"FIXTURE VOLUME MISMATCH: {sf_dir}/{msg} — refusing "
+                  "to generate DEPMAP over a wrong-volume fixture")
+        return 2
 
     depmap: dict[str, list[str]] = {}
     t0 = time.time()
