@@ -164,11 +164,28 @@ DENSITY_BOUND = {"grid_spatial_join"}
 # truncated sf0.01 fixture fails the pinned-count assertion instead
 # of silently timing pure overhead.
 EXPONENT_TIER = [
+    # r16: the five worst warm 10x scalers
     "grid_spatial_join",
     "recursive_order_chains",
     "semdedup_buckets",
     "salted_skew_join",
     "decile_lift",
+    # r17 extension (r16 verdict item 3): every remaining stress
+    # member with warm ratio >= 2 and > 1 s sf1 time — a single 10x
+    # ratio cannot distinguish n.log n from n^1.3, three points can
+    "cross_corpus_dedup",
+    "stateful_user_stats",
+    "contrastive_pairs",
+    "ngram_jaccard_pairs",
+    "streaming_session_window",
+    "triangle_count",
+    "bucketed_colocated_join",
+    "contamination_overlap",
+    "market_share",
+    "minhash_near_dup",
+    "boilerplate_ngram_ratio",
+    "tfidf_top_terms",
+    "pagerank_parts",
 ]
 # dominant input per tier query (the table whose cardinality drives
 # the work; verified against each q_* implementation)
@@ -178,6 +195,19 @@ EXPONENT_PRIMARY = {
     "semdedup_buckets": "embeddings",
     "salted_skew_join": "lineitem",
     "decile_lift": "orders",
+    "cross_corpus_dedup": "documents",
+    "stateful_user_stats": "events",
+    "contrastive_pairs": "embeddings",
+    "ngram_jaccard_pairs": "documents",
+    "streaming_session_window": "events",
+    "triangle_count": "lineitem",
+    "bucketed_colocated_join": "lineitem",
+    "contamination_overlap": "documents",
+    "market_share": "lineitem",
+    "minhash_near_dup": "documents",
+    "boilerplate_ngram_ratio": "documents",
+    "tfidf_top_terms": "documents",
+    "pagerank_parts": "lineitem",
 }
 SRC_SMALL = "/root/testdata/sf0.01"
 # pinned primary-input cardinalities for the two driver fixtures,
