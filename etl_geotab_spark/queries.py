@@ -380,18 +380,34 @@ _R01_REFRESH: list[str] = [
 
 # Round-17 window — the proposer's output verbatim (`python
 # tools/freshness.py --propose` at the r16 close base bb075ce, after
-# regenerating DEPMAP at that base; `tools/window_guard.py` read
-# clean — zero changed package files, zero implicated, so the §21
-# guard tier contributed no names). Exactly the shape the r16
-# verdict and the SCALE.md §27 simulated-ledger replay predicted:
-# the 26 remaining r12 rows (starting `unpivot_metrics`, the row
-# the r16 amendment displaced) + the 24 oldest r13 rows
-# (`skyline_pareto` … `small_qty_revenue`), oldest-first.
-# 26+24 = 50. After this window the r12 tier clears entirely and
-# the oldest ledger row is r13 — staleness <= 4 rounds holds
-# everywhere (25 r13 rows remain for r18).
+# regenerating DEPMAP at that base), AMENDED mid-round by the
+# proposer itself — the r15/r16 amendment procedure, this time for
+# the round-17 OPTIMIZATION batch: the §21 guard tier pulls every
+# query whose executed code the optimization pass touched
+# (q_grid_spatial_join / q_linear_fit_stats /
+# q_recursive_order_chains rewrites, the pagerank co-partitioning,
+# and the nine _spread_adaptive adopters), 13 names front-loaded in
+# proposer order. Then the original proposal's tail: the remaining
+# r12 rows and the oldest r13 rows, oldest-first, truncated to keep
+# 13+24+13 = 50 (the displaced 13 rotate to r18). After this window
+# the r12 tier clears entirely and the oldest ledger row is r13 —
+# staleness <= 4 rounds holds everywhere.
 _ROUND17_WINDOW: list[str] = [
-    # (a) the 26 remaining r12 rows (the ledger floor), proposer order
+    # (0) §21 guard pulls — the r17 optimization batch, proposer order
+    "simhash_near_dup",
+    "tfidf_top_terms",
+    "grid_spatial_join",
+    "bigram_pmi",
+    "linear_fit_stats",
+    "recursive_order_chains",
+    "heavy_hitters",
+    "skyline_pareto",
+    "unigram_logprob",
+    "token_entropy",
+    "pagerank_parts",
+    "bpe_learn_merges",
+    "spearman_correlation",
+    # (a) remaining r12 rows, proposer order
     "unpivot_metrics",
     "shipping_priority",
     "local_supplier_volume",
@@ -413,16 +429,12 @@ _ROUND17_WINDOW: list[str] = [
     "fuzzy_match_customers",
     "grouped_map_ewma",
     "flagship_schema_contract",
-    "recursive_order_chains",
     "boilerplate_ngram_ratio",
     "vocab_coverage",
     "quality_adaptive_filter",
-    "heavy_hitters",
-    # (b) the 24 oldest r13 rows, proposer order
-    "skyline_pareto",
+    # (b) oldest r13 rows, proposer order
     "market_share",
     "weighted_sample_topk",
-    "unigram_logprob",
     "geofence_contains",
     "time_weighted_avg",
     "incremental_agg_merge",
@@ -430,19 +442,10 @@ _ROUND17_WINDOW: list[str] = [
     "jsonl_ingest",
     "csv_ingest",
     "retention_cohorts",
-    "token_entropy",
     "triangle_count",
     "lateral_top_orders",
     "seasonal_zscore",
     "orc_ingest",
-    "association_rules",
-    "volume_shipping",
-    "product_type_profit",
-    "important_parts",
-    "customer_order_distribution",
-    "promo_revenue_ratio",
-    "top_supplier_revenue",
-    "small_qty_revenue",
 ]
 
 # Round-16 window — the proposer's output verbatim (`python

@@ -239,18 +239,46 @@ def test_freshness_proposer_matches_committed_round13_window():
     assert names == q._ROUND13_WINDOW
 
 
+# The §21 guard pulls the round-17 OPTIMIZATION batch front-loaded
+# into the amended window (the r15/r16 amendment procedure): every
+# query whose executed code the optimization pass touched. Kept as a
+# literal list — several of these were ALSO rotation candidates in the
+# original proposal, so the prefix cannot be derived from the replay.
+_R17_GUARD_PULLS = [
+    "simhash_near_dup",
+    "tfidf_top_terms",
+    "grid_spatial_join",
+    "bigram_pmi",
+    "linear_fit_stats",
+    "recursive_order_chains",
+    "heavy_hitters",
+    "skyline_pareto",
+    "unigram_logprob",
+    "token_entropy",
+    "pagerank_parts",
+    "bpe_learn_merges",
+    "spearman_correlation",
+]
+
+
 def test_freshness_proposer_matches_committed_round17_window():
-    """Same pinned-replay contract for the round-17 window: ledger
-    r01..r16 must reproduce it verbatim — the 26 remaining r12 rows
-    front-loaded (clearing the r12 tier), then the 24 oldest r13
-    rows. The §21 guard tier contributed zero names (the r16 close
-    base diff was empty at adoption) so the replay, which skips the
-    guard tier, matches exactly."""
+    """Pinned-replay contract for the AMENDED round-17 window: the
+    replay (ledger r01..r16, guard tier skipped) reproduces the
+    original proposal — 26 remaining r12 rows then the 24 oldest r13
+    rows — and the committed window is exactly the §21 guard pulls of
+    the r17 optimization batch front-loaded, then the replay's names
+    minus those, truncated to 50 (the displaced tail rotates to r18).
+    Time-invariant: both the replay inputs and the guard prefix are
+    pinned (the live guard's own agreement with the prefix is
+    tools/window_guard.py's job, re-run at every batch commit)."""
     import etl_geotab_spark.queries as q
 
     out, names = _propose("--max-round", "16")
     assert "WARNING" not in out, out
-    assert names == q._ROUND17_WINDOW
+    guard = _R17_GUARD_PULLS
+    assert q._ROUND17_WINDOW[: len(guard)] == guard
+    expected = guard + [n for n in names if n not in set(guard)]
+    assert q._ROUND17_WINDOW == expected[: len(q._ROUND17_WINDOW)]
 
 
 def test_freshness_proposer_frontloads_guard_tier_from_history():
