@@ -396,11 +396,16 @@ def ngram_jaccard_pairs(
     semantically this is Jaccard over informative grams, the standard
     dedup-pipeline trade. None disables the cut (exact, oracle-equal).
     """
-    # persist: the gram table feeds the self-join (twice) AND the
-    # per-doc size aggregate — 3 consumers of one expensive projection;
-    # grams are xxhash64 BIGINTs (_hashed_grams) so the persisted table
-    # is 16 bytes/row and the self-join shuffles fixed-width keys
-    grams = _hashed_grams(df, text_col, id_col, n)
+    # persist the PRE-cut gram table: it feeds the self-join (twice),
+    # the per-doc size aggregate AND the hot-gram guard — 4 consumers of
+    # one expensive tokenize+shingle projection. r17: the persist used
+    # to sit AFTER the df-cut, so the hot-gram aggregate (a consumer of
+    # the uncut table) re-ran the whole shingle pipeline a second time
+    # inside the broadcast build. Post-cut consumers now re-apply only a
+    # cheap broadcast anti-probe over the cached scan. Grams are
+    # xxhash64 BIGINTs (_hashed_grams) so the persisted table is
+    # 16 bytes/row and the self-join shuffles fixed-width keys.
+    grams = _hashed_grams(df, text_col, id_col, n).persist()
     if max_doc_freq is not None:
         hot = (
             grams.groupBy("gram")
@@ -409,7 +414,6 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         grams = grams.join(F.broadcast(hot), on="gram", how="left_anti")
-    grams = grams.persist()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     l, r = grams.alias("l"), grams.alias("r")
     shared = (
@@ -498,8 +502,13 @@ def ngram_jaccard_cross(
     the hot grams from BOTH sides so Jaccard stays internally
     consistent. Ids must be disjoint across the two frames (an id on
     both sides would pair with itself)."""
-    g_in = _hashed_grams(incoming, text_col, id_col, n)
-    g_c = _hashed_grams(corpus, text_col, id_col, n)
+    # r17: persist the PRE-cut gram tables (see ngram_jaccard_pairs) —
+    # the corpus-side hot-gram aggregate used to re-run the corpus
+    # shingle pipeline a second time inside the broadcast build; now it
+    # reads the cached scan, and the post-cut consumers re-apply only
+    # the broadcast anti-probe.
+    g_in = _hashed_grams(incoming, text_col, id_col, n).persist()
+    g_c = _hashed_grams(corpus, text_col, id_col, n).persist()
     if max_doc_freq is not None:
         hot = (
             g_c.groupBy("gram")
@@ -509,8 +518,6 @@ def ngram_jaccard_cross(
         )
         g_in = g_in.join(F.broadcast(hot), on="gram", how="left_anti")
         g_c = g_c.join(F.broadcast(hot), on="gram", how="left_anti")
-    g_in = g_in.persist()
-    g_c = g_c.persist()
     sz_in = g_in.groupBy(id_col).agg(F.count("*").alias("n_in"))
     sz_c = g_c.groupBy(id_col).agg(F.count("*").alias("n_c"))
     shared = (

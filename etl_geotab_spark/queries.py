@@ -5701,11 +5701,9 @@ def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         .limit(300)
         .collect()
     ]
-    exact = (
-        ngram_jaccard_pairs_probe(d, "text", "doc_id", probe_ids, n=3, threshold=0.5)
-        .select("id_a", "id_b")
-        .persist()
-    )
+    exact = ngram_jaccard_pairs_probe(
+        d, "text", "doc_id", probe_ids, n=3, threshold=0.5
+    ).select("id_a", "id_b")
     incident = F.col("id_a").isin(probe_ids) | F.col("id_b").isin(probe_ids)
     approx = (
         minhash_lsh_pairs(
@@ -5713,13 +5711,32 @@ def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("id_a", "id_b")
         .where(incident)
-        .persist()
     )
-    n_exact = exact.count()
-    n_approx = approx.count()
-    n_hit = approx.join(exact, ["id_a", "id_b"], "left_semi").count()
-    exact.unpersist()
-    approx.unpersist()
+    # ONE action (r17, guide §1.2/§5): a full-outer join on the pair key
+    # yields all three counts — |exact|, |approx|, |intersection| — in a
+    # single job. Both sides are unique on (id_a, id_b) by construction
+    # (each is the output of a groupBy on the pair / distinct candidates),
+    # so the join is 1:1 and count(marker) == side cardinality. The old
+    # 3-action form (count, count, semi-join count) needed both sides
+    # persisted to avoid re-running their pipelines; here each pipeline
+    # runs exactly once, lazily, inside the one job.
+    counts = (
+        exact.withColumn("_e", F.lit(1))
+        .join(approx.withColumn("_a", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("_e").alias("n_exact"),
+            F.count("_a").alias("n_approx"),
+            F.count(
+                F.when(F.col("_e").isNotNull() & F.col("_a").isNotNull(), 1)
+            ).alias("n_hit"),
+        )
+        .collect()[0]
+    )
+    n_exact, n_approx, n_hit = (
+        counts["n_exact"],
+        counts["n_approx"],
+        counts["n_hit"],
+    )
     return spark.createDataFrame(
         [
             (
@@ -7086,6 +7103,14 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("l_partkey") % 5 == 0)
     )
     l1, l2 = li.alias("l1"), li.alias("l2")
+    # r17 (guide §3.3/§2.4): pairs, deg and oriented are each consumed by
+    # several downstream joins keyed differently, so without persistence
+    # the physical plan replicates the whole upstream subtree per
+    # reference — 827 operators / 350 Exchange nodes, with the co-purchase
+    # self-join re-planned (and partially re-executed — ReusedExchange
+    # only fires on identical partitioning) up to 9x. Persisting the
+    # three small shared frames computes each once and collapses the
+    # plan ~20x; values are unchanged (deterministic sets).
     pairs = (
         l1.join(
             l2,
@@ -7098,12 +7123,13 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
         )
         .distinct()
+        .persist()
     )
     deg = (
-        pairs.select(F.col("a").alias("node"))
-        .unionAll(pairs.select(F.col("b").alias("node")))
+        pairs.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
     da, db = deg.alias("da"), deg.alias("db")
     a_first = (F.col("da.d") < F.col("db.d")) | (
@@ -7116,6 +7142,7 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
+        .persist()
     )
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     dv, dw = deg.alias("dv"), deg.alias("dw")
@@ -7137,11 +7164,10 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     tri = wedges.join(
         c, (F.col("v") == F.col("c.src")) & (F.col("w") == F.col("c.dst"))
     ).select("u", "v", "w")
-    members = (
-        tri.select(F.col("u").alias("part"))
-        .unionAll(tri.select(F.col("v").alias("part")))
-        .unionAll(tri.select(F.col("w").alias("part")))
-    )
+    # explode, not a 3-way union: the union form instantiated the whole
+    # tri subtree three times in the plan; explode emits the identical
+    # (u, v, w) member multiset from ONE instance.
+    members = tri.select(F.explode(F.array("u", "v", "w")).alias("part"))
     return members.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
