@@ -381,33 +381,43 @@ _R01_REFRESH: list[str] = [
 # Round-17 window — the proposer's output verbatim (`python
 # tools/freshness.py --propose` at the r16 close base bb075ce, after
 # regenerating DEPMAP at that base), AMENDED mid-round by the
-# proposer itself — the r15/r16 amendment procedure, this time for
-# the round-17 OPTIMIZATION batch: the §21 guard tier pulls every
-# query whose executed code the optimization pass touched
-# (q_grid_spatial_join / q_linear_fit_stats /
+# proposer itself — the r15/r16 amendment procedure, applied twice
+# for the round-17 OPTIMIZATION batches: the §21 guard tier pulls
+# every query whose executed code the optimization pass touched
+# (batch 1: the q_grid_spatial_join / q_linear_fit_stats /
 # q_recursive_order_chains rewrites, the pagerank co-partitioning,
-# and the nine _spread_adaptive adopters), 13 names front-loaded in
-# proposer order. Then the original proposal's tail: the remaining
-# r12 rows and the oldest r13 rows, oldest-first, truncated to keep
-# 13+24+13 = 50 (the displaced 13 rotate to r18). After this window
-# the r12 tier clears entirely and the oldest ledger row is r13 —
-# staleness <= 4 rounds holds everywhere.
+# and the nine _spread_adaptive adopters; batch 2: the
+# q_triangle_count / q_minhash_recall_eval restructures and the
+# ngram_jaccard_pairs / ngram_jaccard_cross pre-cut gram persists,
+# which also implicate dedup_clusters / dedup_keep_best /
+# cross_corpus_dedup), 19 names front-loaded in proposer order. Then
+# the original proposal's tail: the remaining r12 rows and the
+# oldest r13 rows, oldest-first, truncated to keep 19+31 = 50 (the
+# displaced 19 rotate to r18). After this window the r12 tier
+# clears entirely and the oldest ledger row is r13 — staleness <= 4
+# rounds holds everywhere.
 _ROUND17_WINDOW: list[str] = [
-    # (0) §21 guard pulls — the r17 optimization batch, proposer order
+    # (0) §21 guard pulls — the r17 optimization batches 1+2, proposer order
+    "ngram_jaccard_pairs",
     "simhash_near_dup",
+    "dedup_clusters",
     "tfidf_top_terms",
     "grid_spatial_join",
     "bigram_pmi",
     "linear_fit_stats",
+    "minhash_recall_eval",
     "recursive_order_chains",
     "heavy_hitters",
     "skyline_pareto",
     "unigram_logprob",
+    "cross_corpus_dedup",
     "token_entropy",
+    "triangle_count",
     "pagerank_parts",
     "bpe_learn_merges",
     "spearman_correlation",
-    # (a) remaining r12 rows, proposer order
+    "dedup_keep_best",
+    # (a) rotation tail: remaining r12 rows then oldest r13 rows, proposer order
     "unpivot_metrics",
     "shipping_priority",
     "local_supplier_volume",
@@ -432,20 +442,13 @@ _ROUND17_WINDOW: list[str] = [
     "boilerplate_ngram_ratio",
     "vocab_coverage",
     "quality_adaptive_filter",
-    # (b) oldest r13 rows, proposer order
     "market_share",
     "weighted_sample_topk",
     "geofence_contains",
     "time_weighted_avg",
     "incremental_agg_merge",
-    "cross_corpus_dedup",
     "jsonl_ingest",
     "csv_ingest",
-    "retention_cohorts",
-    "triangle_count",
-    "lateral_top_orders",
-    "seasonal_zscore",
-    "orc_ingest",
 ]
 
 # Round-16 window — the proposer's output verbatim (`python

@@ -245,19 +245,25 @@ def test_freshness_proposer_matches_committed_round13_window():
 # literal list — several of these were ALSO rotation candidates in the
 # original proposal, so the prefix cannot be derived from the replay.
 _R17_GUARD_PULLS = [
+    "ngram_jaccard_pairs",
     "simhash_near_dup",
+    "dedup_clusters",
     "tfidf_top_terms",
     "grid_spatial_join",
     "bigram_pmi",
     "linear_fit_stats",
+    "minhash_recall_eval",
     "recursive_order_chains",
     "heavy_hitters",
     "skyline_pareto",
     "unigram_logprob",
+    "cross_corpus_dedup",
     "token_entropy",
+    "triangle_count",
     "pagerank_parts",
     "bpe_learn_merges",
     "spearman_correlation",
+    "dedup_keep_best",
 ]
 
 
