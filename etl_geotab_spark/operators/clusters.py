@@ -41,9 +41,24 @@ def connected_components(
     # 96 s via recompute through lazy caches). localCheckpoint
     # materializes to executor-local storage; on a real cluster with
     # flaky executors use checkpoint() with a checkpoint dir instead.
+    # Symmetrize with a map-side explode instead of union(pairs, mirror):
+    # the union form evaluates the CALLER's pair pipeline once per
+    # branch — for entity_resolution that is the blocked levenshtein
+    # self-join twice, for the dedup build the gram self-join twice —
+    # while the explode emits both directions in one pass over a single
+    # evaluation. Row set is identical (explode of a 2-struct array =
+    # the two union branches), and everything downstream is integer
+    # min-propagation, so results are bit-identical.
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
         .distinct()
         .localCheckpoint()
     )

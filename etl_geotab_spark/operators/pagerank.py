@@ -41,7 +41,13 @@ def pagerank(
     """Power-iteration PageRank; returns (node, rank) with ranks
     summing to 1. Edges are directed; pass both directions for an
     undirected graph."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # r17 batch 3 (guide §5): materialize the edge list ONCE before the
+    # loop-invariant derivations. `e` feeds nodes (two union branches),
+    # out_deg and e_deg — five evaluations of the caller's edge
+    # subtree (for pagerank_parts: a lineitem self-join) without this.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     # r17: hash-partition the two loop-invariant tables by their join
     # keys BEFORE checkpointing — localCheckpoint preserves the
     # physical partitioning, so the per-round ranks⋈edges join and the

@@ -381,23 +381,30 @@ _R01_REFRESH: list[str] = [
 # Round-17 window — the proposer's output verbatim (`python
 # tools/freshness.py --propose` at the r16 close base bb075ce, after
 # regenerating DEPMAP at that base), AMENDED mid-round by the
-# proposer itself — the r15/r16 amendment procedure, applied twice
-# for the round-17 OPTIMIZATION batches: the §21 guard tier pulls
-# every query whose executed code the optimization pass touched
+# proposer itself — the r15/r16 amendment procedure, applied three
+# times for the round-17 OPTIMIZATION batches: the §21 guard tier
+# pulls every query whose executed code the optimization pass touched
 # (batch 1: the q_grid_spatial_join / q_linear_fit_stats /
 # q_recursive_order_chains rewrites, the pagerank co-partitioning,
 # and the nine _spread_adaptive adopters; batch 2: the
 # q_triangle_count / q_minhash_recall_eval restructures and the
 # ngram_jaccard_pairs / ngram_jaccard_cross pre-cut gram persists,
 # which also implicate dedup_clusters / dedup_keep_best /
-# cross_corpus_dedup), 19 names front-loaded in proposer order. Then
-# the original proposal's tail: the remaining r12 rows and the
-# oldest r13 rows, oldest-first, truncated to keep 19+31 = 50 (the
-# displaced 19 rotate to r18). After this window the r12 tier
+# cross_corpus_dedup; batch 3: the connected_components
+# explode-symmetrize, additionally implicating entity_resolution /
+# hotspot_regions, and the pagerank edge materialization, covered by
+# pagerank_parts), 21 names front-loaded in proposer order. Then the
+# original proposal's tail: the remaining r12 rows and the oldest
+# r13 rows, oldest-first, truncated to keep 21+29 = 50 (the
+# displaced 21 rotate to r18). After this window the r12 tier
 # clears entirely and the oldest ledger row is r13 — staleness <= 4
 # rounds holds everywhere.
 _ROUND17_WINDOW: list[str] = [
-    # (0) §21 guard pulls — the r17 optimization batches 1+2, proposer order
+    # (0) §21 guard pulls — the r17 optimization batches 1+2+3, proposer
+    # order (batch 3: the connected_components explode-symmetrize pulls
+    # entity_resolution + hotspot_regions next to the four dependents
+    # already here; the pagerank edge materialization was already
+    # covered by pagerank_parts)
     "ngram_jaccard_pairs",
     "simhash_near_dup",
     "dedup_clusters",
@@ -414,8 +421,10 @@ _ROUND17_WINDOW: list[str] = [
     "token_entropy",
     "triangle_count",
     "pagerank_parts",
+    "entity_resolution",
     "bpe_learn_merges",
     "spearman_correlation",
+    "hotspot_regions",
     "dedup_keep_best",
     # (a) rotation tail: remaining r12 rows then oldest r13 rows, proposer order
     "unpivot_metrics",
@@ -447,8 +456,6 @@ _ROUND17_WINDOW: list[str] = [
     "geofence_contains",
     "time_weighted_avg",
     "incremental_agg_merge",
-    "jsonl_ingest",
-    "csv_ingest",
 ]
 
 # Round-16 window — the proposer's output verbatim (`python
@@ -8246,9 +8253,19 @@ def q_pagerank_parts(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # symmetrize map-side (explode of a 2-struct array) instead of
+    # union(pairs, mirror): the union evaluates the co-purchase
+    # self-join once per branch inside the operator's single edge
+    # materialization — same row set, half the join work (the same
+    # batch-2 trick as triangle_count's member emission).
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     ranks = pagerank(edges, iters=6)
     return (
         ranks.orderBy(F.desc("rank"), "node")

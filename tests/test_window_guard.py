@@ -261,8 +261,10 @@ _R17_GUARD_PULLS = [
     "token_entropy",
     "triangle_count",
     "pagerank_parts",
+    "entity_resolution",
     "bpe_learn_merges",
     "spearman_correlation",
+    "hotspot_regions",
     "dedup_keep_best",
 ]
 
