@@ -393,12 +393,13 @@ _R01_REFRESH: list[str] = [
 # cross_corpus_dedup; batch 3: the connected_components
 # explode-symmetrize, additionally implicating entity_resolution /
 # hotspot_regions, and the pagerank edge materialization, covered by
-# pagerank_parts), 21 names front-loaded in proposer order. Then the
-# original proposal's tail: the remaining r12 rows and the oldest
-# r13 rows, oldest-first, truncated to keep 21+29 = 50 (the
-# displaced 21 rotate to r18). After this window the r12 tier
-# clears entirely and the oldest ledger row is r13 — staleness <= 4
-# rounds holds everywhere.
+# pagerank_parts; batch 4: the q_market_share window-total rewrite
+# and the q_association_rules basket materialization), 23 names
+# front-loaded in proposer order. Then the original proposal's tail:
+# the remaining r12 rows and the oldest r13 rows, oldest-first,
+# truncated to keep 23+27 = 50 (the displaced rows rotate to r18).
+# After this window the r12 tier clears entirely and the oldest
+# ledger row is r13 — staleness <= 4 rounds holds everywhere.
 _ROUND17_WINDOW: list[str] = [
     # (0) §21 guard pulls — the r17 optimization batches 1+2+3, proposer
     # order (batch 3: the connected_components explode-symmetrize pulls
@@ -416,10 +417,12 @@ _ROUND17_WINDOW: list[str] = [
     "recursive_order_chains",
     "heavy_hitters",
     "skyline_pareto",
+    "market_share",
     "unigram_logprob",
     "cross_corpus_dedup",
     "token_entropy",
     "triangle_count",
+    "association_rules",
     "pagerank_parts",
     "entity_resolution",
     "bpe_learn_merges",
@@ -451,11 +454,9 @@ _ROUND17_WINDOW: list[str] = [
     "boilerplate_ngram_ratio",
     "vocab_coverage",
     "quality_adaptive_filter",
-    "market_share",
     "weighted_sample_topk",
     "geofence_contains",
     "time_weighted_avg",
-    "incremental_agg_merge",
 ]
 
 # Round-16 window — the proposer's output verbatim (`python
@@ -6486,18 +6487,21 @@ def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("nation_rev_dec")
     )
-    # year totals RE-AGGREGATE the per-nation decimal sums (decimal
+    # year totals as a WINDOW over the per-nation decimal sums (decimal
     # addition is associative, so this is bit-identical to summing the
-    # base rows) — one pass over the fact join instead of two.
-    by_year = by_nation.groupBy("o_year").agg(
-        F.sum("nation_rev_dec").cast("double").alias("year_rev")
-    )
-    return by_nation.join(broadcast(by_year), "o_year").select(
+    # base rows). r17 batch 4: the former groupBy-then-join-back form
+    # evaluated `by_nation` — and with it the whole lineitem ⋈ orders
+    # fact join — once per consumer (16 parquet scans in the physical
+    # plan); the window partitioned by o_year computes the same total
+    # on ONE evaluation of the reduced ~(years × nations)-row frame.
+    w_year = Window.partitionBy("o_year")
+    year_rev = F.sum("nation_rev_dec").over(w_year).cast("double")
+    return by_nation.select(
         "o_year",
         "nation",
         F.col("nation_rev_dec").cast("double").alias("nation_rev"),
         F.round(
-            F.col("nation_rev_dec").cast("double") / F.col("year_rev"), 6
+            F.col("nation_rev_dec").cast("double") / year_rev, 6
         ).alias("share"),
     )
 
@@ -7354,11 +7358,16 @@ def q_association_rules(spark: SparkSession, sf: str) -> DataFrame:
     single IEEE divisions (round 6) — cross-engine exact. The pair
     aggregation is the only heavy shuffle; the min-support HAVING
     prunes it before the two broadcast support joins."""
+    # r17 batch 4 (guide §5): materialize the basket frame once — it
+    # feeds four consumers (n_orders, item_supp and BOTH sides of the
+    # pair self-join), each of which otherwise re-runs the lineitem
+    # scan + distinct shuffle (5 lineitem scans in the physical plan).
     b = (
         _t(spark, sf, "lineitem")
         .where(F.col("l_partkey") % 5 == 0)
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_orders = b.agg(F.count_distinct("l_orderkey").alias("n"))
     item_supp = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))

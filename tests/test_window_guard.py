@@ -256,10 +256,12 @@ _R17_GUARD_PULLS = [
     "recursive_order_chains",
     "heavy_hitters",
     "skyline_pareto",
+    "market_share",
     "unigram_logprob",
     "cross_corpus_dedup",
     "token_entropy",
     "triangle_count",
+    "association_rules",
     "pagerank_parts",
     "entity_resolution",
     "bpe_learn_merges",
