@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_geotab_spark.blocks import release_checkpoint
+
 MERGES_SCHEMA = (
     "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
 )
@@ -102,10 +104,14 @@ def learn_bpe_merges(
             break
         b = best[0]
         merges.append((step_i, b.left, b.right, b.left + b.right, b.n))
-        # iterative op ⇒ truncate lineage each round (clusters.py rule)
+        # iterative op ⇒ truncate lineage each round (clusters.py rule);
+        # release the superseded round's blocks once the new eager
+        # checkpoint exists (guide §5 — O(1) pinned copies, not O(steps))
+        prev = vocab
         vocab = vocab.withColumn(
             "syms", _fuse(F.col("syms"), b.left, b.right)
         ).localCheckpoint()
+        release_checkpoint(prev)
 
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 

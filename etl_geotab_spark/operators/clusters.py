@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_geotab_spark.blocks import release_checkpoint
+
 
 def connected_components(
     pairs: DataFrame,
@@ -41,6 +43,11 @@ def connected_components(
     # 96 s via recompute through lazy caches). localCheckpoint
     # materializes to executor-local storage; on a real cluster with
     # flaky executors use checkpoint() with a checkpoint dir instead.
+    # NOTE (r17 ADVICE): explode(array(struct(u,v), struct(v,u)))
+    # requires the two id columns to share a type — array type-coercion
+    # of mismatched struct fields differs subtly from the old
+    # positional-union coercion. Every in-repo caller passes same-typed
+    # ids (BIGINT); mixed-type callers must cast before calling.
     # Symmetrize with a map-side explode instead of union(pairs, mirror):
     # the union form evaluates the CALLER's pair pipeline once per
     # branch — for entity_resolution that is the blocked levenshtein
@@ -68,6 +75,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    labels_ckpt = labels  # the round's checkpointed frame (releasable)
 
     for _ in range(max_iterations):
         # One round = propagate + pointer-jump + change flag, fused into
@@ -118,6 +126,13 @@ def connected_components(
         # convergence probe: scan-only (data already checkpointed),
         # limit(1) stops at the first changed row.
         changed = new_labels.where(F.col("_changed")).limit(1).count()
+        # r18 (guide §5): the superseded round's label blocks are dead
+        # once the new eager checkpoint exists — release them instead
+        # of pinning O(rounds) copies of the label table to query end.
+        # (`labels` itself is a projection over the checkpoint after
+        # round 1, so the releasable frame is tracked separately.)
+        release_checkpoint(labels_ckpt)
+        labels_ckpt = new_labels
         labels = new_labels.drop("_changed")
         if changed == 0:
             break

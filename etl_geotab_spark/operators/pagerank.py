@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_geotab_spark.blocks import release_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -84,6 +86,12 @@ def pagerank(
         out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
     ).localCheckpoint(eager=True)
     has_dangling = dangling_nodes.limit(1).count() > 0
+    # r18 (guide §5, r17 ADVICE): `e` is only consumed by the pre-loop
+    # setup above — every loop-invariant derived from it (nodes, e_deg,
+    # dangling_nodes) is now eagerly checkpointed, so releasing the raw
+    # edge copy here frees |E| rows of executor storage for the whole
+    # iteration phase instead of pinning a duplicate of e_deg.
+    release_checkpoint(e)
 
     for _ in range(iters):
         contribs = (
@@ -104,6 +112,7 @@ def pagerank(
                 .collect()[0]["m"]
             )
         base = (1.0 - damping) / n + damping * dangling / n
+        prev = ranks
         ranks = (
             nodes.join(
                 contribs.withColumnRenamed("dst", "node"), "node", "left"
@@ -121,4 +130,10 @@ def pagerank(
             # re-reads worse than one small job per round
             .localCheckpoint(eager=True)
         )
+        # r18 (guide §5): the superseded round's rank blocks are dead
+        # the moment the new eager checkpoint exists (round 0's `ranks`
+        # is a plain projection over `nodes`, not a checkpoint — the
+        # helper no-ops there). Without this, O(iters) copies of the
+        # rank table stay pinned until query end.
+        release_checkpoint(prev)
     return ranks

@@ -3980,7 +3980,15 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     # stop set is the heavy-hitter tail, which SHRINKS relative to the
     # corpus, unlike the rare set (≈ all hashes), whose broadcast
     # would be the next scale wall at 100 TB.
-    n_docs = docs.count()
+    # r18 (guide §1.2, r17 verdict item 5): the cap needs only the
+    # corpus row count — the winnow UDF drops no rows, so
+    # docs.count() == |documents|. The old docs.count() ran the whole
+    # UDF pipeline as its own action ("doubles as the cache
+    # materializer"); the memoized _size_probe answers from a
+    # metadata-cheap scalar job instead, and the first real consumer
+    # (the stop-gram aggregate) materializes the persist exactly once.
+    # One fewer full pass over the fingerprint table per invocation.
+    n_docs = _size_probe(spark, sf, "documents")[0]
     cap = min(max(2, int(n_docs * 0.05)), 250)
     stop = (
         exploded.groupBy("h")
@@ -6461,12 +6469,13 @@ def q_skyline_pareto(spark: SparkSession, sf: str) -> DataFrame:
 def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8-shaped nested aggregate: each supplier nation's share
     of yearly revenue. ONE decimal-exact aggregation over the joined
-    frame; year totals re-aggregate the per-nation decimal sums
+    frame; year totals re-aggregate the per-nation decimal sums via a
+    SUM OVER (PARTITION BY o_year) window on the reduced frame
     (associative, bit-identical to summing base rows) so the fact join
-    runs once, then a broadcast join back on the tiny year table. The
-    share division happens on decimal-backed doubles, so the result is
-    bit-deterministic cross-engine (a plain double SUM would be
-    summation-order-dependent). Dims (supplier, nation) broadcast into the fact scan;
+    runs once and no join-back is needed. The share division happens
+    on decimal-backed doubles, so the result is bit-deterministic
+    cross-engine (a plain double SUM would be summation-order-
+    dependent). Dims (supplier, nation) broadcast into the fact scan;
     the only big shuffle is lineitem ⋈ orders on the order key."""
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
