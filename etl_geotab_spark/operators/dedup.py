@@ -143,9 +143,19 @@ def minhash_signatures(
 
         return t.apply(sig)
 
-    return df.select(F.col(id_col), text_sig(text_col).alias("signature")).where(
-        F.col("signature").isNotNull()
-    )
+    # r18 (guide §4.4): the .where(signature IS NOT NULL) below references
+    # the UDF's output column, and the optimizer pushes that filter BELOW
+    # the projection by duplicating the UDF — the physical plan carried
+    # TWO chained ArrowEvalPython nodes both computing text_sig(text), so
+    # every signature row paid the full shingle+permutation pass twice
+    # (plans/r18/minhash_near_dup_{before,after}.txt). Marking the UDF
+    # non-deterministic forbids the duplication; the filter then runs
+    # once, above a single evaluation. Values are unchanged (the function
+    # is pure; the marker only constrains the optimizer).
+    text_sig_once = text_sig.asNondeterministic()
+    return df.select(
+        F.col(id_col), text_sig_once(text_col).alias("signature")
+    ).where(F.col("signature").isNotNull())
 
 
 def minhash_lsh_pairs(

@@ -48,28 +48,51 @@ def misra_gries_candidates(items: DataFrame, item_col: str, s: float) -> DataFra
     value_counts into the counter map, then if more than k counters
     remain subtract the (k+1)-th largest count from all and drop the
     non-positive — equivalent to item-at-a-time MG, vectorized."""
+    return (
+        _mg_summaries(items, item_col, s)
+        .where(F.col(item_col).isNotNull())
+        .select(item_col)
+        .dropDuplicates([item_col])
+    )
+
+
+def _mg_summaries(items: DataFrame, item_col: str, s: float) -> DataFrame:
+    """Per-partition MG summaries AND totals in ONE pass: k candidate
+    rows (item set, ``_n`` NULL) plus one sentinel row per partition
+    (item NULL, ``_n`` = non-null rows seen). r18 (guide §1.2): the
+    caller's total-count used to be its own full pass over the item
+    stream — the same scan that already feeds the summaries — so the
+    count now rides out of this pass for free and heavy_hitters runs
+    two corpus passes instead of three."""
     if not (0 < s < 1):
         raise ValueError(f"share threshold must be in (0,1), got {s}")
     k = max(1, math.ceil(1.0 / s))
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: Counter = Counter()
+        seen = 0
         for pdf in batches:
-            for item, cnt in pdf[item_col].value_counts().items():
+            vc = pdf[item_col].value_counts()  # drops nulls, like the join
+            seen += int(vc.sum())
+            for item, cnt in vc.items():
                 counters[item] += int(cnt)
             if len(counters) > k:
                 cut = sorted(counters.values(), reverse=True)[k]
                 counters = Counter(
                     {i: c - cut for i, c in counters.items() if c > cut}
                 )
-        if counters:
-            yield pd.DataFrame({item_col: list(counters.keys())})
+        if counters or seen:
+            cands = list(counters.keys())
+            yield pd.DataFrame(
+                {
+                    item_col: cands + [None],
+                    "_n": [None] * len(cands) + [seen],
+                }
+            )
 
-    return (
-        items.select(F.col(item_col).cast("string").alias(item_col))
-        .mapInPandas(summarize, f"{item_col} string")
-        .dropDuplicates([item_col])
-    )
+    return items.select(
+        F.col(item_col).cast("string").alias(item_col)
+    ).mapInPandas(summarize, f"{item_col} string, _n bigint")
 
 
 def heavy_hitters(items: DataFrame, item_col: str, s: float) -> DataFrame:
@@ -96,8 +119,19 @@ def heavy_hitters(items: DataFrame, item_col: str, s: float) -> DataFrame:
     typed = items.select(F.col(item_col).cast("string").alias(item_col)).where(
         F.col(item_col).isNotNull()
     )
-    cand = misra_gries_candidates(typed, item_col, s)
-    total = typed.agg(F.count(F.lit(1)).alias("_total"))
+    # ONE pass yields candidates + per-partition totals (_mg_summaries);
+    # the summary is tiny (≤ partitions x (k+1) rows), so an eager
+    # checkpoint serves both consumers without re-running the item
+    # stream. Previously the total was its own full pass: 3 passes -> 2.
+    summary = _mg_summaries(typed, item_col, s).localCheckpoint(eager=True)
+    cand = (
+        summary.where(F.col(item_col).isNotNull())
+        .select(item_col)
+        .dropDuplicates([item_col])
+    )
+    total = summary.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("_total")
+    )
     s_dec = F.lit(round(s, 12)).cast("decimal(14,12)")
     counts = (
         typed.join(broadcast(cand), on=item_col, how="left_semi")

@@ -535,6 +535,15 @@ def _nearest_centroids(df, centroids: list[list[float]], vec_col, id_col, n, out
     positional ascending), matching the old max_by/window ordering."""
     cmat = _unit_rows(np.asarray(centroids, dtype=np.float64))
 
+    # r18 (guide §4.4): downstream equi-joins on the assignment column
+    # make the optimizer infer an IS NOT NULL filter on the UDF output
+    # and push it below the projection BY DUPLICATING THE UDF — the IVF
+    # plans carried two chained ArrowEvalPython nodes per side, so the
+    # full-corpus assignment pass (the expensive stage at 100 TB) ran
+    # twice. asNondeterministic forbids the duplication; the inferred
+    # filter runs once, above a single evaluation. Values unchanged
+    # (the functions are pure; the marker only constrains the
+    # optimizer). Plans: plans/r18/ivf_ann_topk_{before,after}.txt.
     if n == 1:
 
         @pandas_udf("long")
@@ -545,7 +554,7 @@ def _nearest_centroids(df, centroids: list[list[float]], vec_col, id_col, n, out
             sims = _unit_rows(x) @ cmat.T
             return pd.Series(np.argmax(sims, axis=1).astype("int64"))
 
-        return df.withColumn(out, _nearest(F.col(vec_col)))
+        return df.withColumn(out, _nearest.asNondeterministic()(F.col(vec_col)))
 
     @pandas_udf("array<long>")
     def _topn(vecs: pd.Series) -> pd.Series:
@@ -557,9 +566,9 @@ def _nearest_centroids(df, centroids: list[list[float]], vec_col, id_col, n, out
         return pd.Series([row.tolist() for row in order])
 
     out_cols = df.columns
-    return df.withColumn("_probes", _topn(F.col(vec_col))).select(
-        *out_cols, F.explode("_probes").alias(out)
-    )
+    return df.withColumn(
+        "_probes", _topn.asNondeterministic()(F.col(vec_col))
+    ).select(*out_cols, F.explode("_probes").alias(out))
 
 
 def _ivf_refine_once(corpus, centroids: list[list[float]], vec_col, id_col):

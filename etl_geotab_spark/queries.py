@@ -378,6 +378,77 @@ _R01_REFRESH: list[str] = [
 ]
 
 
+# Round-18 window — the proposer's output verbatim (`python
+# tools/freshness.py --propose` at the r17 close base 8d6c32f, run
+# against the round-18 optimization diff so the §21 guard tier is
+# live): (0) 18 guard pulls — every query whose executed code the r18
+# optimization batches touched (the blocks.py release adopters via
+# connected_components/pagerank/learn_bpe_merges, the §4.4
+# deduplicated-UDF fixes in minhash_signatures/_nearest_centroids
+# implicating the minhash/IVF/ANN-eval family, the scan-multiplicity
+# checkpoint batch in q_bigram_pmi/q_distribution_drift/
+# q_source_temperature_resample/q_unigram_logprob/q_semdedup_buckets
+# and the heavy_hitters fused summary, and the q_doc_winnow size-probe
+# fold), proposer order; then (a) the rotation tail: the oldest r13
+# rows oldest-first, including the three rows the r17 amendments
+# displaced (incremental_agg_merge, jsonl_ingest, csv_ingest), 18+32 =
+# 50. After this window the oldest ledger row is r13 — staleness <= 4
+# rounds keeps holding (fresh horizon r15 at a 17-round ledger).
+_ROUND18_WINDOW: list[str] = [
+    # (0) §21 guard pulls — r18 optimization batches, proposer order
+    "minhash_near_dup",
+    "dedup_clusters",
+    "ivf_ann_topk",
+    "doc_winnow_fingerprints",
+    "bigram_pmi",
+    "source_temperature_resample",
+    "ann_recall_eval",
+    "minhash_recall_eval",
+    "heavy_hitters",
+    "unigram_logprob",
+    "pagerank_parts",
+    "distribution_drift",
+    "semdedup_buckets",
+    "entity_resolution",
+    "bpe_learn_merges",
+    "ndcg_eval",
+    "hotspot_regions",
+    "dedup_keep_best",
+    # (a) rotation tail: oldest r13 rows, proposer order
+    "incremental_agg_merge",
+    "jsonl_ingest",
+    "csv_ingest",
+    "retention_cohorts",
+    "lateral_top_orders",
+    "seasonal_zscore",
+    "orc_ingest",
+    "volume_shipping",
+    "product_type_profit",
+    "important_parts",
+    "customer_order_distribution",
+    "promo_revenue_ratio",
+    "top_supplier_revenue",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "disjunctive_filter_revenue",
+    "idle_rich_customers",
+    "bloom_semi_join",
+    "zorder_cluster",
+    "embedding_quantize",
+    "repeated_spans",
+    "pca_project",
+    "skew_profile",
+    "corpus_datacard",
+    "dq_audit",
+    "join_cardinality_estimate",
+    "k_anonymity",
+    "readability_scores",
+    "trip_segmentation",
+    "event_debounce",
+    "geofence_dwell",
+    "logreg_train",
+]
+
 # Round-17 window — the proposer's output verbatim (`python
 # tools/freshness.py --propose` at the r16 close base bb075ce, after
 # regenerating DEPMAP at that base), AMENDED mid-round by the
@@ -1211,7 +1282,8 @@ _ROUND7_WINDOW: list[str] = [
 def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     head_lists = (
-        _ROUND17_WINDOW
+        _ROUND18_WINDOW
+        + _ROUND17_WINDOW
         + _ROUND16_WINDOW
         + _ROUND15_WINDOW
         + _ROUND14_WINDOW
@@ -4139,7 +4211,18 @@ def q_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("p")
     ).select("p.*")
     uni = tk.select(F.explode("t").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    # r18 (guide §5, scan-multiplicity sweep): ucnt feeds BOTH
+    # probability joins (u1/u2) below, and the differing projections
+    # above the broadcast defeat exchange reuse — the plan ran the
+    # whole tokenize+explode+count pipeline twice (4 documents scans,
+    # plans/r18/bigram_pmi_{before,after}.txt -> 3). The unigram count
+    # table is vocabulary-sized (bounded at any corpus scale), so one
+    # eager checkpoint pays it once.
+    ucnt = (
+        uni.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     bcnt = bi.groupBy("bigram", "w1", "w2").agg(F.count("*").alias("c"))
     totals = broadcast(
         tk.agg(
@@ -5567,7 +5650,17 @@ def q_source_temperature_resample(spark: SparkSession, sf: str) -> DataFrame:
     1-row broadcast cross-joins — at 100 TB the only data that moves is
     one row per source."""
     d = _t(spark, sf, "documents")
-    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # r18 (guide §5, scan-multiplicity sweep): s feeds the total, the
+    # weight frame and (through it) the normalizer + final projection —
+    # without materialization the per-source corpus aggregate re-ran
+    # once per consumer (4 documents scans, plans/r18/
+    # source_temperature_resample_{before,after}.txt -> 1). The frame
+    # is one row per source — tiny at any scale.
+    s = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
     t = s.agg(F.sum("n_docs").cast("double").alias("total"))
     w = s.crossJoin(broadcast(t)).select(
         "source",
@@ -6593,8 +6686,19 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
     ).where(F.col("token") != "")
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # r18 (guide §1.2, scan-multiplicity sweep): vocab is consumed by
+    # the probability join AND implies the corpus total (n = Σtf), so
+    # checkpoint the vocabulary-sized frame once and derive the total
+    # from it — the tokenize+explode corpus pass runs twice (vocab
+    # build + main join) instead of three times (the old `tot` was its
+    # own full pass). Values identical: Σ per-token counts == the
+    # token count the old aggregate computed.
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    tot = vocab.agg(F.sum("tf").cast("double").alias("n"))
     lp = F.log(F.col("tf").cast("double") / F.col("n"))
     return (
         toks.join(broadcast(vocab), "token")
@@ -8446,9 +8550,17 @@ def q_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
     DECIMAL(18,12) before the SUM so the per-week reduction is
     summation-order-independent (the Σf(x) recipe, SCALE.md §11)."""
     ev = _t(spark, sf, "events")
-    weekly = ev.groupBy(
-        F.date_trunc("week", F.col("ts")).alias("wk"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # r18 (guide §5, scan-multiplicity sweep): the docstring's "tiny
+    # re-aggregates of that frame" were NOT reused by the engine — the
+    # base corpus aggregate ran once per consumer (4 events scans,
+    # plans/r18/distribution_drift_{before,after}.txt -> 1). The frame
+    # is (weeks x event types) rows — trivially small at any scale —
+    # so one eager checkpoint makes the claim true.
+    weekly = (
+        ev.groupBy(F.date_trunc("week", F.col("ts")).alias("wk"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     wk_tot = weekly.groupBy("wk").agg(
         F.sum("n").cast("bigint").alias("w")
     ).withColumnRenamed("wk", "_wk")
@@ -8709,9 +8821,25 @@ def q_semdedup_buckets(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(F.lit(0))
         for i in range(dims)
     ).cast("int")
-    b = emb.select("vec_id", bucket.alias("bucket"), "embedding")
-    left = b.select(F.col("vec_id").alias("id_a"), F.col("bucket").alias("bk_a"))
-    right = b.select(F.col("vec_id").alias("id_b"), F.col("bucket").alias("bk_b"))
+    # r18 (guide §6/§2.3, scan-multiplicity sweep): the bucket column
+    # needs the embedding array, so every consumer of (vec_id, bucket)
+    # was a FULL-WIDTH corpus scan — the old plan read embeddings.parquet
+    # 5x (candidate left+right, final ids, plus the two vector sides of
+    # the verify). Nested-array pruning can't narrow element_at reads,
+    # so materialize the 16-byte/row (vec_id, bucket) projection ONCE
+    # and serve the three narrow consumers from it: 5 full-width scans
+    # -> 3 (plans/r18/semdedup_buckets_{before,after}.txt). The
+    # checkpoint is O(16B x n) at any scale; values unchanged (the
+    # bucket expression is deterministic, computed once instead of 3x).
+    b_ids = emb.select("vec_id", bucket.alias("bucket")).localCheckpoint(
+        eager=True
+    )
+    left = b_ids.select(
+        F.col("vec_id").alias("id_a"), F.col("bucket").alias("bk_a")
+    )
+    right = b_ids.select(
+        F.col("vec_id").alias("id_b"), F.col("bucket").alias("bk_b")
+    )
     cand = left.join(
         right, (F.col("bk_a") == F.col("bk_b")) & (F.col("id_a") < F.col("id_b"))
     ).select("id_a", "id_b")
@@ -8722,8 +8850,7 @@ def q_semdedup_buckets(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("_drop", F.lit(1))
     )
     return (
-        b.select("vec_id", "bucket")
-        .join(dropped, "vec_id", "left")
+        b_ids.join(dropped, "vec_id", "left")
         .select("vec_id", "bucket", F.col("_drop").isNull().alias("keep"))
     )
 

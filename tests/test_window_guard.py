@@ -409,3 +409,47 @@ def test_depmap_matches_registry():
         assert any(
             d.startswith("etl_geotab_spark/queries.py::q_") for d in deps
         ), q
+
+
+# §21 guard pulls of the round-18 optimization batches (literal — the
+# r17 pattern: several were also rotation candidates, so the prefix
+# cannot be derived from the replay).
+_R18_GUARD_PULLS = [
+    "minhash_near_dup",
+    "dedup_clusters",
+    "ivf_ann_topk",
+    "doc_winnow_fingerprints",
+    "bigram_pmi",
+    "source_temperature_resample",
+    "ann_recall_eval",
+    "minhash_recall_eval",
+    "heavy_hitters",
+    "unigram_logprob",
+    "pagerank_parts",
+    "distribution_drift",
+    "semdedup_buckets",
+    "entity_resolution",
+    "bpe_learn_merges",
+    "ndcg_eval",
+    "hotspot_regions",
+    "dedup_keep_best",
+]
+
+
+def test_freshness_proposer_matches_committed_round18_window():
+    """Pinned-replay contract for the round-18 window: the replay
+    (ledger r01..r17, guard tier skipped) reproduces the rotation
+    order, and the committed window is exactly the §21 guard pulls of
+    the r18 optimization batches front-loaded, then the replay's names
+    minus those, truncated to 50. Time-invariant: replay inputs and
+    the guard prefix are pinned (the live guard's own agreement with
+    the prefix is tools/window_guard.py's job, re-run at every batch
+    commit)."""
+    import etl_geotab_spark.queries as q
+
+    out, names = _propose("--max-round", "17")
+    assert "WARNING" not in out, out
+    guard = _R18_GUARD_PULLS
+    assert q._ROUND18_WINDOW[: len(guard)] == guard
+    expected = guard + [n for n in names if n not in set(guard)]
+    assert q._ROUND18_WINDOW == expected[: len(q._ROUND18_WINDOW)]
