@@ -391,8 +391,8 @@ _R01_REFRESH: list[str] = [
 # and the heavy_hitters fused summary, and the q_doc_winnow size-probe
 # fold), proposer order; then (a) the rotation tail: the oldest r13
 # rows oldest-first, including the three rows the r17 amendments
-# displaced (incremental_agg_merge, jsonl_ingest, csv_ingest), 18+32 =
-# 50. After this window the oldest ledger row is r13 — staleness <= 4
+# displaced (incremental_agg_merge, jsonl_ingest, csv_ingest), 19+31 =
+# 50 (logreg_train rotates to the next window). After this window the oldest ledger row is r13 — staleness <= 4
 # rounds keeps holding (fresh horizon r15 at a 17-round ledger).
 _ROUND18_WINDOW: list[str] = [
     # (0) §21 guard pulls — r18 optimization batches, proposer order
@@ -409,6 +409,7 @@ _ROUND18_WINDOW: list[str] = [
     "pagerank_parts",
     "distribution_drift",
     "semdedup_buckets",
+    "count_min_freq",
     "entity_resolution",
     "bpe_learn_merges",
     "ndcg_eval",
@@ -446,7 +447,6 @@ _ROUND18_WINDOW: list[str] = [
     "trip_segmentation",
     "event_debounce",
     "geofence_dwell",
-    "logreg_train",
 ]
 
 # Round-17 window — the proposer's output verbatim (`python
@@ -9442,13 +9442,29 @@ def q_count_min_freq(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("long")
         % 64
     )
-    expanded = e.select("user_id", js)
-    counters = (
-        expanded.select("j", bucket(F.col("j"), F.col("user_id")).alias("bucket"))
-        .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # r18 (guide §1.2, scan-multiplicity sweep): the counter grid is a
+    # pure function of the per-key counts — Σ exact_count per (j,
+    # bucket) equals counting the exploded raw events — so build it
+    # FROM the keys frame instead of a second full corpus pass, and
+    # checkpoint keys (result-sized by definition: the query emits one
+    # row per key) for its two consumers. Corpus passes 2 -> 1, and the
+    # counter aggregate's input shrinks from |events| x 4 rows to
+    # |keys| x 4 (plans/r18/count_min_freq_{before,after}.txt).
+    keys = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .localCheckpoint(eager=True)
     )
-    keys = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    counters = (
+        keys.select("user_id", "exact_count", js)
+        .select(
+            "j",
+            bucket(F.col("j"), F.col("user_id")).alias("bucket"),
+            "exact_count",
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("exact_count").alias("cnt"))
+    )
     probes = keys.select("user_id", "exact_count", js).select(
         "user_id",
         "exact_count",
@@ -12948,6 +12964,18 @@ def q_quantized_rescore_topk(spark: SparkSession, sf: str) -> DataFrame:
     w_cand = Window.partitionBy("query_id").orderBy(
         F.desc("qdot"), F.col("neighbor_id")
     )
+    # r18 examined-and-left-alone (guide §2.3/§8 vs §6): carrying the
+    # two float arrays (qe, ce) through the candidate window's exchange
+    # LOOKS like the heavy-payload-shuffle anti-pattern, but Spark's
+    # WindowGroupLimit runs BELOW the exchange (plan node 11 under
+    # exchange 12, plans/r18/quantized_rescore_topk_before.txt), so the
+    # shuffle is already bounded to <=30 x |queries| rows PER MAP TASK
+    # at any scale. The attach-after-decide rewrite (narrow shuffle +
+    # survivor join-back) was implemented, measured 25% SLOWER locally
+    # (2.21 -> 2.77 s isolated) AND would re-scan the full float column
+    # at 100 TB (a broadcast probe still streams the whole corpus scan)
+    # — a strictly worse trade than the bounded heavy exchange, so it
+    # was reverted (the mad_outliers judgment from r17).
     cand = (
         j.select(
             "query_id",

@@ -428,6 +428,7 @@ _R18_GUARD_PULLS = [
     "pagerank_parts",
     "distribution_drift",
     "semdedup_buckets",
+    "count_min_freq",
     "entity_resolution",
     "bpe_learn_merges",
     "ndcg_eval",
